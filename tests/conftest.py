@@ -1,0 +1,20 @@
+"""Test configuration: run on CPU with 8 virtual devices and x64 enabled.
+
+Tests validate exact reference-parity numerics (float64 energies) and multi-chip
+sharding on a virtual CPU mesh; TPU performance is exercised by bench.py instead.
+
+Note: this environment's sitecustomize force-registers a remote TPU plugin and
+sets JAX_PLATFORMS=axon, so the env var alone is not enough — the platform must
+be overridden via jax.config after import.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

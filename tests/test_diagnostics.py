@@ -1,0 +1,199 @@
+"""Diagnostics tests against statistical oracles.
+
+No arviz in this environment, so validation uses cases with known answers:
+IID chains (ESS ~ N, R-hat ~ 1), AR(1) chains (ESS ~ N (1-rho)/(1+rho)),
+mean-shifted chains (R-hat >> 1), and analytic Sliced-W2 cases.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import jax.random as random
+import scipy.stats
+
+from mcmc_tpu.diagnostics import (
+    split_rhat, ess_bulk, ess_tail, ess_mean, mcse_mean,
+    sliced_wasserstein_distance, compute_sliced_w2,
+    detect_divergences, check_summary_statistics, evaluate_gates,
+    compute_diagnostics,
+)
+
+
+def _iid_samples(key, n=2000, m=4, d=3):
+    return random.normal(key, (n, m, d))
+
+
+def test_rhat_iid_near_one():
+    rhat = split_rhat(_iid_samples(random.PRNGKey(0)))
+    assert np.all(np.asarray(rhat) < 1.01)
+    assert np.all(np.asarray(rhat) > 0.99)
+
+
+def test_rhat_detects_nonmixing():
+    x = np.array(_iid_samples(random.PRNGKey(1)))
+    x[:, 0, :] += 5.0  # one chain in a different mode
+    rhat = split_rhat(jnp.asarray(x))
+    assert np.all(np.asarray(rhat) > 1.5)
+
+
+def test_rhat_detects_trend():
+    """Within-chain trend (unconverged warmup) must inflate split R-hat."""
+    n, m, d = 2000, 4, 1
+    x = np.array(random.normal(random.PRNGKey(2), (n, m, d)))
+    x[:, :, 0] += np.linspace(0, 5, n)[:, None]
+    rhat = split_rhat(jnp.asarray(x))
+    assert float(rhat[0]) > 1.2
+
+
+def test_ess_iid_close_to_n():
+    n, m = 2000, 4
+    ess = ess_bulk(_iid_samples(random.PRNGKey(3), n=n, m=m))
+    total = n * m
+    assert np.all(np.asarray(ess) > 0.75 * total)
+    assert np.all(np.asarray(ess) < 1.35 * total)
+
+
+def test_ess_ar1_matches_theory():
+    """AR(1) with coefficient rho has ESS = N (1-rho)/(1+rho)."""
+    rho = 0.9
+    n, m = 8000, 4
+    rng = np.random.default_rng(0)
+    innov = rng.normal(size=(n, m)) * np.sqrt(1 - rho**2)
+    x = np.zeros((n, m))
+    x[0] = rng.normal(size=m)
+    for t in range(1, n):
+        x[t] = rho * x[t - 1] + innov[t]
+    ess = float(ess_mean(jnp.asarray(x[:, :, None]))[0])
+    expected = n * m * (1 - rho) / (1 + rho)
+    assert 0.5 * expected < ess < 2.0 * expected, (ess, expected)
+
+
+def test_ess_tail_positive_and_below_bulk_scale():
+    s = _iid_samples(random.PRNGKey(4))
+    tail = np.asarray(ess_tail(s))
+    assert np.all(tail > 0)
+    assert np.all(tail < 2 * s.shape[0] * s.shape[1])
+
+
+def test_mcse_iid_matches_sd_over_sqrt_n():
+    n, m = 4000, 4
+    s = _iid_samples(random.PRNGKey(5), n=n, m=m)
+    mcse = np.asarray(mcse_mean(s))
+    expected = 1.0 / np.sqrt(n * m)
+    assert np.all(mcse > 0.6 * expected)
+    assert np.all(mcse < 1.6 * expected)
+
+
+def test_sliced_w2_identical_is_zero():
+    s = random.normal(random.PRNGKey(6), (5000, 4))
+    assert sliced_wasserstein_distance(s, s, n_projections=50) < 1e-6
+
+
+def test_sliced_w2_1d_shift():
+    """In 1D, W2 between N(0,1) and N(delta,1) is |delta|."""
+    k1, k2 = random.split(random.PRNGKey(7))
+    a = random.normal(k1, (20000, 1))
+    b = random.normal(k2, (20000, 1)) + 3.0
+    w2 = sliced_wasserstein_distance(a, b, n_projections=20)
+    assert abs(w2 - 3.0) < 0.15
+
+
+def test_sliced_w2_unequal_sizes():
+    k1, k2 = random.split(random.PRNGKey(8))
+    a = random.normal(k1, (3000, 3))
+    b = random.normal(k2, (5000, 3))
+    w2 = sliced_wasserstein_distance(a, b, n_projections=100)
+    assert w2 < 0.1
+
+
+def test_compute_sliced_w2_end_to_end():
+    # MCMC-shaped samples (n, chains, dim) drawn exactly from the target
+    s = random.normal(random.PRNGKey(9), (2000, 4, 5))
+    w2 = compute_sliced_w2(s, "standard_normal", 5, n_reference=20000,
+                           n_projections=100)
+    assert w2 is not None and w2 < 0.1
+
+
+def test_compute_sliced_w2_none_without_reference():
+    s = random.normal(random.PRNGKey(10), (100, 2, 3))
+    assert compute_sliced_w2(s, "concentric_l1_3d", 3) is None
+
+
+def test_detect_divergences():
+    dh = jnp.array([0.5, -2000.0, 999.0, 1001.0])
+    assert np.array_equal(np.asarray(detect_divergences(dh)),
+                          [False, True, False, True])
+
+
+def test_zscore_test_passes_on_truth():
+    from mcmc_tpu.targets import standard_normal
+    t = standard_normal(5)
+    s = random.normal(random.PRNGKey(11), (4000, 4, 5))
+    diag = compute_diagnostics(s)
+    res = check_summary_statistics(diag, t)
+    assert res["pass"], res
+
+
+def test_zscore_test_fails_on_shift():
+    from mcmc_tpu.targets import standard_normal
+    t = standard_normal(5)
+    s = random.normal(random.PRNGKey(12), (4000, 4, 5)) + 0.5
+    diag = compute_diagnostics(s)
+    res = check_summary_statistics(diag, t)
+    assert not res["pass"]
+    # Bonferroni threshold for dim=5 at alpha=0.05
+    expected_thresh = scipy.stats.norm.ppf(1 - 0.05 / 5 / 2)
+    assert abs(res["threshold"] - expected_thresh) < 1e-9
+
+
+def test_gates_thresholds():
+    g = evaluate_gates(rhat_max=1.005, ess_bulk_min=500, ess_tail_min=250,
+                       divergence_rate=0.0, num_samples=10000,
+                       stats_pass=True, has_true_mean=True)
+    assert g["usable"] and g["quality_pass"]
+
+    g = evaluate_gates(rhat_max=1.03, ess_bulk_min=500, ess_tail_min=150,
+                       divergence_rate=0.0, num_samples=10000)
+    assert g["usable"] and not g["quality_pass"]
+
+    g = evaluate_gates(rhat_max=1.2, ess_bulk_min=500, ess_tail_min=250,
+                       divergence_rate=0.0, num_samples=10000)
+    assert not g["usable"]
+
+    g = evaluate_gates(rhat_max=1.005, ess_bulk_min=500, ess_tail_min=250,
+                       divergence_rate=0.06, num_samples=10000)
+    assert not g["usable"]
+
+    # quality fails on z-test only when ground truth exists
+    g = evaluate_gates(rhat_max=1.005, ess_bulk_min=500, ess_tail_min=250,
+                       divergence_rate=0.0, num_samples=10000,
+                       stats_pass=False, has_true_mean=True)
+    assert g["usable"] and not g["quality_pass"]
+    g = evaluate_gates(rhat_max=1.005, ess_bulk_min=500, ess_tail_min=250,
+                       divergence_rate=0.0, num_samples=10000,
+                       stats_pass=False, has_true_mean=False)
+    assert g["quality_pass"]
+
+
+def test_efficiency_flags():
+    g = evaluate_gates(1.0, 2000, 1000, 0.0, num_samples=10000)
+    assert g["is_high_efficiency"] and not g["is_inefficient"]
+    # ess 400 over 100k samples -> inefficient but usable
+    g = evaluate_gates(1.0, 400, 150, 0.0, num_samples=100000)
+    assert g["is_inefficient"]
+
+
+def test_compute_diagnostics_keys():
+    s = _iid_samples(random.PRNGKey(13), n=500)
+    d = compute_diagnostics(s)
+    for k in ["rhat_max", "rhat_mean", "ess_bulk_min", "ess_bulk_mean",
+              "ess_tail_min", "ess_tail_mean", "mean_estimate", "std_estimate",
+              "summary"]:
+        assert k in d
+    assert d["summary"]["mcse_mean"].shape == (3,)
+
+
+def test_rank_normalize_handles_ties():
+    """Constant dims (all ties) must not produce NaNs."""
+    s = jnp.ones((100, 4, 2))
+    rhat = split_rhat(s)
+    assert np.all(np.isfinite(np.asarray(ess_bulk(s))))

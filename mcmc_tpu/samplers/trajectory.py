@@ -1,0 +1,80 @@
+"""Hamiltonian / conformal-Hamiltonian trajectory integration.
+
+One integrator serves both HMC and GRAHMC: the conformal leapfrog with
+friction gamma(t) == 0 is exactly the standard leapfrog (the momentum scaling
+exp(-gamma eps / 2) becomes 1), so HMC is the friction-free special case.
+
+Substep structure (behavioral parity: reference GRAHMC.py:151-211 /
+HMC.py:85-134):
+    p *= exp(-gamma_t eps/2)         [friction; skipped for HMC]
+    p += (eps/2) grad log p(q)
+    q += eps * (p * inv_mass)
+    lp, grad = target(q)             [the hot op: 1 fused eval per substep]
+    p += (eps/2) grad
+    p *= exp(-gamma_t eps/2)
+
+The XLA path is a lax.scan over substeps on (n_chains, n_dim) blocks; the
+Pallas path (mcmc_tpu.ops) fuses the whole trajectory + MH accept on-chip.
+"""
+
+from typing import Callable, Optional, Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+Array = jnp.ndarray
+
+
+def kinetic_energy(p: Array, inv_mass_matrix: Array) -> Array:
+    """0.5 * p^T M^{-1} p per chain (diagonal mass)."""
+    return 0.5 * jnp.sum(p * p * inv_mass_matrix, axis=-1)
+
+
+def integrate_trajectory(
+    q: Array,
+    p: Array,
+    lp: Array,
+    grad: Array,
+    value_and_grad: Callable,
+    step_size,
+    num_steps: int,
+    inv_mass_matrix: Array,
+    friction_schedule: Optional[Callable] = None,
+    gamma_max=None,
+    steepness=None,
+) -> Tuple[Array, Array, Array, Array]:
+    """Integrate num_steps (conformal) leapfrog steps for all chains.
+
+    friction_schedule: None for plain HMC, else a (t, T, gamma_max, steepness)
+    -> gamma function evaluated at t = i * eps with T = L * eps (parity with
+    reference GRAHMC.py:246-252).
+
+    Returns (q, p, lp, grad) after the trajectory.
+    """
+    pos_dtype = q.dtype
+    e_dtype = lp.dtype
+    eps = jnp.asarray(step_size, pos_dtype)
+    half_eps = 0.5 * eps
+    total_time = eps * num_steps
+
+    def substep(carry, i):
+        q, p, lp, grad = carry
+        if friction_schedule is not None:
+            gamma_t = friction_schedule(i.astype(pos_dtype) * eps, total_time,
+                                        jnp.asarray(gamma_max, pos_dtype),
+                                        jnp.asarray(steepness, pos_dtype))
+            scale = jnp.exp(-gamma_t * half_eps)
+            p = p * scale
+        p = p + half_eps * grad
+        q = q + eps * (p * inv_mass_matrix)
+        new_lp, new_grad = value_and_grad(q)
+        new_lp = new_lp.astype(e_dtype)
+        new_grad = new_grad.astype(pos_dtype)
+        p = p + half_eps * new_grad
+        if friction_schedule is not None:
+            p = p * scale
+        return (q, p, new_lp, new_grad), None
+
+    (q, p, lp, grad), _ = lax.scan(substep, (q, p, lp, grad),
+                                   jnp.arange(num_steps))
+    return q, p, lp, grad

@@ -148,7 +148,8 @@ def run_sampler(
     """Generic burn-in + sampling harness.
 
     step_fn: (key, state) -> (key, state, step_extras)
-    extras_fn: optional (state, step_extras) -> pytree collected per step.
+    extras_fn: optional (prev_state, new_state, step_extras) -> pytree
+        collected per step (prev_state enables ESJD-style pre/post tracking).
     collect_chains: store history only for the first k chains (None = all).
 
     Returns (final_state, samples, log_probs, stacked_extras).
@@ -164,11 +165,11 @@ def run_sampler(
         state = reset_counters(state)
 
     def sample_body(carry, _):
-        k, s = carry
-        k, s, step_extras = step_fn(k, s)
+        k, s_prev = carry
+        k, s, step_extras = step_fn(k, s_prev)
         out = (s.position[:n_collect], s.log_prob[:n_collect])
         if extras_fn is not None:
-            out = out + (extras_fn(s, step_extras),)
+            out = out + (extras_fn(s_prev, s, step_extras),)
         return (k, s), out
 
     (key, state), collected = lax.scan(sample_body, (key, state), length=num_samples)

@@ -187,16 +187,15 @@ def grahmc_run(
                                inv_mass_matrix, friction_schedule)
 
     if track_proposals:
-        def extras_fn(s, step_extras):
+        def extras_fn(s_prev, s, step_extras):
             accept, q, lp, dh = step_extras
-            return (q, lp, dh)
-        # pre-step state per iteration equals the previous post state; collect
-        # it by pairing the proposal stream with the shifted sample stream on
-        # the host side (info carries proposals + delta_H).
+            return (s_prev.position, s_prev.log_prob, q, lp, dh)
         state, samples, log_probs, extras = run_sampler(
             step, key, state, num_samples, burn_in, collect_chains, extras_fn)
-        prop_q, prop_lp, delta_h = extras
+        pre_q, pre_lp, prop_q, prop_lp, delta_h = extras
         extra_info = {
+            "pre_positions": pre_q,
+            "pre_log_probs": pre_lp,
             "proposal_positions": prop_q,
             "proposal_log_probs": prop_lp,
             "delta_H": delta_h,

@@ -252,7 +252,7 @@ def nuts_run(
         return nuts_step(k, s, vag_single, step_size, inv_mass_matrix,
                          max_tree_depth, delta_max)
 
-    def extras_fn(s, step_extras):
+    def extras_fn(s_prev, s, step_extras):
         return step_extras  # (depths, mean_alpha)
 
     state, samples, log_probs, extras = run_sampler(

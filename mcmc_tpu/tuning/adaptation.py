@@ -1,0 +1,249 @@
+"""Stan-style windowed warmup: step-size DA + diagonal mass-matrix learning.
+
+Behavioral parity with reference tuning/adaptation.py:
+- schedule: exploration 500 + adaptation windows [25,50,100,200,500,1000] +
+  cooldown 125 (total 2500),
+- DA updated once per `update_freq`-step batch from the batch-mean acceptance
+  statistic (mean trajectory alpha for NUTS),
+- per-chain Welford during adaptation windows, end-of-window: average per-chain
+  variances, shrink n/(n+5) toward identity, floor 1e-8, set inv mass, da_reset,
+- GRAHMC: gamma tuned AFTER the mass matrix, on the sphered geometry, via
+  sequential ESJD tuning (tuning/sequential.py),
+- initial step 0.5/sqrt(d), final step = exp(log_step_bar).
+
+TPU-native difference: each window runs as ONE jitted device computation — a
+scan over batches with the DA state, Welford state and chain state in the
+carry — instead of the reference's host loop that launches a sampler run and
+re-jits DA math per 100 steps. Host round-trips happen only at window
+boundaries (8 per warmup).
+"""
+
+import time
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax, random
+
+from mcmc_tpu.samplers.base import make_value_and_grad, init_chain_state
+from mcmc_tpu.tuning.welford import (
+    WelfordState, welford_init, welford_update, chain_averaged_variance,
+    shrink_variance,
+)
+from mcmc_tpu.tuning.dual_averaging import (
+    da_init, da_update, da_reset, da_step_size, da_final_step_size,
+)
+
+
+def build_schedule(
+    num_steps: Optional[int] = None,
+    exploration_steps: int = 500,
+    adaptation_windows: Optional[list] = None,
+    cooldown_steps: int = 125,
+) -> list:
+    """[(start, end, phase)] with phases exploration/adaptation/cooldown.
+
+    Default totals 2500 = 500 + (25+50+100+200+500+1000) + 125.
+    """
+    if adaptation_windows is None:
+        adaptation_windows = [25, 50, 100, 200, 500, 1000]
+
+    schedule = []
+    start = 0
+    schedule.append((start, start + exploration_steps, "exploration"))
+    start += exploration_steps
+    for w in adaptation_windows:
+        schedule.append((start, start + w, "adaptation"))
+        start += w
+    schedule.append((start, start + cooldown_steps, "cooldown"))
+    start += cooldown_steps
+
+    if num_steps is not None and start != num_steps:
+        print(f"Warning: computed warmup ({start}) != num_steps ({num_steps}); "
+              f"using computed schedule")
+    return schedule
+
+
+def _make_step_fn(sampler: str, log_prob_fn, value_and_grad_fn, kwargs,
+                  schedule_type, gamma, steepness):
+    """Build (key, state, step_size, inv_mass) -> (key, state, accept_stat)."""
+    vag = make_value_and_grad(log_prob_fn, value_and_grad_fn)
+
+    if sampler == "hmc":
+        from mcmc_tpu.samplers.hmc import hmc_step
+        num_steps = kwargs.get("num_steps", 20)
+
+        def step(key, state, step_size, inv_mass):
+            key, state, (accept, *_r) = hmc_step(key, state, vag, step_size,
+                                                 num_steps, inv_mass)
+            return key, state, jnp.mean(accept)
+        return step
+
+    if sampler in ("grahmc", "rahmc"):
+        from mcmc_tpu.samplers.grahmc import grahmc_step, get_friction_schedule
+        num_steps = kwargs.get("num_steps", 20)
+        schedule_fn = get_friction_schedule(schedule_type or "constant")
+
+        def step(key, state, step_size, inv_mass):
+            key, state, (accept, *_r) = grahmc_step(
+                key, state, vag, step_size, num_steps, gamma, steepness,
+                inv_mass, schedule_fn)
+            return key, state, jnp.mean(accept)
+        return step
+
+    if sampler == "nuts":
+        from mcmc_tpu.samplers.nuts import nuts_step
+        max_tree_depth = kwargs.get("max_tree_depth", 10)
+        vag_single = (value_and_grad_fn if value_and_grad_fn is not None
+                      else jax.value_and_grad(log_prob_fn))
+
+        def step(key, state, step_size, inv_mass):
+            key, state, (depths, mean_alpha) = nuts_step(
+                key, state, vag_single, step_size, inv_mass, max_tree_depth)
+            # NUTS acceptance statistic = mean trajectory alpha
+            return key, state, jnp.mean(mean_alpha)
+        return step
+
+    raise ValueError(f"Unknown sampler: {sampler}")
+
+
+def run_adaptive_warmup(
+    sampler: str,
+    target_log_prob,
+    target_grad_log_prob,          # kept for API parity; analytic grads via value_and_grad_fn
+    initial_position: jnp.ndarray,
+    key: jnp.ndarray,
+    num_warmup: int = 1000,
+    target_accept: float = 0.65,
+    schedule_type: Optional[str] = None,
+    update_freq: int = 100,
+    learn_mass_matrix: bool = True,
+    value_and_grad_fn=None,
+    verbose: bool = False,
+    **kwargs,
+) -> Tuple[float, Optional[jnp.ndarray], jnp.ndarray, Dict]:
+    """Windowed warmup. Returns (step_size, inv_mass_matrix, position, info)."""
+    n_chains, n_dim = initial_position.shape
+    start_time = time.time()
+
+    if sampler in ("grahmc", "rahmc"):
+        gamma = kwargs.get("gamma", 1.0)
+        steepness = kwargs.get("steepness", 0.5 if schedule_type == "tanh" else 2.0)
+    else:
+        gamma = steepness = None
+
+    step_fn = _make_step_fn(sampler, target_log_prob, value_and_grad_fn, kwargs,
+                            schedule_type, gamma, steepness)
+
+    @partial(jax.jit, static_argnames=("num_batches", "samples_per_batch",
+                                       "accumulate"))
+    def run_window(key, chain_state, da_state, welford, inv_mass,
+                   num_batches: int, samples_per_batch: int, accumulate: bool):
+        """One warmup window fully on device: scan over DA batches."""
+        def batch_body(carry, _):
+            key, cs, da, wf = carry
+            step_size = da_step_size(da)
+
+            def step_body(inner, _):
+                k, s, w = inner
+                k, s, accept_stat = step_fn(k, s, step_size, inv_mass)
+                if accumulate:
+                    w = welford_update(w, s.position)
+                return (k, s, w), accept_stat
+
+            (key, cs, wf), accepts = lax.scan(
+                step_body, (key, cs, wf), length=samples_per_batch)
+            da = da_update(da, jnp.mean(accepts), target_accept)
+            return (key, cs, da, wf), jnp.mean(accepts)
+
+        (key, chain_state, da_state, welford), batch_accepts = lax.scan(
+            batch_body, (key, chain_state, da_state, welford),
+            length=num_batches)
+        return key, chain_state, da_state, welford, batch_accepts
+
+    # --- initial state ---------------------------------------------------
+    initial_step = 0.5 / float(jnp.sqrt(n_dim))
+    da_state = da_init(initial_step)
+    inv_mass = jnp.ones(n_dim, dtype=initial_position.dtype)
+    chain_state = init_chain_state(initial_position, target_log_prob,
+                                   value_and_grad_fn, needs_grad=True)
+    welford = welford_init((n_chains, n_dim))
+
+    schedule = build_schedule(num_warmup)
+    if verbose:
+        print(f"Adaptation schedule ({sum(e - s for s, e, _ in schedule)} steps):")
+        for s, e, t in schedule:
+            print(f"  [{s:4d} - {e:4d}] {t}")
+        if not learn_mass_matrix:
+            print("  [mass matrix learning disabled - identity metric]")
+
+    accept_trace = []
+    # --- windowed adaptation ---------------------------------------------
+    for start_idx, end_idx, phase in schedule:
+        window_len = end_idx - start_idx
+        accumulate = phase == "adaptation" and learn_mass_matrix
+        if accumulate:
+            welford = welford_init((n_chains, n_dim))
+
+        num_batches = max(1, window_len // update_freq)
+        samples_per_batch = window_len // num_batches
+
+        key, chain_state, da_state, welford, batch_accepts = run_window(
+            key, chain_state, da_state, welford, inv_mass,
+            num_batches=num_batches, samples_per_batch=samples_per_batch,
+            accumulate=accumulate)
+        accept_trace.extend(float(a) for a in batch_accepts)
+
+        if accumulate:
+            variance = chain_averaged_variance(welford)
+            inv_mass = shrink_variance(variance, welford.count).astype(
+                initial_position.dtype)
+            da_state = da_reset(da_state)
+            if verbose:
+                print(f"  window [{start_idx}-{end_idx}]: mass matrix range "
+                      f"[{float(jnp.min(inv_mass)):.4f}, {float(jnp.max(inv_mass)):.4f}]"
+                      f" (n={float(welford.count):.0f}/chain)")
+
+    final_step_size = float(da_final_step_size(da_state))
+    position = chain_state.position
+    if verbose:
+        print(f"Warmup complete. Final step_size: {final_step_size:.5f}")
+
+    # --- GRAHMC phase 3: friction tuning on the sphered geometry ----------
+    if sampler in ("grahmc", "rahmc"):
+        from mcmc_tpu.tuning.sequential import sequential_tune_grahmc
+        tuned_step, tuned_gamma, tuned_steepness, tune_history = sequential_tune_grahmc(
+            key=random.fold_in(key, 999),
+            log_prob_fn=target_log_prob,
+            grad_log_prob_fn=target_grad_log_prob,
+            init_position=position,
+            num_steps=kwargs.get("num_steps", 20),
+            schedule_type=schedule_type or "constant",
+            target_accept=target_accept,
+            max_iter_step=kwargs.get("max_iter_step", 1000),
+            inv_mass_matrix=inv_mass,
+            init_step_size=final_step_size,
+            gamma_coarse_values=kwargs.get("gamma_coarse_values"),
+            gamma_samples_per_eval=kwargs.get("gamma_samples_per_eval", 150),
+            value_and_grad_fn=value_and_grad_fn,
+            verbose=verbose,
+        )
+        gamma, steepness, final_step_size = tuned_gamma, tuned_steepness, tuned_step
+        if verbose:
+            print(f"  friction tuned: gamma={gamma:.5f} steepness={steepness:.3f} "
+                  f"step={final_step_size:.5f}")
+
+    info: Dict[str, Any] = {
+        "elapsed_time": time.time() - start_time,
+        "final_step_size": final_step_size,
+        "inv_mass_matrix": inv_mass,
+        "mass_matrix_learned": learn_mass_matrix,
+        "accept_trace": accept_trace,
+    }
+    if sampler in ("grahmc", "rahmc"):
+        info["gamma"] = float(gamma) if gamma is not None else 1.0
+        info["steepness"] = float(steepness) if steepness is not None else 5.0
+
+    inv_mass_out = inv_mass if learn_mass_matrix else inv_mass  # identity when not learned
+    return final_step_size, inv_mass_out, position, info

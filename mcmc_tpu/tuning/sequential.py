@@ -1,0 +1,145 @@
+"""Sequential GRAHMC friction tuning: DA step-size phase + ESJD gamma search.
+
+The reference's production GRAHMC tuner (``tuning/sequential_tune_grahmc.py``)
+is missing from its snapshot; this implements the documented contract
+(reference adaptation.py:282-300, dual_averaging.py:683-708, README "GRAHMC
+Sequential Tuning"):
+
+1. Phase 1 — tune step size by dual averaging at a conservative gamma = 0.5
+   (step size and friction have opposite relationships with acceptance, so
+   they cannot be tuned jointly from the acceptance signal alone).
+2. Phase 2 — grid-search gamma over coarse values [0.01, 0.1, 0.5, 1.0, 2.0,
+   5.0] maximizing ESJD (expected squared jump distance), measured from
+   ``gamma_samples_per_eval`` tracked proposals per gamma:
+       ESJD = E[ alpha * ||q_proposal - q_pre||^2 ],  alpha = min(1, e^{-dH}).
+3. Steepness stays at the schedule-specific default (0.5 tanh / 2.0 sigmoid).
+
+The ESJD measurement runs as one fused device scan per gamma value; gammas in
+the grid share a single compiled function (gamma is a traced scalar).
+"""
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax, random
+
+from mcmc_tpu.samplers.base import make_value_and_grad, init_chain_state
+from mcmc_tpu.samplers.grahmc import grahmc_step, get_friction_schedule, default_steepness
+from mcmc_tpu.tuning.dual_averaging import (
+    da_init, da_update, da_step_size, da_final_step_size,
+)
+
+DEFAULT_GAMMA_GRID = (0.01, 0.1, 0.5, 1.0, 2.0, 5.0)
+CONSERVATIVE_GAMMA = 0.5
+
+
+def sequential_tune_grahmc(
+    key,
+    log_prob_fn,
+    grad_log_prob_fn,              # API parity; analytic grads via value_and_grad_fn
+    init_position,
+    num_steps: int,
+    schedule_type: str = "constant",
+    target_accept: float = 0.65,
+    max_iter_step: int = 1000,
+    inv_mass_matrix=None,
+    init_step_size: Optional[float] = None,
+    gamma_coarse_values=None,
+    gamma_samples_per_eval: int = 150,
+    value_and_grad_fn=None,
+    steepness: Optional[float] = None,
+    da_batch: int = 25,
+    verbose: bool = False,
+) -> Tuple[float, float, float, Dict]:
+    """Returns (step_size, gamma, steepness, history)."""
+    if gamma_coarse_values is None:
+        gamma_coarse_values = DEFAULT_GAMMA_GRID
+    if steepness is None:
+        steepness = default_steepness(schedule_type)
+
+    schedule_fn = get_friction_schedule(schedule_type)
+    vag = make_value_and_grad(log_prob_fn, value_and_grad_fn)
+
+    state = init_chain_state(init_position, log_prob_fn, value_and_grad_fn,
+                             needs_grad=True)
+    n_dim = state.position.shape[1]
+    if inv_mass_matrix is None:
+        inv_mass_matrix = jnp.ones(n_dim, state.position.dtype)
+    inv_mass_matrix = jnp.asarray(inv_mass_matrix, state.position.dtype)
+
+    if init_step_size is None:
+        init_step_size = 0.5 / float(jnp.sqrt(n_dim))
+
+    # ------------------------------------------------------------------
+    # Phase 1: DA step-size tuning at conservative gamma
+    # ------------------------------------------------------------------
+    n_da_updates = max(1, max_iter_step // da_batch)
+
+    @jax.jit
+    def da_phase(key, chain_state):
+        da = da_init(init_step_size)
+
+        def da_iter(carry, _):
+            key, cs, da = carry
+            step_size = da_step_size(da)
+
+            def step_body(inner, _):
+                k, s = inner
+                k, s, (accept, *_r) = grahmc_step(
+                    k, s, vag, step_size, num_steps,
+                    jnp.asarray(CONSERVATIVE_GAMMA), jnp.asarray(steepness),
+                    inv_mass_matrix, schedule_fn)
+                return (k, s), accept
+
+            (key, cs), accepts = lax.scan(step_body, (key, cs), length=da_batch)
+            da = da_update(da, jnp.mean(accepts), target_accept)
+            return (key, cs, da), jnp.mean(accepts)
+
+        (key, chain_state, da), accepts = lax.scan(
+            da_iter, (key, chain_state, da), length=n_da_updates)
+        return key, chain_state, da_final_step_size(da), accepts
+
+    key, state, tuned_step, da_accepts = da_phase(key, state)
+    tuned_step_f = float(tuned_step)
+    if verbose:
+        print(f"    [sequential] phase 1: step={tuned_step_f:.5f} "
+              f"(accept {float(da_accepts[-1]):.3f} at gamma={CONSERVATIVE_GAMMA})")
+
+    # ------------------------------------------------------------------
+    # Phase 2: ESJD grid search over gamma (single compiled evaluator)
+    # ------------------------------------------------------------------
+    @jax.jit
+    def esjd_for_gamma(key, chain_state, gamma):
+        def step_body(carry, _):
+            k, s = carry
+            pre_q = s.position
+            k, s, (accept, prop_q, prop_lp, delta_h) = grahmc_step(
+                k, s, vag, tuned_step, num_steps, gamma,
+                jnp.asarray(steepness), inv_mass_matrix, schedule_fn)
+            alpha = jnp.exp(jnp.minimum(0.0, -delta_h))
+            jump_sq = jnp.sum((prop_q - pre_q) ** 2, axis=-1)
+            return (k, s), (alpha * jump_sq, accept)
+
+        (key, chain_state), (esjd_steps, accepts) = lax.scan(
+            step_body, (key, chain_state), length=gamma_samples_per_eval)
+        return jnp.mean(esjd_steps), jnp.mean(accepts)
+
+    history = {"gamma_grid": list(gamma_coarse_values), "esjd": [],
+               "accept": [], "step_size": tuned_step_f,
+               "da_accept_history": [float(a) for a in da_accepts]}
+
+    best_gamma, best_esjd = gamma_coarse_values[0], -jnp.inf
+    for i, g in enumerate(gamma_coarse_values):
+        esjd, acc = esjd_for_gamma(random.fold_in(key, i), state,
+                                   jnp.asarray(g, state.position.dtype))
+        esjd_f, acc_f = float(esjd), float(acc)
+        history["esjd"].append(esjd_f)
+        history["accept"].append(acc_f)
+        if verbose:
+            print(f"    [sequential] gamma={g}: ESJD={esjd_f:.4f} accept={acc_f:.3f}")
+        if esjd_f > best_esjd:
+            best_esjd, best_gamma = esjd_f, g
+
+    history["selected_gamma"] = best_gamma
+    return tuned_step_f, float(best_gamma), float(steepness), history

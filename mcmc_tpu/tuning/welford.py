@@ -1,0 +1,80 @@
+"""Welford online mean/variance estimation, vectorized over chains.
+
+The reference keeps a Python list of per-chain Welford states and updates them
+in a nested host loop over samples and chains (reference tuning/adaptation.py:
+229-235, tuning/welford.py). Here the state is a single (n_chains, dim) array
+pytree updated by fused device ops, so per-chain estimation (Stan's approach)
+costs one vector op per sample — and lives happily inside lax.scan carries.
+"""
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class WelfordState(NamedTuple):
+    """Running statistics. Leading axes of mean/m2 are arbitrary batch axes
+    (typically (n_chains, dim)); count is shared across the batch."""
+    count: jnp.ndarray  # scalar
+    mean: jnp.ndarray
+    m2: jnp.ndarray
+
+
+def welford_init(shape, dtype=jnp.float64) -> WelfordState:
+    """Initialize. shape may be an int (dim) or a tuple ((n_chains, dim))."""
+    if isinstance(shape, int):
+        shape = (shape,)
+    # Fall back to float32 when x64 is disabled (TPU fast path).
+    dtype = jnp.zeros((), dtype).dtype
+    return WelfordState(
+        count=jnp.zeros((), dtype),
+        mean=jnp.zeros(shape, dtype),
+        m2=jnp.zeros(shape, dtype),
+    )
+
+
+@jax.jit
+def welford_update(state: WelfordState, x: jnp.ndarray) -> WelfordState:
+    """Add one observation (batched over leading axes of the state)."""
+    x = x.astype(state.mean.dtype)
+    count = state.count + 1.0
+    delta = x - state.mean
+    mean = state.mean + delta / count
+    m2 = state.m2 + delta * (x - mean)
+    return WelfordState(count, mean, m2)
+
+
+@jax.jit
+def welford_update_batch(state: WelfordState, batch: jnp.ndarray) -> WelfordState:
+    """Add a batch of observations (leading axis = time) via scan."""
+    def body(s, x):
+        return welford_update(s, x), None
+    final, _ = lax.scan(body, state, batch)
+    return final
+
+
+@jax.jit
+def welford_covariance(state: WelfordState) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(mean, sample variance m2/(n-1)) with a count floor of 2."""
+    n = jnp.maximum(state.count, 2.0)
+    return state.mean, state.m2 / (n - 1.0)
+
+
+@jax.jit
+def chain_averaged_variance(state: WelfordState) -> jnp.ndarray:
+    """Stan-style estimate for (n_chains, dim) states: per-chain variances
+    averaged over chains (reference adaptation.py:242-248). Returns (dim,)."""
+    _, var = welford_covariance(state)
+    return jnp.mean(var, axis=0)
+
+
+@jax.jit
+def shrink_variance(variance: jnp.ndarray, n_samples) -> jnp.ndarray:
+    """Stan's regularization toward the identity metric:
+    n/(n+5) * var + 5/(n+5) * 1.0, floored at 1e-8
+    (reference adaptation.py:257-262)."""
+    w = n_samples / (n_samples + 5.0)
+    reg = w * variance + (1.0 - w) * 1.0
+    return jnp.maximum(reg, 1e-8)

@@ -1,0 +1,219 @@
+"""Tuning-layer tests: Welford exactness, DA convergence, windowed warmup,
+sequential GRAHMC tuning."""
+
+import numpy as np
+import jax.numpy as jnp
+import jax.random as random
+import pytest
+
+from mcmc_tpu.targets import standard_normal, ill_conditioned_gaussian
+from mcmc_tpu.tuning import (
+    welford_init, welford_update, welford_update_batch, welford_covariance,
+    chain_averaged_variance, shrink_variance,
+    da_init, da_update, da_reset, da_step_size, da_final_step_size,
+    dual_averaging_tune_rwmh, dual_averaging_tune_hmc, dual_averaging_tune_nuts,
+    build_schedule, run_adaptive_warmup, sequential_tune_grahmc,
+)
+
+
+# ----------------------------------------------------------------------------
+# Welford
+# ----------------------------------------------------------------------------
+
+def test_welford_matches_numpy():
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(500, 7)) * 3.0 + 1.0
+    st = welford_init(7)
+    for x in data:
+        st = welford_update(st, jnp.asarray(x))
+    mean, var = welford_covariance(st)
+    np.testing.assert_allclose(np.asarray(mean), data.mean(axis=0), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(var), data.var(axis=0, ddof=1), rtol=1e-10)
+
+
+def test_welford_batch_equals_sequential():
+    rng = np.random.default_rng(1)
+    data = jnp.asarray(rng.normal(size=(100, 3)))
+    st1 = welford_update_batch(welford_init(3), data)
+    st2 = welford_init(3)
+    for x in data:
+        st2 = welford_update(st2, x)
+    np.testing.assert_allclose(np.asarray(st1.mean), np.asarray(st2.mean), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(st1.m2), np.asarray(st2.m2), rtol=1e-12)
+
+
+def test_welford_per_chain_vectorized():
+    """(n_chains, dim) state == independent per-chain estimates."""
+    rng = np.random.default_rng(2)
+    data = rng.normal(size=(200, 4, 3)) * np.array([1.0, 2.0, 3.0])
+    st = welford_init((4, 3))
+    for x in data:
+        st = welford_update(st, jnp.asarray(x))
+    _, var = welford_covariance(st)
+    for c in range(4):
+        np.testing.assert_allclose(np.asarray(var[c]),
+                                   data[:, c, :].var(axis=0, ddof=1), rtol=1e-10)
+    avg = chain_averaged_variance(st)
+    np.testing.assert_allclose(np.asarray(avg), np.asarray(var).mean(axis=0),
+                               rtol=1e-12)
+
+
+def test_shrinkage_toward_identity():
+    var = jnp.array([4.0, 0.25])
+    shrunk = shrink_variance(var, 5.0)  # w = 0.5
+    np.testing.assert_allclose(np.asarray(shrunk), [2.5, 0.625], rtol=1e-12)
+    assert float(shrink_variance(jnp.array([0.0]), 1e9)[0]) >= 1e-8
+
+
+# ----------------------------------------------------------------------------
+# Dual averaging
+# ----------------------------------------------------------------------------
+
+def test_da_decreases_step_when_accept_low():
+    da = da_init(0.5)
+    for _ in range(20):
+        da = da_update(da, 0.1, 0.65)  # accepting too rarely
+    assert float(da_step_size(da)) < 0.5
+
+
+def test_da_increases_step_when_accept_high():
+    da = da_init(0.5)
+    for _ in range(20):
+        da = da_update(da, 0.99, 0.65)
+    assert float(da_step_size(da)) > 0.5
+
+
+def test_da_reset_keeps_smoothed_estimate():
+    da = da_init(0.5)
+    for _ in range(50):
+        da = da_update(da, 0.9, 0.65)
+    smoothed = float(da_final_step_size(da))
+    da2 = da_reset(da)
+    assert float(da_step_size(da2)) == pytest.approx(smoothed, rel=1e-10)
+    assert float(da2.count) == 0.0
+
+
+def test_da_converges_on_synthetic_accept_curve():
+    """Simulated accept(step) = exp(-step): DA should find accept ~ target."""
+    target = 0.65
+    da = da_init(1.0)
+    for _ in range(200):
+        step = float(da_step_size(da))
+        accept = np.exp(-step)
+        da = da_update(da, accept, target)
+    final = float(da_final_step_size(da))
+    assert abs(np.exp(-final) - target) < 0.05
+
+
+# ----------------------------------------------------------------------------
+# Convergence-driven tuners
+# ----------------------------------------------------------------------------
+
+def test_tune_rwmh_reaches_target_accept():
+    t = standard_normal(5)
+    init = random.normal(random.PRNGKey(0), (8, 5))
+    scale, hist = dual_averaging_tune_rwmh(
+        random.PRNGKey(1), t.log_prob_fn, init, max_iter=300)
+    assert 0.1 < scale < 5.0
+    assert abs(np.mean(hist["accept_history"][-10:]) - 0.234) < 0.1
+
+
+def test_tune_hmc_reaches_target_accept():
+    t = standard_normal(5)
+    init = random.normal(random.PRNGKey(2), (8, 5))
+    step, hist = dual_averaging_tune_hmc(
+        random.PRNGKey(3), t.log_prob_fn, init, num_steps=10, max_iter=200,
+        value_and_grad_fn=t.value_and_grad_fn)
+    assert 0.01 < step < 2.0
+    assert abs(np.mean(hist["accept_history"][-10:]) - 0.65) < 0.15
+
+
+def test_tune_nuts_runs():
+    t = standard_normal(4)
+    init = random.normal(random.PRNGKey(4), (4, 4))
+    step, hist = dual_averaging_tune_nuts(
+        random.PRNGKey(5), t.log_prob_fn, init, max_iter=60, min_iter=20,
+        n_samples_per_tune=20, value_and_grad_fn=t.value_and_grad_fn)
+    assert 0.01 < step < 3.0
+
+
+# ----------------------------------------------------------------------------
+# Windowed warmup
+# ----------------------------------------------------------------------------
+
+def test_build_schedule_default_2500():
+    sched = build_schedule()
+    assert sched[0] == (0, 500, "exploration")
+    assert sched[-1][2] == "cooldown"
+    assert sched[-1][1] == 2500
+    assert [e - s for s, e, p in sched if p == "adaptation"] == [25, 50, 100, 200, 500, 1000]
+
+
+def test_warmup_hmc_learns_mass_matrix():
+    """On an ill-conditioned Gaussian the learned inv mass ~ the variances."""
+    t = ill_conditioned_gaussian(5, condition_number=50.0)
+    init = random.normal(random.PRNGKey(6), (8, 5)) * jnp.sqrt(jnp.linspace(1, 50, 5))
+    step, inv_mass, pos, info = run_adaptive_warmup(
+        "hmc", t.log_prob_fn, None, init, random.PRNGKey(7),
+        num_warmup=800, target_accept=0.65, num_steps=10,
+        value_and_grad_fn=t.value_and_grad_fn)
+    true_var = np.linspace(1, 50, 5)
+    ratio = np.asarray(inv_mass) / true_var
+    # learned metric within a factor ~2.5 of the target variances
+    assert np.all(ratio > 0.3) and np.all(ratio < 3.0), inv_mass
+    assert 0.01 < step < 3.0
+    assert pos.shape == (8, 5)
+    # acceptance settled near target
+    assert abs(np.mean(info["accept_trace"][-3:]) - 0.65) < 0.25
+
+
+def test_warmup_no_mass_matrix_keeps_identity():
+    t = standard_normal(4)
+    init = random.normal(random.PRNGKey(8), (4, 4))
+    step, inv_mass, pos, info = run_adaptive_warmup(
+        "hmc", t.log_prob_fn, None, init, random.PRNGKey(9),
+        num_warmup=300, num_steps=8, learn_mass_matrix=False,
+        value_and_grad_fn=t.value_and_grad_fn)
+    np.testing.assert_array_equal(np.asarray(inv_mass), np.ones(4))
+    assert not info["mass_matrix_learned"]
+
+
+def test_warmup_nuts_runs():
+    t = standard_normal(4)
+    init = random.normal(random.PRNGKey(10), (4, 4))
+    step, inv_mass, pos, info = run_adaptive_warmup(
+        "nuts", t.log_prob_fn, None, init, random.PRNGKey(11),
+        num_warmup=300, max_tree_depth=6,
+        value_and_grad_fn=t.value_and_grad_fn)
+    assert 0.01 < step < 3.0
+
+
+def test_warmup_grahmc_with_sequential_tuning():
+    t = standard_normal(4)
+    init = random.normal(random.PRNGKey(12), (4, 4))
+    step, inv_mass, pos, info = run_adaptive_warmup(
+        "grahmc", t.log_prob_fn, None, init, random.PRNGKey(13),
+        num_warmup=300, schedule_type="tanh", num_steps=8,
+        max_iter_step=100, gamma_samples_per_eval=30,
+        value_and_grad_fn=t.value_and_grad_fn)
+    assert info["gamma"] in (0.01, 0.1, 0.5, 1.0, 2.0, 5.0)
+    assert info["steepness"] == 0.5  # tanh default
+    assert 0.005 < step < 3.0
+
+
+# ----------------------------------------------------------------------------
+# Sequential GRAHMC tuner
+# ----------------------------------------------------------------------------
+
+def test_sequential_tune_grahmc_contract():
+    t = standard_normal(5)
+    init = random.normal(random.PRNGKey(14), (8, 5))
+    step, gamma, steepness, hist = sequential_tune_grahmc(
+        random.PRNGKey(15), t.log_prob_fn, None, init, num_steps=10,
+        schedule_type="constant", max_iter_step=100, gamma_samples_per_eval=50,
+        value_and_grad_fn=t.value_and_grad_fn)
+    assert list(hist["gamma_grid"]) == [0.01, 0.1, 0.5, 1.0, 2.0, 5.0]
+    assert len(hist["esjd"]) == 6
+    assert gamma == hist["selected_gamma"]
+    assert gamma == hist["gamma_grid"][int(np.argmax(hist["esjd"]))]
+    assert steepness == 2.0  # non-tanh default

@@ -22,12 +22,15 @@ class WelfordState(NamedTuple):
     m2: jnp.ndarray
 
 
-def welford_init(shape, dtype=jnp.float64) -> WelfordState:
-    """Initialize. shape may be an int (dim) or a tuple ((n_chains, dim))."""
+def welford_init(shape, dtype=None) -> WelfordState:
+    """Initialize. shape may be an int (dim) or a tuple ((n_chains, dim)).
+
+    Default dtype: float64 under x64 (reference parity), float32 on the TPU
+    fast path."""
     if isinstance(shape, int):
         shape = (shape,)
-    # Fall back to float32 when x64 is disabled (TPU fast path).
-    dtype = jnp.zeros((), dtype).dtype
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     return WelfordState(
         count=jnp.zeros((), dtype),
         mean=jnp.zeros(shape, dtype),

@@ -1,0 +1,87 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh.
+
+Chains are communication-free, so the whole sampler partitions under GSPMD;
+diagnostics reductions over the sharded history become collectives. These
+tests assert both that sharded runs execute AND that sharding actually
+propagates (output committed to the expected sharding), plus bitwise
+consistency with the unsharded run.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.random as random
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mcmc_tpu.parallel import make_mesh, shard_chains, chain_sharding
+from mcmc_tpu.targets import standard_normal, neals_funnel
+from mcmc_tpu.samplers import grahmc_run, nuts_run, get_friction_schedule
+from mcmc_tpu.diagnostics import split_rhat, ess_bulk
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_grahmc_sharded_runs_and_matches_unsharded():
+    t = standard_normal(6)
+    mesh = make_mesh()
+    init = random.normal(random.PRNGKey(0), (16, 6))
+    kw = dict(step_size=0.3, num_steps=5, gamma=0.5, steepness=2.0,
+              num_samples=30, burn_in=10,
+              friction_schedule=get_friction_schedule("tanh"),
+              value_and_grad_fn=t.value_and_grad_fn)
+
+    r_plain = grahmc_run(random.PRNGKey(1), t.log_prob_fn, init, **kw)
+
+    init_sharded = shard_chains(init, mesh)
+    r_shard = grahmc_run(random.PRNGKey(1), t.log_prob_fn, init_sharded, **kw)
+
+    # Same results regardless of sharding (partitionable threefry).
+    np.testing.assert_allclose(np.asarray(r_plain.samples),
+                               np.asarray(r_shard.samples), rtol=1e-12)
+    # Output actually sharded over chains.
+    shard_axes = {s.index[1] for s in r_shard.samples.addressable_shards}
+    assert len(shard_axes) == 8  # 8 distinct chain slices
+
+
+def test_nuts_sharded_runs():
+    t = standard_normal(4)
+    mesh = make_mesh()
+    init = shard_chains(random.normal(random.PRNGKey(2), (16, 4)), mesh)
+    res = nuts_run(random.PRNGKey(3), t.log_prob_fn, init, step_size=0.4,
+                   num_samples=20, burn_in=5, max_tree_depth=6,
+                   value_and_grad_fn=t.value_and_grad_fn)
+    assert res.samples.shape == (20, 16, 4)
+    assert np.all(np.isfinite(np.asarray(res.samples)))
+
+
+def test_diagnostics_on_sharded_history():
+    """Cross-chain reductions (the only collectives) work on sharded samples."""
+    mesh = make_mesh()
+    samples = random.normal(random.PRNGKey(4), (500, 16, 3))
+    sharded = jax.device_put(samples, NamedSharding(mesh, P(None, "chains", None)))
+    rhat = split_rhat(sharded)
+    ess = ess_bulk(sharded)
+    np.testing.assert_allclose(np.asarray(rhat), np.asarray(split_rhat(samples)),
+                               rtol=1e-10)
+    assert np.all(np.asarray(ess) > 0)
+
+
+def test_full_pipeline_sharded_funnel():
+    """Warmup + sample + diagnose with chains sharded over the mesh."""
+    from mcmc_tpu.tuning import run_adaptive_warmup
+    t = neals_funnel(4)
+    mesh = make_mesh()
+    init = shard_chains(t.init_sampler(random.PRNGKey(5), 16), mesh)
+    step, inv_mass, pos, info = run_adaptive_warmup(
+        "grahmc", t.log_prob_fn, None, init, random.PRNGKey(6),
+        num_warmup=300, schedule_type="constant", num_steps=5,
+        max_iter_step=50, gamma_samples_per_eval=20,
+        value_and_grad_fn=t.value_and_grad_fn)
+    res = grahmc_run(random.PRNGKey(7), t.log_prob_fn, pos, step_size=step,
+                     num_steps=5, gamma=info["gamma"], steepness=info["steepness"],
+                     num_samples=50, burn_in=0, inv_mass_matrix=inv_mass,
+                     value_and_grad_fn=t.value_and_grad_fn)
+    assert np.all(np.isfinite(np.asarray(res.samples)))

@@ -1,0 +1,647 @@
+"""Benchmark runner: the reference CLI contract on the TPU-native stack.
+
+Schema and behavior parity with reference run_benchmarks.py (result field list
+:831-888, grid-search selection :400-413, failure records :267-398, resume
+:1063-1090, incremental save :938-1023), with these documented fixes:
+- divergence_rate is REAL (|dH| > 1000 counted by the samplers) instead of the
+  reference's hard-coded 0.0 placeholder (run_benchmarks.py:706-710),
+- NUTS gradient accounting uses sum(2^depth - 1); HMC/GRAHMC use
+  samples * L * chains everywhere including the convergence path (the
+  reference is internally inconsistent — SURVEY.md §6 quirks).
+"""
+
+import copy
+import json
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+from jax import random
+
+from mcmc_tpu.targets import get_target, get_reference_sampler, TargetDistribution
+from mcmc_tpu.diagnostics import (
+    compute_diagnostics, check_summary_statistics, compute_sliced_w2,
+    evaluate_gates, MIN_ESS_QUALITY, MIN_ESS_TAIL_QUALITY,
+    MIN_ESS_HARD_GATE, MIN_ESS_TAIL_HARD_GATE,
+)
+from mcmc_tpu.samplers import (
+    rwmh_run, hmc_run, nuts_run, grahmc_run, get_friction_schedule,
+    default_steepness,
+)
+from mcmc_tpu.tuning import run_adaptive_warmup, dual_averaging_tune_rwmh
+
+ALL_TARGET_NAMES = [
+    "standard_normal", "correlated_gaussian", "ill_conditioned_gaussian",
+    "student_t", "log_gamma", "rosenbrock", "neals_funnel", "gaussian_mixture",
+]
+
+DEFAULT_L_GRID = [8, 16, 24, 32, 48, 64, 96]
+
+# Fields copied from each grid run into grid_search_info["all_results"]
+_GRID_SUMMARY_FIELDS = [
+    "num_steps", "ess_per_gradient", "ess_bulk_min", "ess_tail_min",
+    "rhat_max", "rhat_mean", "accept_rate", "step_size", "total_samples",
+    "n_gradients", "warmup_time", "sample_time", "usable", "quality_pass",
+    "divergence_rate", "sliced_w2", "z_score_max", "gamma", "steepness",
+]
+
+
+def get_log_checkpoints(max_samples: int, base: float = 1.5) -> List[int]:
+    """Log-spaced checkpoint counts starting at 100, always ending at max."""
+    checkpoints = []
+    current = 100.0
+    while current < max_samples:
+        checkpoints.append(int(current))
+        current *= base
+    checkpoints.append(max_samples)
+    return checkpoints
+
+
+def _grid_summary(r: Dict) -> Dict:
+    out = {k: r.get(k) for k in _GRID_SUMMARY_FIELDS}
+    out.setdefault("ess_per_gradient", r.get("ess_per_gradient", 0))
+    return out
+
+
+def _warmup(sampler, target, target_name, key, init_pos, num_warmup,
+            schedule_type, num_steps, learn_mass_matrix, verbose=True):
+    """Phase 1 dispatch. Returns (step_size, inv_mass, position, warmup_info)."""
+    if sampler == "rwmh":
+        scale, _hist = dual_averaging_tune_rwmh(
+            key, target.log_prob_fn, init_pos, max_iter=1000)
+        return scale, None, init_pos, {"scale": scale}
+
+    kwargs = {}
+    if sampler == "hmc":
+        kwargs["num_steps"] = num_steps
+    elif sampler == "nuts":
+        kwargs["max_tree_depth"] = 15   # wider during warmup (reference :533)
+    elif sampler in ("grahmc", "rahmc"):
+        kwargs["num_steps"] = num_steps
+        kwargs["gamma"] = 1.0
+        kwargs["steepness"] = default_steepness(schedule_type)
+    else:
+        raise ValueError(f"Unknown sampler: {sampler}")
+
+    step_size, inv_mass, pos, info = run_adaptive_warmup(
+        "grahmc" if sampler == "rahmc" else sampler,
+        target.log_prob_fn, None, init_pos, key,
+        num_warmup=num_warmup, target_accept=0.65,
+        schedule_type=schedule_type if sampler in ("grahmc", "rahmc") else None,
+        learn_mass_matrix=learn_mass_matrix,
+        value_and_grad_fn=target.value_and_grad_fn,
+        verbose=verbose,
+        **kwargs,
+    )
+    return step_size, inv_mass, pos, info
+
+
+def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
+            inv_mass, schedule_type, warmup_info):
+    """Phase 2 dispatch. Returns a RunResult."""
+    if sampler == "rwmh":
+        return rwmh_run(key, target.log_prob_fn, position,
+                        num_samples=num_samples, scale=step_size, burn_in=0)
+    if sampler == "hmc":
+        return hmc_run(key, target.log_prob_fn, position, step_size=step_size,
+                       num_steps=num_steps, num_samples=num_samples, burn_in=0,
+                       inv_mass_matrix=inv_mass,
+                       value_and_grad_fn=target.value_and_grad_fn)
+    if sampler == "nuts":
+        return nuts_run(key, target.log_prob_fn, position, step_size=step_size,
+                        num_samples=num_samples, burn_in=0,
+                        inv_mass_matrix=inv_mass, max_tree_depth=10,
+                        value_and_grad_fn=target.value_and_grad_fn)
+    if sampler in ("grahmc", "rahmc"):
+        return grahmc_run(
+            key, target.log_prob_fn, position, step_size=step_size,
+            num_steps=num_steps, gamma=warmup_info.get("gamma", 1.0),
+            steepness=warmup_info.get("steepness", 5.0),
+            num_samples=num_samples, burn_in=0, inv_mass_matrix=inv_mass,
+            friction_schedule=get_friction_schedule(schedule_type),
+            value_and_grad_fn=target.value_and_grad_fn)
+    raise ValueError(f"Unknown sampler: {sampler}")
+
+
+def run_single_benchmark_with_L(
+    sampler: str,
+    target: TargetDistribution,
+    target_name: str,
+    key,
+    n_chains: int,
+    num_warmup: int,
+    num_samples: int,
+    schedule_type: str,
+    num_steps: int,
+    learn_mass_matrix: bool = True,
+    track_convergence: bool = False,
+    convergence_base: float = 1.5,
+) -> Dict:
+    """One warmup+sample+diagnose+gate pipeline at a fixed trajectory length."""
+    is_grahmc = sampler in ("grahmc", "rahmc")
+    header = f"BENCHMARK: {sampler.upper()} on {target.name}"
+    if is_grahmc:
+        header += f" [{schedule_type}]"
+    print(f"\n{'=' * 80}\n{header}  (L={num_steps}, "
+          f"mass={'learned' if learn_mass_matrix else 'identity'})\n{'=' * 80}")
+
+    start_time = time.time()
+    try:
+        key, init_key = random.split(key)
+        if target.init_sampler is not None:
+            init_pos = target.init_sampler(init_key, n_chains)
+        else:
+            init_pos = random.normal(init_key, (n_chains, target.dim)) * 0.1
+
+        # Phase 1: adaptive warmup
+        print("[Phase 1] Adaptive warmup...")
+        warmup_start = time.time()
+        key, warm_key = random.split(key)
+        step_size, inv_mass, position, warmup_info = _warmup(
+            sampler, target, target_name, warm_key, init_pos, num_warmup,
+            schedule_type, num_steps, learn_mass_matrix)
+        warmup_time = time.time() - warmup_start
+        print(f"  warmup {warmup_time:.1f}s, step_size={step_size:.4f}")
+
+        # Phase 2: sampling (optionally with convergence checkpoints)
+        convergence_trace = None
+        sample_start = time.time()
+        if track_convergence and sampler in ("hmc", "grahmc", "rahmc"):
+            checkpoints = get_log_checkpoints(num_samples, base=convergence_base)
+            print(f"[Phase 2] Sampling with {len(checkpoints)} convergence "
+                  f"checkpoints...")
+            convergence_trace = []
+            pieces, prev = [], 0
+            res = None
+            for cp in checkpoints:
+                batch = cp - prev
+                prev = cp
+                key, s_key = random.split(key)
+                res = _sample(sampler, target, s_key, position, step_size,
+                              num_steps, batch, inv_mass, schedule_type,
+                              warmup_info)
+                position = res.final_state.position
+                pieces.append(res)
+                cumulative = jnp.concatenate([p.samples for p in pieces], axis=0)
+                key, w2_key = random.split(key)
+                w2 = compute_sliced_w2(cumulative, target_name, target.dim,
+                                       n_reference=50000, n_projections=500,
+                                       key=w2_key)
+                cp_diag = compute_diagnostics(cumulative)
+                n_grad_cp = cp * num_steps * n_chains
+                convergence_trace.append({
+                    "checkpoint": int(cp),
+                    "n_gradients": int(n_grad_cp),
+                    "w2_distance": float(w2) if w2 is not None else None,
+                    "ess_bulk_min": float(cp_diag["ess_bulk_min"]),
+                    "ess_tail_min": float(cp_diag["ess_tail_min"]),
+                    "rhat_max": float(cp_diag["rhat_max"]),
+                })
+            samples = jnp.concatenate([p.samples for p in pieces], axis=0)
+            accept_rate = float(np.mean([float(p.accept_rate.mean()) for p in pieces]))
+            total_div = int(sum(int(p.info["total_divergences"]) for p in pieces))
+            divergence_rate = total_div / (num_samples * n_chains)
+            tree_depths = None
+        else:
+            print(f"[Phase 2] Sampling {num_samples} draws...")
+            key, s_key = random.split(key)
+            res = _sample(sampler, target, s_key, position, step_size,
+                          num_steps, num_samples, inv_mass, schedule_type,
+                          warmup_info)
+            samples = res.samples
+            accept_rate = float(res.accept_rate.mean())
+            total_div = int(res.info["total_divergences"])
+            divergence_rate = float(res.info["divergence_rate"])
+            tree_depths = res.info.get("tree_depths")
+        sample_time = time.time() - sample_start
+        print(f"  sampling {sample_time:.1f}s, accept={accept_rate:.3f}, "
+              f"div={divergence_rate:.2%}")
+
+        # Gradient accounting
+        if sampler == "nuts" and tree_depths is not None:
+            grads_per = (2 ** np.asarray(tree_depths)) - 1
+            n_gradients = int(grads_per.sum())
+            avg_tree_depth = float(np.asarray(tree_depths).mean())
+        elif sampler == "rwmh":
+            n_gradients, avg_tree_depth = 0, None
+        else:
+            n_gradients = num_samples * num_steps * n_chains
+            avg_tree_depth = None
+
+        # Sampler metadata
+        if sampler == "rwmh":
+            sampler_metadata = {"scale": step_size}
+        elif sampler == "hmc":
+            sampler_metadata = {"step_size": step_size, "num_steps": num_steps}
+        elif sampler == "nuts":
+            sampler_metadata = {"step_size": step_size, "max_tree_depth": 10,
+                                "avg_tree_depth": avg_tree_depth}
+        else:
+            sampler_metadata = {"step_size": step_size, "num_steps": num_steps,
+                                "gamma": warmup_info.get("gamma", 1.0),
+                                "steepness": warmup_info.get("steepness", 5.0),
+                                "schedule": schedule_type}
+
+        # Phase 3: diagnostics + gates
+        print("[Phase 3] Diagnostics...")
+        diagnostics = compute_diagnostics(samples)
+        stats_result = check_summary_statistics(diagnostics, target,
+                                                significance=0.05)
+        stats_pass = stats_result["pass"]
+        has_true_mean = target.true_mean is not None and target.true_cov is not None
+
+        gates = evaluate_gates(
+            diagnostics["rhat_max"], diagnostics["ess_bulk_min"],
+            diagnostics["ess_tail_min"], divergence_rate, num_samples,
+            stats_pass, has_true_mean)
+
+        total_time = time.time() - start_time
+
+        # Phase 4: Sliced-W2 vs ground truth
+        ref_sampler = get_reference_sampler(target_name, target.dim)
+        if ref_sampler is not None:
+            print("[Phase 4] Sliced W2...")
+            key, w2_key = random.split(key)
+            sliced_w2 = compute_sliced_w2(samples, target_name, target.dim,
+                                          n_reference=50000, n_projections=500,
+                                          key=w2_key)
+        else:
+            sliced_w2 = None
+
+        results = {
+            "sampler": sampler,
+            "target": target.name,
+            "schedule": schedule_type if is_grahmc else None,
+            "dim": target.dim,
+            "num_steps": num_steps if sampler in ("hmc", "grahmc", "rahmc") else None,
+            "n_chains": n_chains,
+            "num_warmup": num_warmup,
+            "num_samples": num_samples,
+            "total_samples": num_samples,
+            "warmup_time": warmup_time,
+            "sample_time": sample_time,
+            "total_time": total_time,
+            "accept_rate": accept_rate,
+            "rhat_max": diagnostics["rhat_max"],
+            "rhat_mean": diagnostics["rhat_mean"],
+            "ess_bulk_min": diagnostics["ess_bulk_min"],
+            "ess_bulk_mean": diagnostics["ess_bulk_mean"],
+            "ess_tail_min": diagnostics["ess_tail_min"],
+            "ess_tail_mean": diagnostics["ess_tail_mean"],
+            "ess_per_sample": gates["ess_per_sample"],
+            "ess_per_gradient": (diagnostics["ess_bulk_min"] / n_gradients
+                                 if n_gradients > 0 else 0),
+            "divergence_rate": divergence_rate,
+            "total_divergences": total_div,
+            "n_gradients": n_gradients,
+            "rhat_pass": diagnostics["rhat_max"] < 1.01,
+            "ess_pass": diagnostics["ess_bulk_min"] >= MIN_ESS_QUALITY,
+            "ess_tail_pass": diagnostics["ess_tail_min"] >= MIN_ESS_TAIL_QUALITY,
+            "stats_pass": stats_pass,
+            "z_score_max": stats_result.get("max_z"),
+            "z_score_threshold": stats_result.get("threshold"),
+            "usable": gates["usable"],
+            "quality_pass": gates["quality_pass"],
+            "is_inefficient": gates["is_inefficient"],
+            "is_high_efficiency": gates["is_high_efficiency"],
+            "sliced_w2": sliced_w2,
+            "convergence_trace": convergence_trace if track_convergence else None,
+        }
+        results.update(sampler_metadata)
+        results["mass_matrix_learned"] = learn_mass_matrix
+        if learn_mass_matrix and inv_mass is not None:
+            results["mass_matrix_min"] = float(jnp.min(inv_mass))
+            results["mass_matrix_max"] = float(jnp.max(inv_mass))
+            results["mass_matrix_mean"] = float(jnp.mean(inv_mass))
+
+        status = ("[PASS]" if results["quality_pass"]
+                  else "[USABLE]" if results["usable"] else "[FAIL]")
+        print(f"{status} R-hat={results['rhat_max']:.4f} "
+              f"ESS={results['ess_bulk_min']:.0f}/{results['ess_tail_min']:.0f} "
+              f"div={divergence_rate:.1%} "
+              f"W2={sliced_w2 if sliced_w2 is None else round(sliced_w2, 4)} "
+              f"({total_time:.1f}s)")
+        return results
+
+    except Exception as e:
+        import traceback
+        traceback.print_exc()
+        return {
+            "sampler": sampler,
+            "target": target.name,
+            "schedule": schedule_type if is_grahmc else None,
+            "dim": target.dim,
+            "num_steps": num_steps,
+            "total_samples": 0,
+            "ess_bulk_min": 0.0,
+            "n_gradients": 0,
+            "divergence_rate": None,
+            "error": str(e),
+            "total_time": time.time() - start_time,
+            "usable": False,
+            "quality_pass": False,
+        }
+
+
+def run_trajectory_length_grid_search(
+    sampler: str,
+    target: TargetDistribution,
+    target_name: str,
+    key,
+    n_chains: int,
+    num_warmup: int,
+    num_samples: int,
+    schedule_type: str,
+    num_steps_grid: List[int],
+    learn_mass_matrix: bool = True,
+    track_convergence: bool = False,
+    convergence_base: float = 1.5,
+) -> Dict:
+    """Grid-search L; select max ESS/gradient preferring quality_pass runs;
+    explicit failure record (with least-bad diagnostics) when nothing is
+    usable."""
+    print(f"\n{'#' * 80}\nGRID SEARCH over L = {num_steps_grid}\n{'#' * 80}")
+
+    grid_results = []
+    for L in num_steps_grid:
+        key, subkey = random.split(key)
+        r = run_single_benchmark_with_L(
+            sampler, target, target_name, subkey, n_chains, num_warmup,
+            num_samples, schedule_type, L, learn_mass_matrix,
+            track_convergence, convergence_base)
+        if r.get("error") is None:
+            n_grad = r.get("n_gradients", r["total_samples"] * L)
+            r["n_gradients"] = n_grad
+            r["ess_per_gradient"] = (r["ess_bulk_min"] / n_grad
+                                     if n_grad > 0 else 0)
+        else:
+            r["n_gradients"] = 0
+            r["ess_per_gradient"] = 0
+        grid_results.append(r)
+
+    usable = [r for r in grid_results if r.get("usable", False)]
+
+    if not usable:
+        print("\nGRID SEARCH FAILED: no L produced usable samples")
+
+        def least_bad_score(r):
+            if r.get("error"):
+                return (float("inf"), 0)
+            return (r.get("rhat_max", float("inf")), -r.get("ess_bulk_min", 0))
+
+        least_bad = min(grid_results, key=least_bad_score)
+        failure = {
+            "sampler": sampler,
+            "target": target.name,
+            "schedule": schedule_type if sampler in ("grahmc", "rahmc") else None,
+            "dim": target.dim,
+            "n_chains": n_chains,
+            "grid_search_failed": True,
+            "usable": False,
+            "quality_pass": False,
+            "error": "No trajectory length produced usable samples",
+            "num_samples": num_samples,
+            "num_warmup": num_warmup,
+        }
+        # carry all diagnostic fields from the least-bad run for post-mortems
+        for field in ["num_steps", "total_samples", "n_gradients", "rhat_max",
+                      "rhat_mean", "ess_bulk_min", "ess_bulk_mean",
+                      "ess_tail_min", "ess_tail_mean", "ess_per_sample",
+                      "ess_per_gradient", "divergence_rate",
+                      "total_divergences", "accept_rate", "warmup_time",
+                      "sample_time", "total_time", "sliced_w2", "stats_pass",
+                      "z_score_max", "z_score_threshold", "convergence_trace",
+                      "rhat_pass", "ess_pass", "ess_tail_pass",
+                      "is_inefficient", "is_high_efficiency", "step_size",
+                      "gamma", "steepness", "avg_tree_depth",
+                      "mass_matrix_learned", "mass_matrix_min",
+                      "mass_matrix_max", "mass_matrix_mean"]:
+            failure[field] = least_bad.get(field)
+        failure["ess_bulk_min"] = least_bad.get("ess_bulk_min", 0)
+        failure["grid_search_info"] = {
+            "tested_L_values": num_steps_grid,
+            "selected_L": None,
+            "has_usable": False,
+            "least_bad_L": least_bad.get("num_steps"),
+            "all_results": [dict(_grid_summary(r), error=r.get("error"))
+                            for r in grid_results],
+        }
+        return failure
+
+    quality = [r for r in usable if r.get("quality_pass", False)]
+    pool, tier = (quality, "quality_pass") if quality else (usable, "usable_only")
+    best = max(pool, key=lambda r: r["ess_per_gradient"])
+    selected_L = best["num_steps"]
+
+    print(f"\nGRID SEARCH COMPLETE — best L={selected_L} "
+          f"(ESS/grad={best['ess_per_gradient']:.6f}) [{tier}]")
+    for r in grid_results:
+        status = ("[ERROR]" if r.get("error") else
+                  "[PASS]" if r.get("quality_pass") else
+                  "[USABLE]" if r.get("usable") else "[FAIL]")
+        print(f"  L={r['num_steps']:3d}: ESS/grad={r.get('ess_per_gradient', 0):.6f} "
+              f"ESS={r.get('ess_bulk_min', 0):7.1f} "
+              f"R-hat={r.get('rhat_max', 0) or 0:.4f} {status}")
+
+    best["grid_search_info"] = {
+        "tested_L_values": num_steps_grid,
+        "selected_L": selected_L,
+        "selection_tier": tier,
+        "has_usable": True,
+        "all_results": [_grid_summary(r) for r in grid_results],
+    }
+    return best
+
+
+# ============================================================================
+# Incremental save / resume
+# ============================================================================
+
+def _round_floats(obj):
+    if isinstance(obj, bool):
+        return obj
+    if isinstance(obj, float):
+        return round(obj, 4)
+    if isinstance(obj, (int, str, type(None))):
+        return obj
+    if isinstance(obj, dict):
+        return {k: _round_floats(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_round_floats(x) for x in obj]
+    if isinstance(obj, np.bool_):
+        return bool(obj)
+    if isinstance(obj, (np.integer, np.floating)):
+        return float(obj)
+    if isinstance(obj, jnp.ndarray):
+        return _round_floats(np.asarray(obj).tolist())
+    return obj
+
+
+def save_result_incremental(result: Dict, output_dir: str, is_first: bool = False):
+    """Append one result to benchmark_results.{csv,json}; the CSV column order
+    is pinned in .csv_columns.json so appends stay aligned across resumes."""
+    import pandas as pd
+
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    csv_path = out / "benchmark_results.csv"
+    json_path = out / "benchmark_results.json"
+    col_order_path = out / ".csv_columns.json"
+
+    rounded = _round_floats(result)
+
+    csv_row = copy.deepcopy(rounded)
+    for k in ("grid_search_info", "convergence_trace"):
+        if csv_row.get(k) is not None:
+            csv_row[k] = json.dumps(csv_row[k])
+    df_row = pd.DataFrame([csv_row])
+
+    if is_first or not csv_path.exists():
+        df_row.to_csv(csv_path, index=False, mode="w")
+        with open(col_order_path, "w") as f:
+            json.dump(df_row.columns.tolist(), f)
+    else:
+        if col_order_path.exists():
+            with open(col_order_path) as f:
+                expected = json.load(f)
+            df_row = df_row.reindex(columns=expected)
+        else:
+            with open(col_order_path, "w") as f:
+                json.dump(df_row.columns.tolist(), f)
+        df_row.to_csv(csv_path, index=False, mode="a", header=False)
+
+    if is_first or not json_path.exists():
+        all_results = [rounded]
+    else:
+        with open(json_path) as f:
+            all_results = json.load(f)
+        all_results.append(rounded)
+    with open(json_path, "w") as f:
+        json.dump(all_results, f, indent=2)
+
+
+def run_all_benchmarks(
+    samplers: List[str],
+    targets: List[str],
+    grahmc_schedules: List[str],
+    dim: int,
+    n_chains: int,
+    num_warmup: int,
+    num_samples: int,
+    seed: int,
+    output_dir: str,
+    num_steps_grid: Optional[List[int]] = None,
+    mass_matrix_modes: Optional[List[bool]] = None,
+    track_convergence: bool = False,
+    convergence_base: float = 1.5,
+):
+    """Iterate target x sampler x mass-mode (x schedule for GRAHMC) with
+    resume-by-signature and incremental saving. Returns a DataFrame."""
+    import jax
+    import pandas as pd
+
+    jax.config.update("jax_enable_x64", True)
+    key = random.PRNGKey(seed)
+    Path(output_dir).mkdir(parents=True, exist_ok=True)
+    if num_steps_grid is None:
+        num_steps_grid = DEFAULT_L_GRID
+    if mass_matrix_modes is None:
+        mass_matrix_modes = [True]
+
+    json_path = Path(output_dir) / "benchmark_results.json"
+    if json_path.exists():
+        with open(json_path) as f:
+            all_results = json.load(f)
+        completed = {(r.get("sampler"), r.get("target"), r.get("schedule"),
+                      r.get("mass_matrix_learned")) for r in all_results}
+        print(f"RESUMING: {len(all_results)} existing results, skipping "
+              f"{len(completed)} completed configurations")
+        is_first = False
+    else:
+        all_results, completed, is_first = [], set(), True
+
+    for target_name in targets:
+        print(f"\n{'#' * 80}\n# TARGET: {target_name} (dim={dim})\n{'#' * 80}")
+        target = get_target(target_name, dim=dim)
+
+        for sampler in samplers:
+            for learn_mass in mass_matrix_modes:
+                schedules = (grahmc_schedules if sampler in ("grahmc", "rahmc")
+                             else [None])
+                for schedule in schedules:
+                    sig = (sampler, target.name, schedule, learn_mass)
+                    if sig in completed:
+                        print(f"  [SKIP] {sig} (already completed)")
+                        continue
+                    key, subkey = random.split(key)
+                    if sampler in ("grahmc", "rahmc", "hmc"):
+                        result = run_trajectory_length_grid_search(
+                            sampler, target, target_name, subkey, n_chains,
+                            num_warmup, num_samples,
+                            schedule or "constant", num_steps_grid,
+                            learn_mass, track_convergence, convergence_base)
+                    else:
+                        result = run_single_benchmark_with_L(
+                            sampler, target, target_name, subkey, n_chains,
+                            num_warmup, num_samples, schedule or "constant",
+                            20, learn_mass)
+                    all_results.append(result)
+                    save_result_incremental(result, output_dir, is_first=is_first)
+                    is_first = False
+
+    df = pd.DataFrame(all_results)
+    print(f"\n[OK] results saved incrementally to {output_dir}/"
+          f"benchmark_results.{{csv,json}} ({len(all_results)} experiments)")
+    return df
+
+
+def print_summary(df):
+    """Print pass/usable counts, failure analysis, and efficiency rankings."""
+    n = len(df)
+    if n == 0:
+        print("No results.")
+        return
+    print(f"\n{'=' * 80}\nBENCHMARK SUMMARY\n{'=' * 80}")
+    passed = int(df.get("quality_pass", False).sum()) if "quality_pass" in df else 0
+    usable = int(df.get("usable", False).sum()) if "usable" in df else 0
+    print(f"Total experiments: {n}")
+    print(f"High quality: {passed}/{n} ({100 * passed / n:.1f}%)")
+    print(f"Usable: {usable}/{n} ({100 * usable / n:.1f}%)")
+    print(f"Failed: {n - usable}/{n}")
+
+    if "sampler" in df:
+        print("\nBy sampler:")
+        for s in df["sampler"].unique():
+            sub = df[df["sampler"] == s]
+            print(f"  {s:10s}: pass={int(sub['quality_pass'].sum())}/{len(sub)}, "
+                  f"usable={int(sub['usable'].sum())}/{len(sub)}")
+    if "target" in df:
+        print("\nBy target:")
+        for t in df["target"].unique():
+            sub = df[df["target"] == t]
+            print(f"  {t:30s}: pass={int(sub['quality_pass'].sum())}/{len(sub)}, "
+                  f"usable={int(sub['usable'].sum())}/{len(sub)}")
+
+    if "grid_search_failed" in df:
+        failed = df[df["grid_search_failed"] == True]  # noqa: E712
+        for _, row in failed.iterrows():
+            sched = row.get("schedule")
+            name = row["sampler"] + (f"-{sched}" if isinstance(sched, str) else "")
+            print(f"  GRID FAILURE: {name} on {row['target']} "
+                  f"(best L tried: {row.get('num_steps')})")
+
+    if "usable" in df and "ess_per_gradient" in df:
+        top = df[df["usable"] == True].sort_values(  # noqa: E712
+            "ess_per_gradient", ascending=False).head(10)
+        if len(top):
+            print("\nTop 10 by ESS/gradient (usable only):")
+            for _, row in top.iterrows():
+                sched = row.get("schedule")
+                name = row["sampler"] + (f"-{sched}" if isinstance(sched, str) else "")
+                print(f"  {name:<25s} {row['target']:<25s} "
+                      f"{row['ess_per_gradient']:.6f} "
+                      f"(ESS={row.get('ess_bulk_min', 0):.0f}, "
+                      f"R-hat={row.get('rhat_max', 0):.4f})")

@@ -9,13 +9,16 @@ Sequential Tuning"):
    (step size and friction have opposite relationships with acceptance, so
    they cannot be tuned jointly from the acceptance signal alone).
 2. Phase 2 — grid-search gamma over coarse values [0.01, 0.1, 0.5, 1.0, 2.0,
-   5.0] maximizing ESJD (expected squared jump distance), measured from
-   ``gamma_samples_per_eval`` tracked proposals per gamma:
+   5.0]: for each gamma, RE-TUNE the step size by DA at that gamma
+   (``max_iter_step`` warmup iterations per gamma — the contract's
+   "(re-tuned)" step size, reference adaptation.py:295,332), then measure
+   ESJD from ``gamma_samples_per_eval`` tracked proposals:
        ESJD = E[ alpha * ||q_proposal - q_pre||^2 ],  alpha = min(1, e^{-dH}).
+   The winning gamma's step size is returned.
 3. Steepness stays at the schedule-specific default (0.5 tanh / 2.0 sigmoid).
 
-The ESJD measurement runs as one fused device scan per gamma value; gammas in
-the grid share a single compiled function (gamma is a traced scalar).
+Each per-gamma evaluation (DA re-tune + ESJD scan) is one compiled device
+function reused across the grid (gamma is a traced scalar).
 """
 
 from typing import Dict, Optional, Tuple
@@ -71,14 +74,13 @@ def sequential_tune_grahmc(
     if init_step_size is None:
         init_step_size = 0.5 / float(jnp.sqrt(n_dim))
 
-    # ------------------------------------------------------------------
-    # Phase 1: DA step-size tuning at conservative gamma
-    # ------------------------------------------------------------------
+    # One compiled function serves Phase 1 and every Phase-2 gamma: DA-tune
+    # the step size at the given gamma, then measure ESJD at the tuned step.
     n_da_updates = max(1, max_iter_step // da_batch)
 
     @jax.jit
-    def da_phase(key, chain_state):
-        da = da_init(init_step_size)
+    def tune_and_measure(key, chain_state, gamma, start_step):
+        da = da_init(start_step)
 
         def da_iter(carry, _):
             key, cs, da = carry
@@ -87,9 +89,8 @@ def sequential_tune_grahmc(
             def step_body(inner, _):
                 k, s = inner
                 k, s, (accept, *_r) = grahmc_step(
-                    k, s, vag, step_size, num_steps,
-                    jnp.asarray(CONSERVATIVE_GAMMA), jnp.asarray(steepness),
-                    inv_mass_matrix, schedule_fn)
+                    k, s, vag, step_size, num_steps, gamma,
+                    jnp.asarray(steepness), inv_mass_matrix, schedule_fn)
                 return (k, s), accept
 
             (key, cs), accepts = lax.scan(step_body, (key, cs), length=da_batch)
@@ -98,20 +99,9 @@ def sequential_tune_grahmc(
 
         (key, chain_state, da), accepts = lax.scan(
             da_iter, (key, chain_state, da), length=n_da_updates)
-        return key, chain_state, da_final_step_size(da), accepts
+        tuned_step = da_final_step_size(da)
 
-    key, state, tuned_step, da_accepts = da_phase(key, state)
-    tuned_step_f = float(tuned_step)
-    if verbose:
-        print(f"    [sequential] phase 1: step={tuned_step_f:.5f} "
-              f"(accept {float(da_accepts[-1]):.3f} at gamma={CONSERVATIVE_GAMMA})")
-
-    # ------------------------------------------------------------------
-    # Phase 2: ESJD grid search over gamma (single compiled evaluator)
-    # ------------------------------------------------------------------
-    @jax.jit
-    def esjd_for_gamma(key, chain_state, gamma):
-        def step_body(carry, _):
+        def esjd_body(carry, _):
             k, s = carry
             pre_q = s.position
             k, s, (accept, prop_q, prop_lp, delta_h) = grahmc_step(
@@ -121,25 +111,41 @@ def sequential_tune_grahmc(
             jump_sq = jnp.sum((prop_q - pre_q) ** 2, axis=-1)
             return (k, s), (alpha * jump_sq, accept)
 
-        (key, chain_state), (esjd_steps, accepts) = lax.scan(
-            step_body, (key, chain_state), length=gamma_samples_per_eval)
-        return jnp.mean(esjd_steps), jnp.mean(accepts)
+        (key, chain_state), (esjd_steps, esjd_accepts) = lax.scan(
+            esjd_body, (key, chain_state), length=gamma_samples_per_eval)
+        return (chain_state, tuned_step, jnp.mean(esjd_steps),
+                jnp.mean(esjd_accepts), accepts)
 
+    # Phase 1: conservative-gamma step tune (gives each gamma's DA warm start)
+    key, p1_key = random.split(key)
+    state, base_step, _, _, da_accepts = tune_and_measure(
+        p1_key, state, jnp.asarray(CONSERVATIVE_GAMMA, state.position.dtype),
+        jnp.asarray(init_step_size))
+    if verbose:
+        print(f"    [sequential] phase 1: step={float(base_step):.5f} "
+              f"(accept {float(da_accepts[-1]):.3f} at gamma={CONSERVATIVE_GAMMA})")
+
+    # Phase 2: per-gamma step re-tune + ESJD measurement
     history = {"gamma_grid": list(gamma_coarse_values), "esjd": [],
-               "accept": [], "step_size": tuned_step_f,
+               "accept": [], "per_gamma_step": [],
                "da_accept_history": [float(a) for a in da_accepts]}
 
-    best_gamma, best_esjd = gamma_coarse_values[0], -jnp.inf
+    best = None  # (esjd, gamma, step)
     for i, g in enumerate(gamma_coarse_values):
-        esjd, acc = esjd_for_gamma(random.fold_in(key, i), state,
-                                   jnp.asarray(g, state.position.dtype))
-        esjd_f, acc_f = float(esjd), float(acc)
+        _, step_g, esjd, acc, _ = tune_and_measure(
+            random.fold_in(key, i), state,
+            jnp.asarray(g, state.position.dtype), base_step)
+        esjd_f, acc_f, step_f = float(esjd), float(acc), float(step_g)
         history["esjd"].append(esjd_f)
         history["accept"].append(acc_f)
+        history["per_gamma_step"].append(step_f)
         if verbose:
-            print(f"    [sequential] gamma={g}: ESJD={esjd_f:.4f} accept={acc_f:.3f}")
-        if esjd_f > best_esjd:
-            best_esjd, best_gamma = esjd_f, g
+            print(f"    [sequential] gamma={g}: step={step_f:.4f} "
+                  f"ESJD={esjd_f:.4f} accept={acc_f:.3f}")
+        if best is None or esjd_f > best[0]:
+            best = (esjd_f, g, step_f)
 
+    _, best_gamma, best_step = best
     history["selected_gamma"] = best_gamma
-    return tuned_step_f, float(best_gamma), float(steepness), history
+    history["step_size"] = best_step
+    return float(best_step), float(best_gamma), float(steepness), history

@@ -1,0 +1,97 @@
+"""MCMC benchmark CLI (flag-and-schema parity with the reference runner).
+
+Usage:
+    python run_benchmarks.py --dim 20 --targets standard_normal neals_funnel
+    python run_benchmarks.py --dim 20 --all-targets --output-dir results
+    python run_benchmarks.py --all-targets --mass-matrix-mode no-mass
+
+Flags, defaults, and the benchmark_results.{csv,json} output schema match the
+reference run_benchmarks.py:1346-1390; the backend is the TPU-native
+mcmc_tpu stack (on-device warmup scans, analytic gradients, real divergence
+rates).
+"""
+
+import argparse
+
+from mcmc_tpu.benchmark import run_all_benchmarks, print_summary, ALL_TARGET_NAMES
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Run MCMC benchmarks with adaptive warmup")
+
+    parser.add_argument("--targets", nargs="+", default=None,
+                        help="List of targets to benchmark")
+    parser.add_argument("--all-targets", action="store_true",
+                        help="Run all available targets")
+    parser.add_argument("--samplers", nargs="+",
+                        default=["rwmh", "hmc", "nuts", "grahmc"],
+                        help="List of samplers to benchmark")
+    parser.add_argument("--schedules", nargs="+",
+                        default=["constant", "tanh", "sigmoid", "linear", "sine"],
+                        help="GRAHMC friction schedules to test")
+    parser.add_argument("--dim", type=int, default=10,
+                        help="Dimensionality of targets")
+    parser.add_argument("--n-chains", type=int, default=4,
+                        help="Number of parallel chains")
+    parser.add_argument("--num-warmup", type=int, default=2500,
+                        help="Warmup steps (500 exploration + windows + 125 cooldown)")
+    parser.add_argument("--num-samples", type=int, default=None,
+                        help="Samples to collect (default: 10000)")
+    parser.add_argument("--num-steps-grid", nargs="+", type=int, default=None,
+                        help="Grid of trajectory lengths for HMC/GRAHMC")
+    parser.add_argument("--mass-matrix-mode", type=str,
+                        choices=["mass", "no-mass", "both"], default="mass",
+                        help="Mass matrix: learn, identity, or both")
+    parser.add_argument("--track-convergence", action="store_true",
+                        help="Track W2 at log-spaced checkpoints")
+    parser.add_argument("--convergence-base", type=float, default=1.5,
+                        help="Log-spacing base for checkpoints")
+    parser.add_argument("--output-dir", type=str, default="benchmark_results",
+                        help="Directory to save results")
+    parser.add_argument("--seed", type=int, default=42, help="Random seed")
+
+    args = parser.parse_args()
+
+    if args.all_targets:
+        targets = list(ALL_TARGET_NAMES)
+    elif args.targets:
+        targets = args.targets
+    else:
+        print("Error: Must specify --targets or --all-targets")
+        return
+
+    mass_modes = {"mass": [True], "no-mass": [False],
+                  "both": [True, False]}[args.mass_matrix_mode]
+    num_samples = args.num_samples if args.num_samples is not None else 10000
+
+    print("=" * 80)
+    print("MCMC BENCHMARK SUITE (fixed budget, adaptive warmup)")
+    print("=" * 80)
+    print(f"Targets: {', '.join(targets)}")
+    print(f"Samplers: {', '.join(args.samplers)}")
+    print(f"dim={args.dim} chains={args.n_chains} warmup={args.num_warmup} "
+          f"samples={num_samples}")
+    print(f"Mass matrix: {args.mass_matrix_mode} | Output: {args.output_dir}")
+    print("=" * 80)
+
+    df = run_all_benchmarks(
+        samplers=args.samplers,
+        targets=targets,
+        grahmc_schedules=args.schedules,
+        dim=args.dim,
+        n_chains=args.n_chains,
+        num_warmup=args.num_warmup,
+        num_samples=num_samples,
+        seed=args.seed,
+        output_dir=args.output_dir,
+        num_steps_grid=args.num_steps_grid,
+        mass_matrix_modes=mass_modes,
+        track_convergence=args.track_convergence,
+        convergence_base=args.convergence_base,
+    )
+    print_summary(df)
+
+
+if __name__ == "__main__":
+    main()

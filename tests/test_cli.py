@@ -1,0 +1,177 @@
+"""CLI + result-schema tests: runner schema parity, resume, analysis package."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import jax.random as random
+
+from mcmc_tpu.benchmark import (
+    get_log_checkpoints, run_single_benchmark_with_L, save_result_incremental,
+    run_all_benchmarks,
+)
+from mcmc_tpu.targets import get_target
+
+# Result fields the reference emits for every successful run
+# (reference run_benchmarks.py:831-888)
+SCHEMA_FIELDS = [
+    "sampler", "target", "schedule", "dim", "num_steps", "n_chains",
+    "num_warmup", "num_samples", "total_samples", "warmup_time", "sample_time",
+    "total_time", "accept_rate", "rhat_max", "rhat_mean", "ess_bulk_min",
+    "ess_bulk_mean", "ess_tail_min", "ess_tail_mean", "ess_per_sample",
+    "ess_per_gradient", "divergence_rate", "total_divergences", "n_gradients",
+    "rhat_pass", "ess_pass", "ess_tail_pass", "stats_pass", "z_score_max",
+    "z_score_threshold", "usable", "quality_pass", "is_inefficient",
+    "is_high_efficiency", "sliced_w2", "convergence_trace",
+    "mass_matrix_learned",
+]
+
+
+def test_log_checkpoints():
+    cps = get_log_checkpoints(10000, base=1.5)
+    assert cps[0] == 100
+    assert cps[-1] == 10000
+    assert all(b > a for a, b in zip(cps, cps[1:]))
+
+
+def test_single_benchmark_schema_rwmh():
+    t = get_target("standard_normal", dim=4)
+    r = run_single_benchmark_with_L(
+        "rwmh", t, "standard_normal", random.PRNGKey(0), n_chains=4,
+        num_warmup=100, num_samples=300, schedule_type="constant", num_steps=20)
+    assert r.get("error") is None
+    for f in SCHEMA_FIELDS:
+        assert f in r, f"missing field {f}"
+    assert r["scale"] > 0           # rwmh metadata
+    assert r["n_gradients"] == 0
+    assert r["num_steps"] is None   # rwmh has no trajectory length
+
+
+def test_single_benchmark_schema_nuts():
+    t = get_target("standard_normal", dim=4)
+    r = run_single_benchmark_with_L(
+        "nuts", t, "standard_normal", random.PRNGKey(1), n_chains=4,
+        num_warmup=300, num_samples=400, schedule_type="constant", num_steps=20)
+    assert r.get("error") is None
+    assert r["max_tree_depth"] == 10
+    assert r["avg_tree_depth"] > 0
+    assert r["n_gradients"] > 0
+    assert isinstance(r["divergence_rate"], float)  # real, not placeholder
+
+
+def test_incremental_save_and_column_pinning(tmp_path):
+    r1 = {"sampler": "hmc", "target": "T", "usable": True, "extra_a": 1.23456}
+    r2 = {"sampler": "nuts", "target": "T", "usable": False, "extra_b": 7}
+    save_result_incremental(r1, str(tmp_path), is_first=True)
+    save_result_incremental(r2, str(tmp_path), is_first=False)
+
+    results = json.loads((tmp_path / "benchmark_results.json").read_text())
+    assert len(results) == 2
+    assert results[0]["extra_a"] == 1.2346  # rounded to 4 decimals
+    cols = json.loads((tmp_path / ".csv_columns.json").read_text())
+    assert cols == ["sampler", "target", "usable", "extra_a"]
+    csv_lines = (tmp_path / "benchmark_results.csv").read_text().strip().splitlines()
+    assert len(csv_lines) == 3  # header + 2 rows
+
+
+def test_run_all_benchmarks_resume(tmp_path):
+    """Second invocation must skip the completed signature."""
+    kw = dict(samplers=["rwmh"], targets=["standard_normal"],
+              grahmc_schedules=["constant"], dim=3, n_chains=4, num_warmup=100,
+              num_samples=200, seed=0, output_dir=str(tmp_path))
+    df1 = run_all_benchmarks(**kw)
+    assert len(df1) == 1
+    df2 = run_all_benchmarks(**kw)   # resume: nothing new
+    assert len(df2) == 1
+    results = json.loads((tmp_path / "benchmark_results.json").read_text())
+    assert len(results) == 1
+
+
+# ----------------------------------------------------------------------------
+# Analysis package on synthetic results
+# ----------------------------------------------------------------------------
+
+def _fake_results():
+    def run(sampler, target, L, schedule=None, ess_pg=0.01, usable=True,
+            quality=True):
+        grid = [{"num_steps": l, "ess_per_gradient": ess_pg * (1 + 0.1 * i),
+                 "ess_bulk_min": 500, "ess_tail_min": 300, "rhat_max": 1.003,
+                 "rhat_mean": 1.001, "accept_rate": 0.7, "step_size": 0.3,
+                 "total_samples": 1000, "n_gradients": 1000 * l,
+                 "warmup_time": 1.0, "sample_time": 2.0, "usable": True,
+                 "quality_pass": True, "divergence_rate": 0.0,
+                 "sliced_w2": 0.05, "z_score_max": 1.0, "gamma": 0.5,
+                 "steepness": 2.0}
+                for i, l in enumerate([8, 16, L])]
+        return {
+            "sampler": sampler, "target": target, "schedule": schedule,
+            "dim": 10, "num_steps": L, "ess_bulk_min": 500.0,
+            "ess_tail_min": 300.0, "ess_per_gradient": ess_pg,
+            "rhat_max": 1.003, "sliced_w2": 0.05, "accept_rate": 0.7,
+            "divergence_rate": 0.0, "usable": usable, "quality_pass": quality,
+            "gamma": 0.5 if schedule else None, "total_time": 10.0,
+            "grid_search_info": {"tested_L_values": [8, 16, L],
+                                 "selected_L": L,
+                                 "selection_tier": "quality_pass",
+                                 "has_usable": True, "all_results": grid},
+        }
+    return [
+        run("hmc", "StandardNormal10D", 24, ess_pg=0.02),
+        run("grahmc", "StandardNormal10D", 32, "tanh", ess_pg=0.03),
+        run("grahmc", "StandardNormal10D", 16, "constant", ess_pg=0.01),
+        run("nuts", "NealsFunnel10D", 8, ess_pg=0.05),
+    ]
+
+
+def test_analysis_package_end_to_end(tmp_path):
+    results_dir = tmp_path / "results"
+    results_dir.mkdir()
+    (results_dir / "benchmark_results.json").write_text(
+        json.dumps(_fake_results()))
+
+    from analysis.utils import load_benchmark_results, summarize_results
+    rs = load_benchmark_results(str(results_dir))
+    assert all(r["has_grid_search"] for r in rs)
+    assert rs[0]["selected_L"] == 24
+    s = summarize_results(rs)
+    assert s["total_runs"] == 4 and s["usable_runs"] == 4
+    assert s["schedules"] == ["constant", "tanh"]
+
+    out = tmp_path / "plots"
+    from analysis.grid_analysis import (
+        plot_L_selection_analysis, plot_L_winner_distribution,
+        analyze_L_grid_coverage)
+    plot_L_selection_analysis(rs, str(out))
+    plot_L_winner_distribution(rs, str(out))
+    cov = analyze_L_grid_coverage(rs)
+    assert cov["n_runs"] == 4
+
+    from analysis.research_plots import (
+        plot_sampler_comparison, plot_schedule_comparison,
+        plot_efficiency_quality_tradeoff, generate_winner_matrix,
+        generate_summary_table)
+    plot_sampler_comparison(rs, str(out))
+    plot_schedule_comparison(rs, str(out))
+    plot_efficiency_quality_tradeoff(rs, str(out))
+    generate_winner_matrix(rs, str(out))
+    generate_summary_table(rs, str(out))
+
+    produced = {p.name for p in out.iterdir()}
+    assert {"L_winner_distribution.png", "L_winner_heatmap.png",
+            "sampler_comparison.png", "schedule_comparison.png",
+            "efficiency_quality_tradeoff.png", "winner_matrix.png",
+            "summary_table.csv", "summary_table.md"} <= produced
+
+
+def test_analyze_cli_requires_action(tmp_path):
+    """CLI errors out when no analysis option given (reference parity)."""
+    proc = subprocess.run(
+        [sys.executable, "analyze_benchmarks.py", str(tmp_path)],
+        capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+    assert proc.returncode != 0
+    assert "At least one analysis option" in proc.stderr

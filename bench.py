@@ -102,7 +102,8 @@ def measure_tpu():
     init = (random.normal(key, (TPU_CHAINS, DIM)) * 0.5).astype(jnp.float32)
     kw = dict(step_size=0.05, num_steps=NUM_STEPS, gamma=1.0, steepness=1.0,
               burn_in=0, friction_schedule=constant_schedule,
-              value_and_grad_fn=target.value_and_grad_fn, collect_chains=64)
+              value_and_grad_fn=target.value_and_grad_fn, collect_chains=64,
+              backend="pallas")   # fused on-chip trajectory kernel
 
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
     # compile

@@ -88,6 +88,13 @@ def default_steepness(schedule_type: str) -> float:
 # Sampler
 # ============================================================================
 
+def _get_fused_step_factory():
+    # Imported lazily at module scope (outside any trace) on first use:
+    # importing inside a jit-traced body breaks module-level jnp constants.
+    from mcmc_tpu.ops.fused_trajectory import make_fused_grahmc_step
+    return make_fused_grahmc_step
+
+
 def grahmc_init(init_position, log_prob_fn, value_and_grad_fn=None) -> ChainState:
     return init_chain_state(init_position, log_prob_fn, value_and_grad_fn,
                             needs_grad=True)
@@ -176,8 +183,7 @@ def grahmc_run(
     steep = steepness if steepness is not None else 1.0
 
     if backend == "pallas":
-        from mcmc_tpu.ops.fused_trajectory import make_fused_grahmc_step
-        fused = make_fused_grahmc_step(
+        fused = _get_fused_step_factory()(
             log_prob_fn, value_and_grad_fn, num_steps, friction_schedule)
         def step(k, s):
             return fused(k, s, step_size, gamma, steep, inv_mass_matrix)

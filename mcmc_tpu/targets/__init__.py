@@ -52,6 +52,13 @@ def _batched(x):
     return x, False
 
 
+def _tag(fn, family, dim, **params):
+    """Attach kernel metadata to an analytic value-and-grad closure so the
+    Pallas layer (mcmc_tpu.ops) can build a padding-aware specialization."""
+    fn.pallas_info = {"family": family, "dim": dim, "params": params}
+    return fn
+
+
 # ============================================================================
 # Target factories (analytic log-probs with hand-derived gradients)
 # ============================================================================
@@ -70,6 +77,7 @@ def standard_normal(dim: int = 10) -> TargetDistribution:
         lp = -0.5 * (jnp.sum(x**2, axis=-1) + D * jnp.log(2.0 * jnp.pi))
         return lp, -x
 
+    _tag(value_and_grad_fn, "standard_normal", dim)
     return TargetDistribution(
         log_prob_fn=log_prob_fn,
         dim=dim,
@@ -108,6 +116,7 @@ def correlated_gaussian(dim: int = 10, correlation: float = 0.9) -> TargetDistri
     def log_prob_fn(x):
         return value_and_grad_fn(x)[0]
 
+    _tag(value_and_grad_fn, "correlated_gaussian", dim, a=float(a), b=float(b), log_det_cov=float(log_det_cov))
     return TargetDistribution(
         log_prob_fn=log_prob_fn,
         dim=dim,
@@ -140,6 +149,7 @@ def ill_conditioned_gaussian(dim: int = 10, condition_number: float = 100.0) -> 
     def log_prob_fn(x):
         return value_and_grad_fn(x)[0]
 
+    _tag(value_and_grad_fn, "ill_conditioned_gaussian", dim, condition_number=condition_number)
     return TargetDistribution(
         log_prob_fn=log_prob_fn,
         dim=dim,
@@ -189,6 +199,7 @@ def neals_funnel(dim: int = 10) -> TargetDistribution:
     var_rest = jnp.exp(4.5)
     true_cov_diag = jnp.concatenate([jnp.array([9.0]), jnp.ones(dim - 1) * var_rest])
 
+    _tag(value_and_grad_fn, "neals_funnel", dim)
     return TargetDistribution(
         log_prob_fn=log_prob_fn,
         dim=dim,
@@ -230,6 +241,7 @@ def log_gamma(dim: int = 10, shape: float = 2.0, rate: float = 1.0) -> TargetDis
 
     true_var = shape / (rate ** 2)
 
+    _tag(value_and_grad_fn, "log_gamma", dim, shape=shape, rate=rate)
     return TargetDistribution(
         log_prob_fn=log_prob_fn,
         dim=dim,
@@ -267,6 +279,7 @@ def student_t(dim: int = 10, df: float = 3.0) -> TargetDistribution:
 
     true_cov = jnp.eye(dim) * (df / (df - 2.0)) if df > 2 else None
 
+    _tag(value_and_grad_fn, "student_t", dim, df=df)
     return TargetDistribution(
         log_prob_fn=log_prob_fn,
         dim=dim,
@@ -309,6 +322,7 @@ def rosenbrock(dim: int = 10, scale: float = 0.1) -> TargetDistribution:
         # (targets.py:389-393).
         return jnp.ones((n_chains, dim)) + random.normal(key, (n_chains, dim)) * 0.5
 
+    _tag(value_and_grad_fn, "rosenbrock", dim, scale=scale)
     return TargetDistribution(
         log_prob_fn=log_prob_fn,
         dim=dim,
@@ -368,6 +382,7 @@ def gaussian_mixture(dim: int = 10, n_modes: int = 2, separation: float = 5.0) -
     var_x0 = 1.0 + half_sep ** 2
     true_cov_diag = jnp.concatenate([jnp.array([var_x0]), jnp.ones(dim - 1)])
 
+    _tag(value_and_grad_fn, "gaussian_mixture", dim, separation=separation)
     return TargetDistribution(
         log_prob_fn=log_prob_fn,
         dim=dim,

@@ -1,0 +1,183 @@
+"""Pallas kernel tests (interpreter mode on CPU).
+
+Strategy (SURVEY.md §4 implication (b)): compare the fused kernel against the
+XLA scan path — padded target math exactly, full trajectories with injected
+randomness to float32 tolerance, and the production kernel statistically.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import jax.random as random
+
+from mcmc_tpu.targets import get_target
+from mcmc_tpu.ops.padded_targets import make_padded_vag, PALLAS_FAMILIES
+from mcmc_tpu.ops.fused_trajectory import make_debug_trajectory, make_fused_grahmc_step
+from mcmc_tpu.samplers import grahmc_init, get_friction_schedule
+from mcmc_tpu.samplers.grahmc import grahmc_step
+from mcmc_tpu.samplers.trajectory import integrate_trajectory, kinetic_energy
+
+PALLAS_DIM = 20
+D_PAD = 128
+
+
+def _pad(x, width=D_PAD):
+    return jnp.pad(x, ((0, 0), (0, width - x.shape[1])))
+
+
+@pytest.mark.parametrize("name", sorted(PALLAS_FAMILIES))
+def test_padded_vag_matches_unpadded(name):
+    """Padded-block math == analytic math on real columns, zeros on padding."""
+    t = get_target(name, dim=PALLAS_DIM)
+    key = random.PRNGKey(0)
+    x = (t.init_sampler(key, 16) if t.init_sampler is not None
+         else random.normal(key, (16, PALLAS_DIM)))
+    x32 = jnp.asarray(x, jnp.float32)
+
+    vag_pad = make_padded_vag(t.value_and_grad_fn, D_PAD)
+    lp_pad, grad_pad = vag_pad(_pad(x32))
+
+    lp_ref, grad_ref = t.value_and_grad_fn(x32)
+    np.testing.assert_allclose(np.asarray(lp_pad[:, 0]),
+                               np.asarray(lp_ref, np.float32),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(grad_pad[:, :PALLAS_DIM]),
+                               np.asarray(grad_ref, np.float32),
+                               rtol=2e-5, atol=2e-5)
+    # padding columns must carry zero gradient (dynamics invariant)
+    assert np.all(np.asarray(grad_pad[:, PALLAS_DIM:]) == 0.0)
+
+
+def test_padded_vag_requires_metadata():
+    with pytest.raises(TypeError):
+        make_padded_vag(lambda x: (x.sum(-1), x), D_PAD)
+
+
+@pytest.mark.parametrize("schedule", [None, "tanh", "constant", "sine"])
+def test_debug_kernel_matches_xla_trajectory(schedule):
+    """Injected-randomness fused transition == XLA conformal leapfrog + MH."""
+    t = get_target("standard_normal", dim=PALLAS_DIM)
+    n_chains, L = 8, 10
+    eps, gamma, steep = 0.15, 0.8, 2.0
+    key = random.PRNGKey(1)
+    k1, k2, k3 = random.split(key, 3)
+    q = random.normal(k1, (n_chains, PALLAS_DIM), dtype=jnp.float32)
+    p0 = random.normal(k2, (n_chains, PALLAS_DIM), dtype=jnp.float32)
+    u = random.uniform(k3, (n_chains,), dtype=jnp.float32)
+    inv_mass = jnp.ones(PALLAS_DIM, jnp.float32)
+    lp, grad = t.value_and_grad_fn(q)
+    lp = lp.astype(jnp.float32)
+
+    sched_fn = get_friction_schedule(schedule) if schedule else None
+
+    # XLA reference path (f32 throughout)
+    qx, px, lpx, gradx = integrate_trajectory(
+        q, p0, lp, grad.astype(jnp.float32), t.value_and_grad_fn, eps, L,
+        inv_mass, friction_schedule=sched_fn, gamma_max=gamma, steepness=steep)
+    h0 = -lp + kinetic_energy(p0, inv_mass)
+    h1 = -lpx + kinetic_energy(-px, inv_mass)
+    accept_ref = jnp.log(u) < jnp.minimum(0.0, h0 - h1)
+    q_ref = jnp.where(accept_ref[:, None], qx, q)
+
+    # Fused kernel (interpret mode)
+    run = make_debug_trajectory(t.value_and_grad_fn, L, sched_fn,
+                                n_chains, PALLAS_DIM)
+    q_k, lp_k, grad_k, accept_k, dh_k = run(q, lp, grad, p0, u, eps, gamma,
+                                            steep, inv_mass)
+
+    np.testing.assert_array_equal(np.asarray(accept_k), np.asarray(accept_ref))
+    np.testing.assert_allclose(np.asarray(q_k), np.asarray(q_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dh_k), np.asarray(h1 - h0),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_debug_kernel_funnel_matches_xla():
+    """Same check on the funnel (exercises the col0/mask handling)."""
+    t = get_target("neals_funnel", dim=PALLAS_DIM)
+    n_chains, L = 8, 6
+    key = random.PRNGKey(2)
+    k1, k2, k3 = random.split(key, 3)
+    q = t.init_sampler(k1, n_chains).astype(jnp.float32)
+    p0 = random.normal(k2, (n_chains, PALLAS_DIM), dtype=jnp.float32)
+    u = random.uniform(k3, (n_chains,), dtype=jnp.float32)
+    inv_mass = jnp.ones(PALLAS_DIM, jnp.float32)
+    lp, grad = t.value_and_grad_fn(q)
+    lp = lp.astype(jnp.float32)
+    eps, gamma, steep = 0.05, 1.0, 0.5
+    sched = get_friction_schedule("tanh")
+
+    qx, px, lpx, gradx = integrate_trajectory(
+        q, p0, lp, grad.astype(jnp.float32), t.value_and_grad_fn, eps, L,
+        inv_mass, friction_schedule=sched, gamma_max=gamma, steepness=steep)
+    h0 = -lp + kinetic_energy(p0, inv_mass)
+    h1 = -lpx + kinetic_energy(px, inv_mass)
+
+    run = make_debug_trajectory(t.value_and_grad_fn, L, sched,
+                                n_chains, PALLAS_DIM)
+    q_k, lp_k, grad_k, accept_k, dh_k = run(q, lp, grad, p0, u, eps, gamma,
+                                            steep, inv_mass)
+    np.testing.assert_allclose(np.asarray(dh_k), np.asarray(h1 - h0),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_fused_step_statistical_correctness():
+    """Production kernel (on-chip RNG, interpret mode): correct posterior
+    moments and reasonable acceptance on N(0, I)."""
+    t = get_target("standard_normal", dim=PALLAS_DIM)
+    n_chains = 16
+    state = grahmc_init(
+        random.normal(random.PRNGKey(3), (n_chains, PALLAS_DIM)) * 0.5,
+        t.log_prob_fn, t.value_and_grad_fn)
+    fused = make_fused_grahmc_step(t.log_prob_fn, t.value_and_grad_fn,
+                                   num_steps=8,
+                                   friction_schedule=get_friction_schedule("constant"))
+    inv_mass = jnp.ones(PALLAS_DIM)
+
+    key = random.PRNGKey(4)
+    draws = []
+    for i in range(400):
+        key, state, _ = fused(key, state, 0.22, 0.3, 1.0, inv_mass)
+        if i >= 100:
+            draws.append(np.asarray(state.position))
+    draws = np.stack(draws)
+    accept_rate = float(state.accept_count.sum()) / (400 * n_chains)
+    assert 0.3 < accept_rate < 1.0
+    flat = draws.reshape(-1, PALLAS_DIM)
+    assert np.all(np.abs(flat.mean(0)) < 0.25)
+    assert np.all(np.abs(flat.var(0) - 1.0) < 0.35)
+
+
+def test_fused_step_counts_divergences():
+    """Absurd step size must trip the divergence counter, not crash."""
+    t = get_target("ill_conditioned_gaussian", dim=PALLAS_DIM)
+    n_chains = 8
+    state = grahmc_init(random.normal(random.PRNGKey(5), (n_chains, PALLAS_DIM)),
+                        t.log_prob_fn, t.value_and_grad_fn)
+    fused = make_fused_grahmc_step(t.log_prob_fn, t.value_and_grad_fn,
+                                   num_steps=10,
+                                   friction_schedule=get_friction_schedule("constant"))
+    key = random.PRNGKey(6)
+    for _ in range(5):
+        key, state, _ = fused(key, state, 8.0, 1.0, 1.0, jnp.ones(PALLAS_DIM))
+    assert int(state.divergence_count.sum()) > 0
+    assert np.all(np.isfinite(np.asarray(state.position)))
+
+
+def test_grahmc_run_pallas_backend():
+    """backend='pallas' through the public run API."""
+    from mcmc_tpu.samplers import grahmc_run
+    t = get_target("standard_normal", dim=PALLAS_DIM)
+    res = grahmc_run(
+        random.PRNGKey(7), t.log_prob_fn,
+        random.normal(random.PRNGKey(8), (16, PALLAS_DIM)) * 0.5,
+        step_size=0.2, num_steps=8, gamma=0.3, steepness=1.0,
+        num_samples=150, burn_in=50,
+        friction_schedule=get_friction_schedule("constant"),
+        value_and_grad_fn=t.value_and_grad_fn, backend="pallas")
+    assert res.samples.shape == (150, 16, PALLAS_DIM)
+    assert 0.2 < float(res.accept_rate.mean()) <= 1.0
+    flat = np.asarray(res.samples).reshape(-1, PALLAS_DIM)
+    assert np.all(np.abs(flat.mean(0)) < 0.4)

@@ -66,12 +66,13 @@ def generate_rosenbrock_reference(dim: int, scale: float = 0.1,
     )
 
     per_chain = (n_samples * thin + n_chains - 1) // n_chains
-    samples, _, _, _, depths, _ = nuts_run(
+    res = nuts_run(
         sample_key, target.log_prob_fn, position,
         step_size=step_size, num_samples=per_chain, burn_in=0,
         inv_mass_matrix=inv_mass, max_tree_depth=12,
         value_and_grad_fn=target.value_and_grad_fn,
     )
+    samples = res.samples
     rhat = split_rhat(samples)
     print(f"Rosenbrock {dim}D reference: R-hat max = {float(jnp.max(rhat)):.4f}")
 

@@ -1,0 +1,104 @@
+"""Auxiliary subsystem tests: compat API, animations, tune-and-sample CLI."""
+
+import numpy as np
+import jax.numpy as jnp
+import jax.random as random
+
+from mcmc_tpu.targets import standard_normal, gaussian_mixture, get_target
+
+
+def test_compat_tuple_shapes_rwmh():
+    from mcmc_tpu.compat import rwMH_run, rwMH_init
+    t = standard_normal(4)
+    init = random.normal(random.PRNGKey(0), (4, 4))
+    samples, lps, acc, state = rwMH_run(random.PRNGKey(1), t.log_prob_fn,
+                                        init, num_samples=50, scale=1.0,
+                                        burn_in=10)
+    assert samples.shape == (50, 4, 4)
+    assert lps.shape == (50, 4)
+    assert acc.shape == (4,)
+    assert state.position.shape == (4, 4)
+
+
+def test_compat_hmc_track_proposals_9tuple():
+    from mcmc_tpu.compat import hmc_run
+    t = standard_normal(4)
+    init = random.normal(random.PRNGKey(2), (4, 4))
+    out = hmc_run(random.PRNGKey(3), t.log_prob_fn, init, step_size=0.3,
+                  num_steps=5, num_samples=20, track_proposals=True)
+    assert len(out) == 9
+    samples, lps, acc, state, pre_q, pre_lp, prop_q, prop_lp, dh = out
+    assert prop_q.shape == (20, 4, 4)
+    assert dh.shape == (20, 4)
+    # ESJD plumbing: pre positions at step t+1 equal post positions at step t
+    np.testing.assert_allclose(np.asarray(pre_q[1:]), np.asarray(samples[:-1]))
+
+
+def test_compat_nuts_6tuple():
+    from mcmc_tpu.compat import nuts_run
+    t = standard_normal(3)
+    init = random.normal(random.PRNGKey(4), (4, 3))
+    out = nuts_run(random.PRNGKey(5), t.log_prob_fn, init, step_size=0.5,
+                   num_samples=20)
+    assert len(out) == 6
+    assert out[4].shape == (20, 4)  # tree_depths
+
+
+def test_compat_rahmc_matches_native():
+    from mcmc_tpu.compat import rahmc_run
+    from mcmc_tpu.samplers import grahmc_run
+    t = standard_normal(4)
+    init = random.normal(random.PRNGKey(6), (4, 4))
+    s1, _, _, _ = rahmc_run(random.PRNGKey(7), t.log_prob_fn, init,
+                            step_size=0.3, num_steps=5, gamma=0.5,
+                            steepness=1.0, num_samples=20)
+    r = grahmc_run(random.PRNGKey(7), t.log_prob_fn, init, step_size=0.3,
+                   num_steps=5, gamma=0.5, steepness=1.0, num_samples=20)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(r.samples))
+
+
+def test_hmc_trace_conserves_energy():
+    from mcmc_tpu.animations import hmc_proposal_trace
+    t = standard_normal(2)
+    tr = hmc_proposal_trace(random.PRNGKey(8), t.log_prob_fn,
+                            jnp.array([0.3, -0.7]), 0.05, 30,
+                            t.value_and_grad_fn)
+    assert tr["positions"].shape == (31, 2)
+    H = tr["hamiltonian"]
+    assert abs(H[-1] - H[0]) < 0.01  # symplectic: tiny drift at eps=0.05
+
+
+def test_grahmc_trace_dissipates_then_pumps():
+    """Constant-schedule friction: H should NOT be conserved (by design)."""
+    from mcmc_tpu.animations import rahmc_proposal_trace
+    t = standard_normal(2)
+    tr = rahmc_proposal_trace(random.PRNGKey(9), t.log_prob_fn,
+                              jnp.array([0.3, -0.7]), 0.05, 30, gamma=2.0,
+                              schedule_type="constant",
+                              value_and_grad_fn=t.value_and_grad_fn)
+    H = tr["hamiltonian"]
+    assert np.all(np.isfinite(H))
+    assert abs(H[15] - H[0]) > 0.05  # repelling phase pumps energy
+
+
+def test_tune_and_sample_rwmh_runs():
+    from mcmc_tpu.tuning.core import tune_and_sample_rwmh
+    t = get_target("standard_normal", dim=3)
+    r = tune_and_sample_rwmh(random.PRNGKey(10), t, n_chains=8,
+                             target_ess=200, batch_size=500,
+                             max_samples=4000, warmup_steps=150)
+    assert r["total_samples"] <= 4000
+    assert r["diagnostics"]["ess_bulk_min"] > 0
+    assert 0.05 < r["mean_acceptance"] < 0.6
+
+
+def test_tune_and_sample_grahmc_grid_runs():
+    from mcmc_tpu.tuning.core import tune_and_sample_grahmc_grid
+    t = get_target("standard_normal", dim=3)
+    r = tune_and_sample_grahmc_grid(
+        random.PRNGKey(11), t, n_chains=8, target_ess=150, batch_size=400,
+        max_samples=800, warmup_steps=200, num_steps_grid=[4, 8],
+        schedule_type="tanh")
+    assert r["best_config"]["num_steps"] in (4, 8)
+    assert len(r["grid_results"]) == 2
+    assert all("gamma" in g for g in r["grid_results"])

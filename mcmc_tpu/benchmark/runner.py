@@ -99,9 +99,24 @@ def _warmup(sampler, target, target_name, key, init_pos, num_warmup,
     return step_size, inv_mass, pos, info
 
 
+def _resolve_backend(sampler, target) -> str:
+    """'pallas' for HMC/GRAHMC on TPU when the target has a fused kernel
+    specialization, else 'xla'."""
+    import jax
+    from mcmc_tpu.ops.padded_targets import PALLAS_FAMILIES
+    if (sampler in ("hmc", "grahmc", "rahmc")
+            and jax.default_backend() == "tpu"
+            and getattr(target.value_and_grad_fn, "pallas_info", None)
+            and target.value_and_grad_fn.pallas_info["family"] in PALLAS_FAMILIES):
+        return "pallas"
+    return "xla"
+
+
 def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
-            inv_mass, schedule_type, warmup_info):
+            inv_mass, schedule_type, warmup_info, backend: str = "auto"):
     """Phase 2 dispatch. Returns a RunResult."""
+    if backend == "auto":
+        backend = _resolve_backend(sampler, target)
     if sampler == "rwmh":
         return rwmh_run(key, target.log_prob_fn, position,
                         num_samples=num_samples, scale=step_size, burn_in=0)
@@ -109,7 +124,8 @@ def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
         return hmc_run(key, target.log_prob_fn, position, step_size=step_size,
                        num_steps=num_steps, num_samples=num_samples, burn_in=0,
                        inv_mass_matrix=inv_mass,
-                       value_and_grad_fn=target.value_and_grad_fn)
+                       value_and_grad_fn=target.value_and_grad_fn,
+                       backend=backend)
     if sampler == "nuts":
         return nuts_run(key, target.log_prob_fn, position, step_size=step_size,
                         num_samples=num_samples, burn_in=0,
@@ -122,7 +138,7 @@ def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
             steepness=warmup_info.get("steepness", 5.0),
             num_samples=num_samples, burn_in=0, inv_mass_matrix=inv_mass,
             friction_schedule=get_friction_schedule(schedule_type),
-            value_and_grad_fn=target.value_and_grad_fn)
+            value_and_grad_fn=target.value_and_grad_fn, backend=backend)
     raise ValueError(f"Unknown sampler: {sampler}")
 
 
@@ -543,7 +559,11 @@ def run_all_benchmarks(
     import jax
     import pandas as pd
 
-    jax.config.update("jax_enable_x64", True)
+    # Reference parity: CLIs enable x64 — but only off-TPU. float64 is
+    # software-emulated on TPU; the f32 fast path is validated by the
+    # statistical gates instead (mcmc_tpu.precision policy).
+    if jax.default_backend() != "tpu":
+        jax.config.update("jax_enable_x64", True)
     key = random.PRNGKey(seed)
     Path(output_dir).mkdir(parents=True, exist_ok=True)
     if num_steps_grid is None:

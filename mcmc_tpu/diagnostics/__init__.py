@@ -23,16 +23,32 @@ from mcmc_tpu.diagnostics.gates import (
 
 
 @jax.jit
-def _diagnostics_device(samples):
-    """All scalar diagnostics in one fused device computation."""
-    rhat = split_rhat(samples)
-    bulk = ess_bulk(samples)
-    tail = ess_tail(samples)
-    mcse = mcse_mean(samples)
+def _moments_device(samples):
     flat = samples.reshape(-1, samples.shape[-1])
-    mean = jnp.mean(flat, axis=0)
-    std = jnp.std(flat, axis=0)
-    return rhat, bulk, tail, mcse, mean, std
+    return jnp.mean(flat, axis=0), jnp.std(flat, axis=0)
+
+
+# Dims processed per dispatch for large histories. Keeping each diagnostics
+# program modest avoids a remote-TPU runtime fault observed when the fully
+# fused (R-hat + bulk/tail ESS + MCSE) program ran on multi-hundred-MB
+# histories ("TPU worker process crashed"), and caps peak memory for the FFT
+# buffers (which are complex64 at 2x the padded history size per dim).
+_DIM_CHUNK = 8
+
+
+def _diagnostics_device(samples):
+    """All scalar diagnostics, dispatched piecewise over dim chunks."""
+    n, m, d = samples.shape
+    outs = {"rhat": [], "bulk": [], "tail": [], "mcse": []}
+    for start in range(0, d, _DIM_CHUNK):
+        block = samples[:, :, start:start + _DIM_CHUNK]
+        outs["rhat"].append(split_rhat(block))
+        outs["bulk"].append(ess_bulk(block))
+        outs["tail"].append(ess_tail(block))
+        outs["mcse"].append(mcse_mean(block))
+    mean, std = _moments_device(samples)
+    cat = {k: jnp.concatenate(v) for k, v in outs.items()}
+    return cat["rhat"], cat["bulk"], cat["tail"], cat["mcse"], mean, std
 
 
 def compute_diagnostics(samples) -> dict:

@@ -66,7 +66,7 @@ def build_schedule(
 
 
 def _make_step_fn(sampler: str, log_prob_fn, value_and_grad_fn, kwargs,
-                  schedule_type, gamma, steepness):
+                  schedule_type, gamma, steepness, backend: str = "xla"):
     """Build (key, state, step_size, inv_mass) -> (key, state, accept_stat)."""
     vag = make_value_and_grad(log_prob_fn, value_and_grad_fn)
 
@@ -84,6 +84,17 @@ def _make_step_fn(sampler: str, log_prob_fn, value_and_grad_fn, kwargs,
         from mcmc_tpu.samplers.grahmc import grahmc_step, get_friction_schedule
         num_steps = kwargs.get("num_steps", 20)
         schedule_fn = get_friction_schedule(schedule_type or "constant")
+
+        if backend == "pallas":
+            from mcmc_tpu.ops.fused_trajectory import make_fused_grahmc_step
+            fused = make_fused_grahmc_step(log_prob_fn, value_and_grad_fn,
+                                           num_steps, schedule_fn)
+
+            def step(key, state, step_size, inv_mass):
+                key, state, (accept, *_r) = fused(
+                    key, state, step_size, gamma, steepness, inv_mass)
+                return key, state, jnp.mean(accept)
+            return step
 
         def step(key, state, step_size, inv_mass):
             key, state, (accept, *_r) = grahmc_step(
@@ -121,11 +132,24 @@ def run_adaptive_warmup(
     learn_mass_matrix: bool = True,
     value_and_grad_fn=None,
     verbose: bool = False,
+    backend: str = "auto",
     **kwargs,
 ) -> Tuple[float, Optional[jnp.ndarray], jnp.ndarray, Dict]:
-    """Windowed warmup. Returns (step_size, inv_mass_matrix, position, info)."""
+    """Windowed warmup. Returns (step_size, inv_mass_matrix, position, info).
+
+    backend: 'pallas' runs GRAHMC warmup steps through the fused TPU kernel;
+    'auto' selects it on TPU when the target has a kernel specialization."""
     n_chains, n_dim = initial_position.shape
     start_time = time.time()
+
+    if backend == "auto":
+        backend = "xla"
+        if sampler in ("grahmc", "rahmc") and jax.default_backend() == "tpu":
+            info_tag = getattr(value_and_grad_fn, "pallas_info", None)
+            if info_tag is not None:
+                from mcmc_tpu.ops.padded_targets import PALLAS_FAMILIES
+                if info_tag["family"] in PALLAS_FAMILIES:
+                    backend = "pallas"
 
     if sampler in ("grahmc", "rahmc"):
         gamma = kwargs.get("gamma", 1.0)
@@ -134,7 +158,7 @@ def run_adaptive_warmup(
         gamma = steepness = None
 
     step_fn = _make_step_fn(sampler, target_log_prob, value_and_grad_fn, kwargs,
-                            schedule_type, gamma, steepness)
+                            schedule_type, gamma, steepness, backend)
 
     @partial(jax.jit, static_argnames=("num_batches", "samples_per_batch",
                                        "accumulate"))
@@ -228,6 +252,7 @@ def run_adaptive_warmup(
             gamma_samples_per_eval=kwargs.get("gamma_samples_per_eval", 150),
             value_and_grad_fn=value_and_grad_fn,
             verbose=verbose,
+            backend=backend,
         )
         gamma, steepness, final_step_size = tuned_gamma, tuned_steepness, tuned_step
         if verbose:

@@ -54,6 +54,7 @@ def sequential_tune_grahmc(
     steepness: Optional[float] = None,
     da_batch: int = 25,
     verbose: bool = False,
+    backend: str = "xla",
 ) -> Tuple[float, float, float, Dict]:
     """Returns (step_size, gamma, steepness, history)."""
     if gamma_coarse_values is None:
@@ -63,6 +64,19 @@ def sequential_tune_grahmc(
 
     schedule_fn = get_friction_schedule(schedule_type)
     vag = make_value_and_grad(log_prob_fn, value_and_grad_fn)
+
+    if backend == "pallas":
+        from mcmc_tpu.ops.fused_trajectory import make_fused_grahmc_step
+        fused = make_fused_grahmc_step(log_prob_fn, value_and_grad_fn,
+                                       num_steps, schedule_fn)
+
+        def transition(k, s, step_size, gamma):
+            return fused(k, s, step_size, gamma, steepness, inv_mass_matrix)
+    else:
+        def transition(k, s, step_size, gamma):
+            return grahmc_step(k, s, vag, step_size, num_steps, gamma,
+                               jnp.asarray(steepness), inv_mass_matrix,
+                               schedule_fn)
 
     state = init_chain_state(init_position, log_prob_fn, value_and_grad_fn,
                              needs_grad=True)
@@ -88,9 +102,7 @@ def sequential_tune_grahmc(
 
             def step_body(inner, _):
                 k, s = inner
-                k, s, (accept, *_r) = grahmc_step(
-                    k, s, vag, step_size, num_steps, gamma,
-                    jnp.asarray(steepness), inv_mass_matrix, schedule_fn)
+                k, s, (accept, *_r) = transition(k, s, step_size, gamma)
                 return (k, s), accept
 
             (key, cs), accepts = lax.scan(step_body, (key, cs), length=da_batch)
@@ -104,9 +116,8 @@ def sequential_tune_grahmc(
         def esjd_body(carry, _):
             k, s = carry
             pre_q = s.position
-            k, s, (accept, prop_q, prop_lp, delta_h) = grahmc_step(
-                k, s, vag, tuned_step, num_steps, gamma,
-                jnp.asarray(steepness), inv_mass_matrix, schedule_fn)
+            k, s, (accept, prop_q, prop_lp, delta_h) = transition(
+                k, s, tuned_step, gamma)
             alpha = jnp.exp(jnp.minimum(0.0, -delta_h))
             jump_sq = jnp.sum((prop_q - pre_q) ** 2, axis=-1)
             return (k, s), (alpha * jump_sq, accept)

@@ -411,6 +411,7 @@ def get_target(name: str, dim: int = 10, **kwargs) -> TargetDistribution:
     from mcmc_tpu.targets.rahmc_paper import (
         multimodal_funnel_2d, concentric_l1_balls, nested_l1_balls,
     )
+    from mcmc_tpu.targets.hierarchical import hierarchical_logistic
 
     targets = {
         'standard_normal': standard_normal,
@@ -428,6 +429,8 @@ def get_target(name: str, dim: int = 10, **kwargs) -> TargetDistribution:
         'concentric_l1_3d': lambda dim=3, **kw: concentric_l1_balls(dim=3, radii=(4.0, 8.0, 16.0), sigma=0.5),
         'nested_l1_2d': lambda dim=2, **kw: nested_l1_balls(dim=2, r_outer=20.0, r_inner=2.0, mu_norm=2.0, sigma=0.5, n_inner=4),
         'nested_l1_3d': lambda dim=3, **kw: nested_l1_balls(dim=3, r_outer=20.0, r_inner=2.0, mu_norm=2.0, sigma=0.5, n_inner=4),
+        # BASELINE config 5: hierarchical Bayesian logistic posterior
+        'hierarchical_logistic': hierarchical_logistic,
     }
 
     if name not in targets:

@@ -85,3 +85,28 @@ def test_full_pipeline_sharded_funnel():
                      num_samples=50, burn_in=0, inv_mass_matrix=inv_mass,
                      value_and_grad_fn=t.value_and_grad_fn)
     assert np.all(np.isfinite(np.asarray(res.samples)))
+
+
+def test_config5_hierarchical_pipeline_sharded():
+    """BASELINE config 5 shape: hierarchical logistic posterior, full
+    tune+sample+diagnostics with chains sharded over the mesh (tiny sizes)."""
+    from mcmc_tpu.targets import get_target
+    from mcmc_tpu.tuning import run_adaptive_warmup
+    from mcmc_tpu.diagnostics import compute_diagnostics
+
+    t = get_target("hierarchical_logistic", dim=12, n_data=32)
+    mesh = make_mesh()
+    init = shard_chains(t.init_sampler(random.PRNGKey(20), 16), mesh)
+    step, inv_mass, pos, info = run_adaptive_warmup(
+        "grahmc", t.log_prob_fn, None, init, random.PRNGKey(21),
+        num_warmup=300, schedule_type="tanh", num_steps=6,
+        max_iter_step=50, gamma_samples_per_eval=20,
+        value_and_grad_fn=t.value_and_grad_fn)
+    res = grahmc_run(random.PRNGKey(22), t.log_prob_fn, pos, step_size=step,
+                     num_steps=6, gamma=info["gamma"], steepness=info["steepness"],
+                     num_samples=100, burn_in=0, inv_mass_matrix=inv_mass,
+                     friction_schedule=get_friction_schedule("tanh"),
+                     value_and_grad_fn=t.value_and_grad_fn)
+    d = compute_diagnostics(res.samples)
+    assert np.isfinite(d["rhat_max"]) and d["ess_bulk_min"] > 0
+    assert np.all(np.isfinite(np.asarray(res.samples)))

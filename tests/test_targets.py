@@ -16,7 +16,7 @@ ALL_NAMES = [
     "standard_normal", "correlated_gaussian", "ill_conditioned_gaussian",
     "student_t", "log_gamma", "rosenbrock", "neals_funnel", "gaussian_mixture",
     "multimodal_funnel_2d", "concentric_l1_2d", "concentric_l1_3d",
-    "nested_l1_2d", "nested_l1_3d",
+    "nested_l1_2d", "nested_l1_3d", "hierarchical_logistic",
 ]
 
 

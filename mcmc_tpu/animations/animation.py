@@ -11,7 +11,7 @@ trajectory dump), instead of a separate Python reimplementation. Animations
 are saved as GIF via the Pillow writer (no ffmpeg dependency).
 """
 
-from typing import Callable, Dict, Optional
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax, random
 
-from mcmc_tpu.samplers.base import make_value_and_grad
 from mcmc_tpu.samplers.grahmc import get_friction_schedule
 
 

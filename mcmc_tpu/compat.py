@@ -7,7 +7,6 @@ GRAHMC.py:352) can import the same names from here and get the same tuple
 shapes, including the track_proposals 9-tuples.
 """
 
-from typing import Optional
 
 from mcmc_tpu.samplers import rwmh_init, hmc_init, nuts_init, grahmc_init
 from mcmc_tpu.samplers import rwmh_run as _rwmh_run

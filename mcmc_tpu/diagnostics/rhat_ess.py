@@ -22,8 +22,6 @@ collectives when the chain axis is sharded over a mesh.
 Sample layout convention matches the framework ABI: (num_samples, n_chains, dim).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -21,7 +21,6 @@ trajectory comparison in tests.
 """
 
 import math
-from functools import partial
 from typing import Callable, Optional
 
 import jax

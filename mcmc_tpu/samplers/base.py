@@ -17,7 +17,6 @@ TPU-first details:
   so 10^5-chain runs don't materialize a (S, 10^5, D) history in HBM.
 """
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional, Tuple, Any, Dict
 
 import jax

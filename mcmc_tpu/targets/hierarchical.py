@@ -18,8 +18,6 @@ production-realistic stress test; the likelihood term is a (chains, p) @
 Synthetic data is generated deterministically from the factory seed.
 """
 
-from typing import Optional
-
 import numpy as np
 
 import jax

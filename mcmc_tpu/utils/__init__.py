@@ -1,0 +1,8 @@
+"""Utilities: profiling, timers, throughput counters."""
+
+from mcmc_tpu.utils.profiling import (
+    wall_timer, device_trace, force_completion, throughput_counters,
+)
+
+__all__ = ["wall_timer", "device_trace", "force_completion",
+           "throughput_counters"]

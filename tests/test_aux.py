@@ -102,3 +102,38 @@ def test_tune_and_sample_grahmc_grid_runs():
     assert r["best_config"]["num_steps"] in (4, 8)
     assert len(r["grid_results"]) == 2
     assert all("gamma" in g for g in r["grid_results"])
+
+
+def test_track_convergence_path():
+    """--track-convergence: log-spaced checkpoints with W2/ESS/R-hat traces."""
+    from mcmc_tpu.benchmark import run_single_benchmark_with_L
+    t = get_target("standard_normal", dim=3)
+    r = run_single_benchmark_with_L(
+        "hmc", t, "standard_normal", random.PRNGKey(30), n_chains=4,
+        num_warmup=200, num_samples=400, schedule_type="constant",
+        num_steps=8, track_convergence=True, convergence_base=1.5)
+    assert r.get("error") is None
+    trace = r["convergence_trace"]
+    assert trace is not None and len(trace) >= 3
+    assert trace[-1]["checkpoint"] == 400
+    for cp in trace:
+        assert set(cp) == {"checkpoint", "n_gradients", "w2_distance",
+                           "ess_bulk_min", "ess_tail_min", "rhat_max"}
+        assert cp["w2_distance"] is not None
+    # W2 should tighten (or at least not blow up) as samples accumulate
+    assert trace[-1]["w2_distance"] < trace[0]["w2_distance"] * 3
+
+
+def test_profiling_utils():
+    from mcmc_tpu.utils import wall_timer, device_trace, throughput_counters
+    import time as _time
+    with wall_timer() as t:
+        _time.sleep(0.05)
+    assert t.elapsed >= 0.05
+    with device_trace(None):   # no-op path
+        pass
+    c = throughput_counters(num_samples=100, n_chains=8, num_steps=16,
+                            sample_time=2.0, ess_bulk_min=400.0, n_devices=4)
+    assert c["chain_steps_per_sec"] == 400.0
+    assert c["grad_evals_per_sec"] == 6400.0
+    assert c["ess_per_sec_per_chip"] == 50.0

@@ -133,6 +133,20 @@ def measure_tpu():
     accept = float(res.accept_rate.mean())
     print(f"[bench] TPU: {dt:.2f}s for {TIMED_SAMPLES} samples x {TPU_CHAINS} "
           f"chains (accept={accept:.3f})", file=sys.stderr)
+
+    # Secondary counters (stderr only; the JSON metric stays chain-steps/s):
+    # bulk-ESS/sec estimated from the collected chain prefix, scaled to all
+    # chains (chains are i.i.d. given the warmed state).
+    try:
+        from mcmc_tpu.diagnostics import ess_bulk
+        ess_prefix = float(jnp.min(ess_bulk(res.samples)))
+        n_collect = res.samples.shape[1]
+        ess_rate = ess_prefix * (TPU_CHAINS / n_collect) / dt
+        print(f"[bench] est. min bulk-ESS/sec/chip: {ess_rate:,.0f} "
+              f"(prefix of {n_collect} chains, {TIMED_SAMPLES} draws)",
+              file=sys.stderr)
+    except Exception as e:  # counters must never fail the bench
+        print(f"[bench] ESS counter skipped: {e}", file=sys.stderr)
     return TPU_CHAINS * TIMED_SAMPLES / dt
 
 

@@ -11,13 +11,20 @@ VMEM:
 
 This is the SURVEY.md north-star fusion: the reference's per-substep
 vmap(value_and_grad) scan becomes one on-chip loop with zero HBM round-trips
-inside the trajectory. The chain axis is tiled across the grid; padded lane
-columns hold zeros (see ops/padded_targets.py for the masking contract).
+inside the trajectory.
+
+Two block layouts (see ops/padded_targets.py), selected automatically by
+padding waste:
+
+- lane layout: (chains_tile, d_pad128) — dim on the 128-wide lane axis,
+- transposed:  (d_pad8, chains_tile)  — CHAINS on lanes, dim padded only to
+  the 8-sublane granule. For dim=50 this processes 56 rows instead of 128
+  lanes: ~2.3x less VPU work.
 
 The kernel is float32 throughout (TPU fast path). Statistical correctness is
 validated by the same quality gates as the XLA path; a deterministic variant
-with injectable randomness (``inject_randoms=True``) exists for bitwise-level
-trajectory comparison in tests.
+with injectable randomness (``make_debug_trajectory``) exists for
+bitwise-level trajectory comparison in tests.
 """
 
 import math
@@ -34,6 +41,7 @@ from mcmc_tpu.ops.padded_targets import make_padded_vag, _mask_row
 ENERGY_OVERFLOW = 1e10
 DIVERGENCE_DELTA_H = 1000.0
 LANE = 128
+SUBLANE = 8
 TWO_PI = 2.0 * math.pi
 
 
@@ -41,14 +49,22 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def choose_layout(dim: int) -> int:
+    """dim_axis with the least padding waste: 1 = lane layout (C, d_pad128),
+    0 = transposed (d_pad8, C)."""
+    waste_lane = 1.0 - dim / _round_up(dim, LANE)
+    waste_t = 1.0 - dim / _round_up(dim, SUBLANE)
+    return 0 if waste_t < waste_lane else 1
+
+
 def _bits_to_uniform(bits):
     """random bits -> float32 uniform in (0, 1): 24-bit mantissa, never 0.
 
     prng_random_bits yields int32 on TPU; bitcast to uint32 so the shift is
-    logical (an arithmetic shift of negative bits would sign-extend)."""
+    logical (an arithmetic shift of negative bits would sign-extend). Mosaic
+    cannot cast uint32->float32, so bitcast back to int32 after the shift
+    (value-preserving: the top bits are clear)."""
     bits = pltpu.bitcast(bits, jnp.uint32) >> 8
-    # Mosaic cannot cast uint32->float32 directly; after the logical shift the
-    # top bits are clear, so a bitcast back to int32 is value-preserving.
     return (pltpu.bitcast(bits, jnp.int32).astype(jnp.float32)
             * (2.0 ** -24) + (2.0 ** -25))
 
@@ -62,10 +78,15 @@ def _gaussian(shape):
 
 def _make_kernel(padded_vag: Callable, num_steps: int,
                  friction_schedule: Optional[Callable],
-                 inject_randoms: bool):
+                 inject_randoms: bool, dim_axis: int):
     """Kernel body factory. Ref order:
     seed(SMEM), scalars(SMEM), q, lp, grad, inv_mass, mask
-    [, p0, u if inject_randoms] -> q_out, lp_out, grad_out, acc_out, dh_out."""
+    [, p0, u if inject_randoms] -> q_out, lp_out, grad_out, acc_out, dh_out.
+
+    Per-chain scalars (lp, accept, dh) are (C, 1) blocks in the lane layout
+    and (1, C) blocks in the transposed layout; inv_mass/mask broadcast along
+    the chain axis."""
+    ax = dim_axis
 
     def kernel(seed_ref, scal_ref, q_ref, lp_ref, grad_ref, invm_ref,
                mask_ref, *rest):
@@ -83,15 +104,15 @@ def _make_kernel(padded_vag: Callable, num_steps: int,
         q0 = q_ref[:]
         lp0 = lp_ref[:]
         grad0 = grad_ref[:]
-        invm = invm_ref[:]          # (1, d_pad); padding filled with 1.0
-        mask = mask_ref[:]          # (1, d_pad)
+        invm = invm_ref[:]          # padding filled with 1.0
+        mask = mask_ref[:]
 
         if inject_randoms:
             p0 = p0_ref[:] * mask
         else:
             p0 = _gaussian(q0.shape) / jnp.sqrt(invm) * mask
 
-        kin0 = 0.5 * jnp.sum(p0 * p0 * invm, axis=1, keepdims=True)
+        kin0 = 0.5 * jnp.sum(p0 * p0 * invm, axis=ax, keepdims=True)
         h0 = -lp0 + kin0
 
         half_eps = 0.5 * eps
@@ -116,7 +137,7 @@ def _make_kernel(padded_vag: Callable, num_steps: int,
             0, num_steps, substep, (q0, p0, lp0, grad0))
 
         p1 = -p1
-        kin1 = 0.5 * jnp.sum(p1 * p1 * invm, axis=1, keepdims=True)
+        kin1 = 0.5 * jnp.sum(p1 * p1 * invm, axis=ax, keepdims=True)
         h1 = -lp1 + kin1
         h1 = jnp.where(jnp.isfinite(h1), h1, ENERGY_OVERFLOW)
 
@@ -127,7 +148,7 @@ def _make_kernel(padded_vag: Callable, num_steps: int,
             u = u_ref[:]
         else:
             u = _bits_to_uniform(pltpu.prng_random_bits(h0.shape))
-        accept = jnp.log(u) < jnp.minimum(0.0, log_alpha)   # (C, 1)
+        accept = jnp.log(u) < jnp.minimum(0.0, log_alpha)   # per-chain, keepdims
 
         q_out[:] = jnp.where(accept, q1, q0)
         lp_out[:] = jnp.where(accept, lp1, lp0)
@@ -139,40 +160,63 @@ def _make_kernel(padded_vag: Callable, num_steps: int,
 
 
 def _build_call(padded_vag, num_steps, friction_schedule, n_chains, d_pad,
-                chain_tile, inject_randoms, interpret):
+                chain_tile, inject_randoms, interpret, dim_axis):
     kernel = _make_kernel(padded_vag, num_steps, friction_schedule,
-                          inject_randoms)
+                          inject_randoms, dim_axis)
     grid = (n_chains // chain_tile,)
 
-    def row_spec(width):
-        return pl.BlockSpec((chain_tile, width), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
+    if dim_axis == 1:
+        # blocks (chain_tile, width); chain tiles advance along axis 0
+        def state_spec(width):
+            return pl.BlockSpec((chain_tile, width), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
 
-    def bcast_spec(width):
-        return pl.BlockSpec((1, width), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
+        def bcast_spec(width):
+            return pl.BlockSpec((1, width), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        full = state_spec(d_pad)
+        per_chain = state_spec(1)
+        dim_shape = (n_chains, d_pad)
+        chain_shape = (n_chains, 1)
+    else:
+        # transposed: blocks (height, chain_tile); tiles advance along axis 1
+        def state_spec_t(height):
+            return pl.BlockSpec((height, chain_tile), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+
+        def bcast_spec(height):
+            return pl.BlockSpec((height, 1), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        full = state_spec_t(d_pad)
+        per_chain = state_spec_t(1)
+        dim_shape = (d_pad, n_chains)
+        chain_shape = (1, n_chains)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),   # seed (1,)
         pl.BlockSpec(memory_space=pltpu.SMEM),   # scalars (3,)
-        row_spec(d_pad),                          # q
-        row_spec(1),                              # lp
-        row_spec(d_pad),                          # grad
-        bcast_spec(d_pad),                        # inv_mass
-        bcast_spec(d_pad),                        # mask
+        full,                                     # q
+        per_chain,                                # lp
+        full,                                     # grad
+        bcast_spec(d_pad if dim_axis == 0 else d_pad),  # inv_mass
+        bcast_spec(d_pad if dim_axis == 0 else d_pad),  # mask
     ]
+    if dim_axis == 1:
+        in_specs[5] = pl.BlockSpec((1, d_pad), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)
+        in_specs[6] = pl.BlockSpec((1, d_pad), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)
     if inject_randoms:
-        in_specs += [row_spec(d_pad), row_spec(1)]   # p0, u
+        in_specs += [full, per_chain]             # p0, u
 
     out_shape = [
-        jax.ShapeDtypeStruct((n_chains, d_pad), jnp.float32),  # q
-        jax.ShapeDtypeStruct((n_chains, 1), jnp.float32),      # lp
-        jax.ShapeDtypeStruct((n_chains, d_pad), jnp.float32),  # grad
-        jax.ShapeDtypeStruct((n_chains, 1), jnp.float32),      # accept
-        jax.ShapeDtypeStruct((n_chains, 1), jnp.float32),      # delta_h
+        jax.ShapeDtypeStruct(dim_shape, jnp.float32),    # q
+        jax.ShapeDtypeStruct(chain_shape, jnp.float32),  # lp
+        jax.ShapeDtypeStruct(dim_shape, jnp.float32),    # grad
+        jax.ShapeDtypeStruct(chain_shape, jnp.float32),  # accept
+        jax.ShapeDtypeStruct(chain_shape, jnp.float32),  # delta_h
     ]
-    out_specs = [row_spec(d_pad), row_spec(1), row_spec(d_pad),
-                 row_spec(1), row_spec(1)]
+    out_specs = [full, per_chain, full, per_chain, per_chain]
 
     if interpret and not inject_randoms:
         # The generic HLO interpreter lacks the TPU PRNG primitives; use the
@@ -193,17 +237,19 @@ def make_fused_grahmc_step(
     value_and_grad_fn,
     num_steps: int,
     friction_schedule: Optional[Callable],
-    chain_tile: int = 512,
+    chain_tile: Optional[int] = None,
     interpret: Optional[bool] = None,
+    layout: str = "auto",
 ):
     """Build a fused-step function with the grahmc_step calling convention:
 
         fused(key, state, step_size, gamma, steepness, inv_mass_matrix)
           -> (key, new_state, (accept, q_prop, lp_prop, delta_h))
 
-    Requires a target with analytic pallas_info metadata
-    (mcmc_tpu.targets factories). interpret=None auto-selects interpreter
-    mode off-TPU so the same code runs in CPU tests.
+    Requires a target with analytic pallas_info metadata (mcmc_tpu.targets
+    factories). interpret=None auto-selects interpreter mode off-TPU so the
+    same code runs in CPU tests; layout='auto' picks the block layout with
+    the least padding waste for the target's dim.
     """
     if value_and_grad_fn is None:
         raise TypeError("the Pallas backend requires an analytic "
@@ -220,18 +266,24 @@ def make_fused_grahmc_step(
 
     def fused(key, state, step_size, gamma, steepness, inv_mass_matrix):
         n_chains, dim = state.position.shape
-        d_pad = _round_up(dim, LANE)
-        tile = min(chain_tile, n_chains)
+        dim_axis = choose_layout(dim) if layout == "auto" else (
+            1 if layout == "lanes" else 0)
+        d_pad = _round_up(dim, LANE if dim_axis == 1 else SUBLANE)
+        # default tiles: 512 chains on sublanes (lane layout) or 2048 chains
+        # on lanes (transposed); shrink to divide n_chains
+        tile = chain_tile or (512 if dim_axis == 1 else 2048)
+        tile = min(tile, n_chains)
         while n_chains % tile:
             tile //= 2
         tile = max(tile, 1)
 
-        cache_key = (n_chains, dim, tile)
+        cache_key = (n_chains, dim, tile, dim_axis)
         if cache_key not in call_cache:
-            padded_vag = make_padded_vag(value_and_grad_fn, d_pad)
+            padded_vag = make_padded_vag(value_and_grad_fn, d_pad, dim_axis)
             call_cache[cache_key] = _build_call(
                 padded_vag, num_steps, friction_schedule, n_chains, d_pad,
-                tile, inject_randoms=not onchip_rng, interpret=interpret)
+                tile, inject_randoms=not onchip_rng, interpret=interpret,
+                dim_axis=dim_axis)
         call = call_cache[cache_key]
 
         key, seed_key = random.split(key)
@@ -250,18 +302,23 @@ def make_fused_grahmc_step(
         lp = state.log_prob.astype(jnp.float32)[:, None]
         invm = jnp.pad(jnp.asarray(inv_mass_matrix, jnp.float32),
                        (0, pad), constant_values=1.0)[None, :]
-        mask = _mask_row(dim, d_pad)
+        mask = _mask_row(dim, d_pad, dim_axis=1)
+        if dim_axis == 0:
+            q, grad, lp = q.T, grad.T, lp.T
+            invm, mask = invm.T, mask.T
 
         if onchip_rng:
-            q1, lp1, grad1, acc, dh = call(seed, scalars, q, lp, grad, invm,
-                                           mask)
+            outs = call(seed, scalars, q, lp, grad, invm, mask)
         else:
             k_mom, k_u = random.split(seed_key)
-            p0 = (random.normal(k_mom, (n_chains, d_pad), dtype=jnp.float32)
+            p0 = (random.normal(k_mom, q.shape, dtype=jnp.float32)
                   / jnp.sqrt(invm))
-            u = random.uniform(k_u, (n_chains, 1), dtype=jnp.float32)
-            q1, lp1, grad1, acc, dh = call(seed, scalars, q, lp, grad, invm,
-                                           mask, p0, u)
+            u_shape = lp.shape
+            u = random.uniform(k_u, u_shape, dtype=jnp.float32)
+            outs = call(seed, scalars, q, lp, grad, invm, mask, p0, u)
+        q1, lp1, grad1, acc, dh = outs
+        if dim_axis == 0:
+            q1, lp1, grad1, acc, dh = q1.T, lp1.T, grad1.T, acc.T, dh.T
 
         accept = acc[:, 0] > 0.5
         dh_flat = dh[:, 0]
@@ -290,20 +347,23 @@ def make_fused_grahmc_step(
 def make_debug_trajectory(value_and_grad_fn, num_steps: int,
                           friction_schedule: Optional[Callable],
                           n_chains: int, dim: int,
-                          interpret: Optional[bool] = None):
+                          interpret: Optional[bool] = None,
+                          layout: str = "lanes"):
     """Deterministic fused transition with injectable momentum/uniforms.
 
     Returns run(q, lp, grad, p0, u, step_size, gamma, steepness, inv_mass)
     -> (q', lp', grad', accept, delta_h) for bit-level comparison against the
-    XLA trajectory in tests.
+    XLA trajectory in tests. layout selects the block layout under test.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    d_pad = _round_up(dim, LANE)
+    dim_axis = 1 if layout == "lanes" else 0
+    d_pad = _round_up(dim, LANE if dim_axis == 1 else SUBLANE)
     tile = n_chains
-    padded_vag = make_padded_vag(value_and_grad_fn, d_pad)
+    padded_vag = make_padded_vag(value_and_grad_fn, d_pad, dim_axis)
     call = _build_call(padded_vag, num_steps, friction_schedule, n_chains,
-                       d_pad, tile, inject_randoms=True, interpret=interpret)
+                       d_pad, tile, inject_randoms=True, interpret=interpret,
+                       dim_axis=dim_axis)
 
     def run(q, lp, grad, p0, u, step_size, gamma, steepness, inv_mass):
         pad = d_pad - dim
@@ -318,9 +378,14 @@ def make_debug_trajectory(value_and_grad_fn, num_steps: int,
         up = u.astype(jnp.float32)[:, None]
         invm = jnp.pad(jnp.asarray(inv_mass, jnp.float32), (0, pad),
                        constant_values=1.0)[None, :]
-        mask = _mask_row(dim, d_pad)
-        q1, lp1, grad1, acc, dh = call(seed, scalars, qp, lpp, gp, invm, mask,
-                                       pp, up)
+        mask = _mask_row(dim, d_pad, dim_axis=1)
+        if dim_axis == 0:
+            qp, gp, pp, lpp, up = qp.T, gp.T, pp.T, lpp.T, up.T
+            invm, mask = invm.T, mask.T
+        outs = call(seed, scalars, qp, lpp, gp, invm, mask, pp, up)
+        q1, lp1, grad1, acc, dh = outs
+        if dim_axis == 0:
+            q1, lp1, grad1, acc, dh = q1.T, lp1.T, grad1.T, acc.T, dh.T
         return (q1[:, :dim], lp1[:, 0], grad1[:, :dim], acc[:, 0] > 0.5,
                 dh[:, 0])
 

@@ -27,17 +27,32 @@ def _pad(x, width=D_PAD):
     return jnp.pad(x, ((0, 0), (0, width - x.shape[1])))
 
 
+def test_choose_layout():
+    from mcmc_tpu.ops.fused_trajectory import choose_layout
+    assert choose_layout(50) == 0     # 56 rows beat 128 lanes
+    assert choose_layout(128) == 1    # exact lane fit
+    assert choose_layout(20) == 0
+
+
+@pytest.mark.parametrize("dim_axis", [1, 0])
 @pytest.mark.parametrize("name", sorted(PALLAS_FAMILIES))
-def test_padded_vag_matches_unpadded(name):
-    """Padded-block math == analytic math on real columns, zeros on padding."""
+def test_padded_vag_matches_unpadded(name, dim_axis):
+    """Padded-block math == analytic math on real coords, zeros on padding,
+    in both the lane and transposed layouts."""
     t = get_target(name, dim=PALLAS_DIM)
     key = random.PRNGKey(0)
     x = (t.init_sampler(key, 16) if t.init_sampler is not None
          else random.normal(key, (16, PALLAS_DIM)))
     x32 = jnp.asarray(x, jnp.float32)
+    d_pad = D_PAD if dim_axis == 1 else 24   # 8-sublane padding for dim 20
 
-    vag_pad = make_padded_vag(t.value_and_grad_fn, D_PAD)
-    lp_pad, grad_pad = vag_pad(_pad(x32))
+    vag_pad = make_padded_vag(t.value_and_grad_fn, d_pad, dim_axis)
+    block = _pad(x32, d_pad)
+    if dim_axis == 0:
+        block = block.T
+    lp_pad, grad_pad = vag_pad(block)
+    if dim_axis == 0:
+        lp_pad, grad_pad = lp_pad.T, grad_pad.T
 
     lp_ref, grad_ref = t.value_and_grad_fn(x32)
     np.testing.assert_allclose(np.asarray(lp_pad[:, 0]),
@@ -46,7 +61,7 @@ def test_padded_vag_matches_unpadded(name):
     np.testing.assert_allclose(np.asarray(grad_pad[:, :PALLAS_DIM]),
                                np.asarray(grad_ref, np.float32),
                                rtol=2e-5, atol=2e-5)
-    # padding columns must carry zero gradient (dynamics invariant)
+    # padding coords must carry zero gradient (dynamics invariant)
     assert np.all(np.asarray(grad_pad[:, PALLAS_DIM:]) == 0.0)
 
 
@@ -55,8 +70,9 @@ def test_padded_vag_requires_metadata():
         make_padded_vag(lambda x: (x.sum(-1), x), D_PAD)
 
 
+@pytest.mark.parametrize("layout", ["lanes", "transposed"])
 @pytest.mark.parametrize("schedule", [None, "tanh", "constant", "sine"])
-def test_debug_kernel_matches_xla_trajectory(schedule):
+def test_debug_kernel_matches_xla_trajectory(schedule, layout):
     """Injected-randomness fused transition == XLA conformal leapfrog + MH."""
     t = get_target("standard_normal", dim=PALLAS_DIM)
     n_chains, L = 8, 10
@@ -83,7 +99,7 @@ def test_debug_kernel_matches_xla_trajectory(schedule):
 
     # Fused kernel (interpret mode)
     run = make_debug_trajectory(t.value_and_grad_fn, L, sched_fn,
-                                n_chains, PALLAS_DIM)
+                                n_chains, PALLAS_DIM, layout=layout)
     q_k, lp_k, grad_k, accept_k, dh_k = run(q, lp, grad, p0, u, eps, gamma,
                                             steep, inv_mass)
 

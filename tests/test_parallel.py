@@ -110,3 +110,29 @@ def test_config5_hierarchical_pipeline_sharded():
     d = compute_diagnostics(res.samples)
     assert np.isfinite(d["rhat_max"]) and d["ess_bulk_min"] > 0
     assert np.all(np.isfinite(np.asarray(res.samples)))
+
+
+def test_fused_kernel_sharded_over_mesh():
+    """The Pallas fused sampler runs under shard_map over the 8-device mesh
+    (GSPMD cannot partition pallas_call; this is the explicit multi-chip
+    path). Statistical sanity on N(0, I)."""
+    from mcmc_tpu.parallel.fused_sharded import grahmc_run_sharded
+    from mcmc_tpu.targets import standard_normal
+
+    t = standard_normal(6)
+    mesh = make_mesh()
+    init = random.normal(random.PRNGKey(30), (64, 6)) * 0.5
+    res = grahmc_run_sharded(
+        random.PRNGKey(31), t, init, mesh, step_size=0.25, num_steps=6,
+        gamma=0.3, steepness=1.0, num_samples=300, burn_in=100,
+        collect_chains_per_device=4)
+    # history: 4 chains per device x 8 devices
+    assert res.samples.shape == (300, 32, 6)
+    assert res.accept_rate.shape == (64,)
+    acc = float(res.accept_rate.mean())
+    assert 0.3 < acc <= 1.0
+    flat = np.asarray(res.samples).reshape(-1, 6)
+    assert np.all(np.abs(flat.mean(0)) < 0.2)
+    assert np.all(np.abs(flat.var(0) - 1.0) < 0.3)
+    assert int(res.info["total_divergences"]) == 0
+    assert res.info["final_positions"].shape == (64, 6)

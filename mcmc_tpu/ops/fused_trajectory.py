@@ -91,9 +91,11 @@ def _make_kernel(padded_vag: Callable, num_steps: int,
     def kernel(seed_ref, scal_ref, q_ref, lp_ref, grad_ref, invm_ref,
                mask_ref, *rest):
         if inject_randoms:
-            p0_ref, u_ref, q_out, lp_out, grad_out, acc_out, dh_out = rest
+            (p0_ref, u_ref, q_out, lp_out, grad_out, acc_out, dh_out,
+             prop_out, prop_lp_out) = rest
         else:
-            q_out, lp_out, grad_out, acc_out, dh_out = rest
+            (q_out, lp_out, grad_out, acc_out, dh_out,
+             prop_out, prop_lp_out) = rest
             # distinct stream per grid tile
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 7919)
 
@@ -155,6 +157,11 @@ def _make_kernel(padded_vag: Callable, num_steps: int,
         grad_out[:] = jnp.where(accept, grad1, grad0)
         acc_out[:] = accept.astype(jnp.float32)
         dh_out[:] = dh
+        # true trajectory endpoint (the MH proposal), exported regardless of
+        # the accept decision — exact track_proposals/ESJD parity with the
+        # XLA step
+        prop_out[:] = q1
+        prop_lp_out[:] = lp1
 
     return kernel
 
@@ -215,8 +222,10 @@ def _build_call(padded_vag, num_steps, friction_schedule, n_chains, d_pad,
         jax.ShapeDtypeStruct(dim_shape, jnp.float32),    # grad
         jax.ShapeDtypeStruct(chain_shape, jnp.float32),  # accept
         jax.ShapeDtypeStruct(chain_shape, jnp.float32),  # delta_h
+        jax.ShapeDtypeStruct(dim_shape, jnp.float32),    # proposal q
+        jax.ShapeDtypeStruct(chain_shape, jnp.float32),  # proposal lp
     ]
-    out_specs = [full, per_chain, full, per_chain, per_chain]
+    out_specs = [full, per_chain, full, per_chain, per_chain, full, per_chain]
 
     if interpret and not inject_randoms:
         # The generic HLO interpreter lacks the TPU PRNG primitives; use the
@@ -316,9 +325,10 @@ def make_fused_grahmc_step(
             u_shape = lp.shape
             u = random.uniform(k_u, u_shape, dtype=jnp.float32)
             outs = call(seed, scalars, q, lp, grad, invm, mask, p0, u)
-        q1, lp1, grad1, acc, dh = outs
+        q1, lp1, grad1, acc, dh, prop_q, prop_lp = outs
         if dim_axis == 0:
             q1, lp1, grad1, acc, dh = q1.T, lp1.T, grad1.T, acc.T, dh.T
+            prop_q, prop_lp = prop_q.T, prop_lp.T
 
         accept = acc[:, 0] > 0.5
         dh_flat = dh[:, 0]
@@ -333,12 +343,11 @@ def make_fused_grahmc_step(
             accept_count=state.accept_count + accept.astype(jnp.int32),
             divergence_count=state.divergence_count + divergent.astype(jnp.int32),
         )
-        # Proposal extras mirror grahmc_step: on reject the proposal equals the
-        # trajectory endpoint, which the fused kernel does not export
-        # separately; the post-accept state is returned instead (sufficient
-        # for ESJD, which weights jumps by the accept probability).
-        return key, new_state, (accept, new_state.position,
-                                new_state.log_prob,
+        # Proposal extras exactly mirror grahmc_step: the true trajectory
+        # endpoint and its log-prob, regardless of the accept decision.
+        return key, new_state, (accept,
+                                prop_q[:, :dim].astype(pos_dtype),
+                                prop_lp[:, 0].astype(e_dtype),
                                 dh_flat.astype(e_dtype))
 
     return fused
@@ -383,7 +392,7 @@ def make_debug_trajectory(value_and_grad_fn, num_steps: int,
             qp, gp, pp, lpp, up = qp.T, gp.T, pp.T, lpp.T, up.T
             invm, mask = invm.T, mask.T
         outs = call(seed, scalars, qp, lpp, gp, invm, mask, pp, up)
-        q1, lp1, grad1, acc, dh = outs
+        q1, lp1, grad1, acc, dh, prop_q, prop_lp = outs
         if dim_axis == 0:
             q1, lp1, grad1, acc, dh = q1.T, lp1.T, grad1.T, acc.T, dh.T
         return (q1[:, :dim], lp1[:, 0], grad1[:, :dim], acc[:, 0] > 0.5,

@@ -197,3 +197,26 @@ def test_grahmc_run_pallas_backend():
     assert 0.2 < float(res.accept_rate.mean()) <= 1.0
     flat = np.asarray(res.samples).reshape(-1, PALLAS_DIM)
     assert np.all(np.abs(flat.mean(0)) < 0.4)
+
+
+def test_pallas_track_proposals_exports_true_endpoints():
+    """backend='pallas' track_proposals: proposals differ from post-MH samples
+    exactly on rejected steps (true trajectory endpoints, XLA parity)."""
+    from mcmc_tpu.samplers import grahmc_run
+    t = get_target("standard_normal", dim=PALLAS_DIM)
+    res = grahmc_run(
+        random.PRNGKey(9), t.log_prob_fn,
+        random.normal(random.PRNGKey(10), (16, PALLAS_DIM)),
+        step_size=0.6, num_steps=8, gamma=0.5, steepness=1.0,
+        num_samples=80, burn_in=0, track_proposals=True,
+        friction_schedule=get_friction_schedule("constant"),
+        value_and_grad_fn=t.value_and_grad_fn, backend="pallas")
+    prop = np.asarray(res.info["proposal_positions"])
+    post = np.asarray(res.samples)
+    pre = np.asarray(res.info["pre_positions"])
+    moved = ~np.all(np.isclose(post, pre, atol=1e-7), axis=-1)   # accepted
+    # accepted steps: post == proposal; rejected: post == pre != proposal
+    np.testing.assert_allclose(post[moved], prop[moved], rtol=1e-5)
+    rejected = ~moved
+    if rejected.any():
+        assert not np.allclose(prop[rejected], post[rejected])

@@ -57,6 +57,22 @@ def choose_layout(dim: int) -> int:
     return 0 if waste_t < waste_lane else 1
 
 
+def seed_words_from_key(key):
+    """Two int32 seed words deterministically derived from a JAX PRNG key.
+
+    The fused kernel's on-chip PRNG is seeded with BOTH threefry key words
+    (64 bits), so two different step keys can never yield the same on-chip
+    stream short of a full threefry key collision — unlike a fresh 31-bit
+    random.randint per call, whose birthday probability over a 12.5k-step run
+    was ~2%. The per-step key is already split from the run key, so streams
+    are reproducible from (initial key, step index)."""
+    data = key
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        data = random.key_data(key)
+    words = jnp.asarray(data).reshape(-1)[:2]
+    return lax.bitcast_convert_type(words.astype(jnp.uint32), jnp.int32)
+
+
 def _bits_to_uniform(bits):
     """random bits -> float32 uniform in (0, 1): 24-bit mantissa, never 0.
 
@@ -96,8 +112,9 @@ def _make_kernel(padded_vag: Callable, num_steps: int,
         else:
             (q_out, lp_out, grad_out, acc_out, dh_out,
              prop_out, prop_lp_out) = rest
-            # distinct stream per grid tile
-            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 7919)
+            # 64-bit stream identity from the step key; distinct per grid tile
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 7919,
+                            seed_ref[1])
 
         eps = scal_ref[0]
         gamma_max = scal_ref[1]
@@ -296,8 +313,7 @@ def make_fused_grahmc_step(
         call = call_cache[cache_key]
 
         key, seed_key = random.split(key)
-        seed = random.randint(seed_key, (1,), 0, jnp.iinfo(jnp.int32).max,
-                              dtype=jnp.int32)
+        seed = seed_words_from_key(seed_key)
         scalars = jnp.stack([
             jnp.asarray(step_size, jnp.float32),
             jnp.asarray(gamma, jnp.float32),
@@ -379,7 +395,7 @@ def make_debug_trajectory(value_and_grad_fn, num_steps: int,
         scalars = jnp.stack([jnp.asarray(step_size, jnp.float32),
                              jnp.asarray(gamma, jnp.float32),
                              jnp.asarray(steepness, jnp.float32)])
-        seed = jnp.zeros((1,), jnp.int32)
+        seed = jnp.zeros((2,), jnp.int32)
         qp = jnp.pad(q.astype(jnp.float32), ((0, 0), (0, pad)))
         gp = jnp.pad(grad.astype(jnp.float32), ((0, 0), (0, pad)))
         pp = jnp.pad(p0.astype(jnp.float32), ((0, 0), (0, pad)))

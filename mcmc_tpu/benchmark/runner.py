@@ -489,8 +489,10 @@ def _round_floats(obj):
         return [_round_floats(x) for x in obj]
     if isinstance(obj, np.bool_):
         return bool(obj)
-    if isinstance(obj, (np.integer, np.floating)):
-        return float(obj)
+    if isinstance(obj, np.integer):
+        return int(obj)
+    if isinstance(obj, np.floating):
+        return round(float(obj), 4)
     if isinstance(obj, jnp.ndarray):
         return _round_floats(np.asarray(obj).tolist())
     return obj

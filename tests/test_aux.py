@@ -1,6 +1,7 @@
 """Auxiliary subsystem tests: compat API, animations, tune-and-sample CLI."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 import jax.random as random
 
@@ -81,6 +82,7 @@ def test_grahmc_trace_dissipates_then_pumps():
     assert abs(H[15] - H[0]) > 0.05  # repelling phase pumps energy
 
 
+@pytest.mark.slow
 def test_tune_and_sample_rwmh_runs():
     from mcmc_tpu.tuning.core import tune_and_sample_rwmh
     t = get_target("standard_normal", dim=3)
@@ -92,6 +94,7 @@ def test_tune_and_sample_rwmh_runs():
     assert 0.05 < r["mean_acceptance"] < 0.6
 
 
+@pytest.mark.slow
 def test_tune_and_sample_grahmc_grid_runs():
     from mcmc_tpu.tuning.core import tune_and_sample_grahmc_grid
     t = get_target("standard_normal", dim=3)
@@ -104,6 +107,7 @@ def test_tune_and_sample_grahmc_grid_runs():
     assert all("gamma" in g for g in r["grid_results"])
 
 
+@pytest.mark.slow
 def test_track_convergence_path():
     """--track-convergence: log-spaced checkpoints with W2/ESS/R-hat traces."""
     from mcmc_tpu.benchmark import run_single_benchmark_with_L

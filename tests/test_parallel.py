@@ -8,6 +8,7 @@ consistency with the unsharded run.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import jax.random as random
@@ -69,6 +70,7 @@ def test_diagnostics_on_sharded_history():
     assert np.all(np.asarray(ess) > 0)
 
 
+@pytest.mark.slow
 def test_full_pipeline_sharded_funnel():
     """Warmup + sample + diagnose with chains sharded over the mesh."""
     from mcmc_tpu.tuning import run_adaptive_warmup
@@ -87,6 +89,7 @@ def test_full_pipeline_sharded_funnel():
     assert np.all(np.isfinite(np.asarray(res.samples)))
 
 
+@pytest.mark.slow
 def test_config5_hierarchical_pipeline_sharded():
     """BASELINE config 5 shape: hierarchical logistic posterior, full
     tune+sample+diagnostics with chains sharded over the mesh (tiny sizes)."""

@@ -149,6 +149,7 @@ def test_build_schedule_default_2500():
     assert [e - s for s, e, p in sched if p == "adaptation"] == [25, 50, 100, 200, 500, 1000]
 
 
+@pytest.mark.slow
 def test_warmup_hmc_learns_mass_matrix():
     """On an ill-conditioned Gaussian the learned inv mass ~ the variances."""
     t = ill_conditioned_gaussian(5, condition_number=50.0)
@@ -167,6 +168,7 @@ def test_warmup_hmc_learns_mass_matrix():
     assert abs(np.mean(info["accept_trace"][-3:]) - 0.65) < 0.25
 
 
+@pytest.mark.slow
 def test_warmup_no_mass_matrix_keeps_identity():
     t = standard_normal(4)
     init = random.normal(random.PRNGKey(8), (4, 4))
@@ -178,6 +180,7 @@ def test_warmup_no_mass_matrix_keeps_identity():
     assert not info["mass_matrix_learned"]
 
 
+@pytest.mark.slow
 def test_warmup_nuts_runs():
     t = standard_normal(4)
     init = random.normal(random.PRNGKey(10), (4, 4))
@@ -188,6 +191,7 @@ def test_warmup_nuts_runs():
     assert 0.01 < step < 3.0
 
 
+@pytest.mark.slow
 def test_warmup_grahmc_with_sequential_tuning():
     t = standard_normal(4)
     init = random.normal(random.PRNGKey(12), (4, 4))

@@ -14,6 +14,9 @@ from mcmc_tpu.diagnostics.rhat_ess import (
 from mcmc_tpu.diagnostics.wasserstein import (
     sliced_wasserstein_distance, compute_sliced_w2,
 )
+from mcmc_tpu.diagnostics.streaming import (
+    ess_bulk_chunked, split_rhat_chunked,
+)
 from mcmc_tpu.diagnostics.gates import (
     detect_divergences, check_summary_statistics, evaluate_gates,
     MIN_ESS_HARD_GATE, MIN_ESS_TAIL_HARD_GATE, MIN_ESS_QUALITY,
@@ -82,6 +85,7 @@ def compute_diagnostics(samples) -> dict:
 
 __all__ = [
     "split_rhat", "ess_bulk", "ess_tail", "ess_mean", "mcse_mean",
+    "ess_bulk_chunked", "split_rhat_chunked",
     "sliced_wasserstein_distance", "compute_sliced_w2",
     "detect_divergences", "check_summary_statistics", "evaluate_gates",
     "compute_diagnostics",

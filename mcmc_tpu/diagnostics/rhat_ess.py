@@ -36,13 +36,31 @@ def _split_chains(x):
     return jnp.concatenate([x[:half], x[half:]], axis=1)
 
 
+def _z_from_rank2(k, N):
+    """z = ndtri((rank - 3/8) / (N + 1/4)) from k = 2*rank (integer).
+
+    Evaluated two-sided so it stays finite in float32 at N ~ 10^7+: near
+    u = 1 the naive ratio rounds to exactly 1.0 (ndtri -> +inf); instead the
+    upper tail is computed from the exact integer complement 2N - k.
+    u     = (k - 0.75)   / (2N + 0.5)
+    1 - u = (2N - k + 1.25) / (2N + 0.5)
+    """
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    denom = 2.0 * N + 0.5
+    kf = k.astype(dtype)
+    hkf = (2 * N - k).astype(dtype)
+    z_low = ndtri((kf - 0.75) / denom)
+    z_high = -ndtri((hkf + 1.25) / denom)
+    return jnp.where(k <= N, z_low, z_high)
+
+
 def _rank_normalize(x):
     """Normal-scores transform of pooled average ranks, per trailing dim.
 
     Average ranks for ties (exact match with scipy.stats.rankdata
     method='average'), computed via sort + two searchsorted passes:
     rank = (left_insertion + right_insertion + 1) / 2, 1-based.
-    z = ndtri((rank - 3/8) / (S + 1/4)).
+    z = ndtri((rank - 3/8) / (S + 1/4)), evaluated tail-safely (_z_from_rank2).
     """
     n, m, d = x.shape
     flat = x.reshape(n * m, d)
@@ -51,10 +69,10 @@ def _rank_normalize(x):
     def per_dim(s, v):
         lo = jnp.searchsorted(s, v, side="left")
         hi = jnp.searchsorted(s, v, side="right")
-        return (lo + hi + 1).astype(flat.dtype) / 2.0
+        return lo + hi + 1          # = 2 * average_rank (1-based)
 
-    ranks = jax.vmap(per_dim, in_axes=(1, 1), out_axes=1)(srt, flat)
-    z = ndtri((ranks - 0.375) / (n * m + 0.25))
+    k2 = jax.vmap(per_dim, in_axes=(1, 1), out_axes=1)(srt, flat)
+    z = _z_from_rank2(k2, n * m).astype(flat.dtype)
     return z.reshape(n, m, d)
 
 
@@ -96,17 +114,19 @@ def _autocovariance_fft(x):
     return acov.real / n
 
 
-def _ess_core(x):
-    """ESS of (n, m, d) split chains (Geyer initial monotone sequence): (d,)."""
-    n, m, d = x.shape
-    acov = _autocovariance_fft(x)                           # (n, m, d)
-    chain_var = acov[0] * n / (n - 1.0)                     # (m, d) ~ s^2_m
-    mean_var = jnp.mean(chain_var, axis=0)                  # (d,) = W
-    var_plus = mean_var * (n - 1.0) / n                     # (d,)
-    var_plus = var_plus + jnp.var(jnp.mean(x, axis=0), axis=0, ddof=1)
+def _ess_combine(mean_var, mean_acov, var_chain_means, n, total_chains):
+    """Combine per-chain moments into ESS (Geyer initial monotone sequence).
+
+    mean_var: (d,) mean over chains of unbiased per-chain variances (W).
+    mean_acov: (n, d) mean over chains of biased autocovariances.
+    var_chain_means: (d,) ddof=1 variance over chains of per-chain means.
+    Shared by the monolithic `_ess_core` and the chain-chunked streaming path
+    (diagnostics/streaming.py) so chunked == monolithic exactly.
+    """
+    d = mean_acov.shape[-1]
+    var_plus = mean_var * (n - 1.0) / n + var_chain_means
 
     # rho_t = 1 - (W - mean acov_t) / var_plus
-    mean_acov = jnp.mean(acov, axis=1)                      # (n, d)
     rho = 1.0 - (mean_var[None, :] - mean_acov) / var_plus[None, :]
     rho = rho.at[0].set(1.0)
 
@@ -121,10 +141,23 @@ def _ess_core(x):
     # Initial monotone sequence: running minimum over the valid prefix.
     P_mono = lax.associative_scan(jnp.minimum, jnp.where(valid, P, jnp.inf), axis=0)
     P_used = jnp.where(valid, P_mono, 0.0)
-    tau = jnp.maximum(-1.0 + 2.0 * jnp.sum(P_used, axis=0), 1.0 / jnp.log10(n * m + 10.0))
-    ess = n * m / tau
+    tau = jnp.maximum(-1.0 + 2.0 * jnp.sum(P_used, axis=0),
+                      1.0 / jnp.log10(n * total_chains + 10.0))
+    ess = n * total_chains / tau
     # Guard degenerate (zero-variance) dims.
-    return jnp.where(var_plus > 0, ess, jnp.asarray(float(n * m), ess.dtype))
+    return jnp.where(var_plus > 0, ess,
+                     jnp.asarray(float(n * total_chains), ess.dtype))
+
+
+def _ess_core(x):
+    """ESS of (n, m, d) split chains (Geyer initial monotone sequence): (d,)."""
+    n, m, d = x.shape
+    acov = _autocovariance_fft(x)                           # (n, m, d)
+    chain_var = acov[0] * n / (n - 1.0)                     # (m, d) ~ s^2_m
+    mean_var = jnp.mean(chain_var, axis=0)                  # (d,) = W
+    mean_acov = jnp.mean(acov, axis=1)                      # (n, d)
+    var_chain_means = jnp.var(jnp.mean(x, axis=0), axis=0, ddof=1)
+    return _ess_combine(mean_var, mean_acov, var_chain_means, n, m)
 
 
 @jax.jit

@@ -67,7 +67,8 @@ def _grid_summary(r: Dict) -> Dict:
 
 
 def _warmup(sampler, target, target_name, key, init_pos, num_warmup,
-            schedule_type, num_steps, learn_mass_matrix, verbose=True):
+            schedule_type, num_steps, learn_mass_matrix, verbose=True,
+            backend="auto"):
     """Phase 1 dispatch. Returns (step_size, inv_mass, position, warmup_info)."""
     if sampler == "rwmh":
         scale, _hist = dual_averaging_tune_rwmh(
@@ -94,6 +95,7 @@ def _warmup(sampler, target, target_name, key, init_pos, num_warmup,
         learn_mass_matrix=learn_mass_matrix,
         value_and_grad_fn=target.value_and_grad_fn,
         verbose=verbose,
+        backend=backend,
         **kwargs,
     )
     return step_size, inv_mass, pos, info
@@ -112,11 +114,55 @@ def _resolve_backend(sampler, target) -> str:
     return "xla"
 
 
+def _resolve_mesh(n_chains: int, mesh_devices="auto"):
+    """Build the chain mesh for multi-chip runs, or None for single-device.
+
+    mesh_devices: "auto" uses all local devices when >1 (chains permitting);
+    an int requests that many devices; "off"/None/0/1 disables sharding.
+    """
+    import jax
+    from mcmc_tpu.parallel import make_mesh
+    if mesh_devices in (None, "off", 0, 1):
+        return None
+    n_avail = len(jax.devices())
+    n_dev = n_avail if mesh_devices == "auto" else int(mesh_devices)
+    if n_dev <= 1:
+        return None
+    if n_dev > n_avail:
+        raise ValueError(f"--mesh {n_dev} requested but only {n_avail} devices")
+    if n_chains % n_dev:
+        print(f"  [mesh] n_chains={n_chains} not divisible by {n_dev} devices; "
+              f"running single-device")
+        return None
+    return make_mesh(n_dev)
+
+
 def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
-            inv_mass, schedule_type, warmup_info, backend: str = "auto"):
-    """Phase 2 dispatch. Returns a RunResult."""
+            inv_mass, schedule_type, warmup_info, backend: str = "auto",
+            mesh=None):
+    """Phase 2 dispatch. Returns a RunResult.
+
+    With a mesh, XLA samplers run GSPMD-partitioned over the chain axis
+    (positions are sharded by the caller; chains are communication-free), and
+    the fused Pallas path — opaque to the GSPMD partitioner — dispatches to
+    the explicit shard_map wrapper (parallel/fused_sharded.py).
+    """
     if backend == "auto":
         backend = _resolve_backend(sampler, target)
+    if (mesh is not None and backend == "pallas"
+            and sampler in ("hmc", "grahmc", "rahmc")):
+        from mcmc_tpu.parallel.fused_sharded import grahmc_run_sharded
+        is_hmc = sampler == "hmc"
+        n_local = position.shape[0] // mesh.devices.size
+        return grahmc_run_sharded(
+            key, target, position, mesh, step_size=step_size,
+            num_steps=num_steps,
+            gamma=0.0 if is_hmc else warmup_info.get("gamma", 1.0),
+            steepness=0.0 if is_hmc else warmup_info.get("steepness", 5.0),
+            num_samples=num_samples, burn_in=0, inv_mass_matrix=inv_mass,
+            friction_schedule=(None if is_hmc
+                               else get_friction_schedule(schedule_type)),
+            collect_chains_per_device=n_local)
     if sampler == "rwmh":
         return rwmh_run(key, target.log_prob_fn, position,
                         num_samples=num_samples, scale=step_size, burn_in=0)
@@ -155,6 +201,7 @@ def run_single_benchmark_with_L(
     learn_mass_matrix: bool = True,
     track_convergence: bool = False,
     convergence_base: float = 1.5,
+    mesh_devices="auto",
 ) -> Dict:
     """One warmup+sample+diagnose+gate pipeline at a fixed trajectory length."""
     is_grahmc = sampler in ("grahmc", "rahmc")
@@ -172,13 +219,22 @@ def run_single_benchmark_with_L(
         else:
             init_pos = random.normal(init_key, (n_chains, target.dim)) * 0.1
 
-        # Phase 1: adaptive warmup
+        mesh = _resolve_mesh(n_chains, mesh_devices)
+        if mesh is not None:
+            from mcmc_tpu.parallel import shard_chains
+            init_pos = shard_chains(init_pos, mesh)
+            print(f"  [mesh] chains sharded over {mesh.devices.size} devices")
+
+        # Phase 1: adaptive warmup. Under a mesh, warmup runs the GSPMD XLA
+        # path (a pallas_call is opaque to the partitioner; the fused kernel
+        # is shard_mapped only in the sampling phase).
         print("[Phase 1] Adaptive warmup...")
         warmup_start = time.time()
         key, warm_key = random.split(key)
         step_size, inv_mass, position, warmup_info = _warmup(
             sampler, target, target_name, warm_key, init_pos, num_warmup,
-            schedule_type, num_steps, learn_mass_matrix)
+            schedule_type, num_steps, learn_mass_matrix,
+            backend="xla" if mesh is not None else "auto")
         warmup_time = time.time() - warmup_start
         print(f"  warmup {warmup_time:.1f}s, step_size={step_size:.4f}")
 
@@ -198,7 +254,7 @@ def run_single_benchmark_with_L(
                 key, s_key = random.split(key)
                 res = _sample(sampler, target, s_key, position, step_size,
                               num_steps, batch, inv_mass, schedule_type,
-                              warmup_info)
+                              warmup_info, mesh=mesh)
                 position = res.final_state.position
                 pieces.append(res)
                 cumulative = jnp.concatenate([p.samples for p in pieces], axis=0)
@@ -226,7 +282,7 @@ def run_single_benchmark_with_L(
             key, s_key = random.split(key)
             res = _sample(sampler, target, s_key, position, step_size,
                           num_steps, num_samples, inv_mass, schedule_type,
-                          warmup_info)
+                          warmup_info, mesh=mesh)
             samples = res.samples
             accept_rate = float(res.accept_rate.mean())
             total_div = int(res.info["total_divergences"])
@@ -375,6 +431,7 @@ def run_trajectory_length_grid_search(
     learn_mass_matrix: bool = True,
     track_convergence: bool = False,
     convergence_base: float = 1.5,
+    mesh_devices="auto",
 ) -> Dict:
     """Grid-search L; select max ESS/gradient preferring quality_pass runs;
     explicit failure record (with least-bad diagnostics) when nothing is
@@ -387,7 +444,7 @@ def run_trajectory_length_grid_search(
         r = run_single_benchmark_with_L(
             sampler, target, target_name, subkey, n_chains, num_warmup,
             num_samples, schedule_type, L, learn_mass_matrix,
-            track_convergence, convergence_base)
+            track_convergence, convergence_base, mesh_devices=mesh_devices)
         if r.get("error") is None:
             n_grad = r.get("n_gradients", r["total_samples"] * L)
             r["n_gradients"] = n_grad
@@ -555,6 +612,7 @@ def run_all_benchmarks(
     mass_matrix_modes: Optional[List[bool]] = None,
     track_convergence: bool = False,
     convergence_base: float = 1.5,
+    mesh_devices="auto",
 ):
     """Iterate target x sampler x mass-mode (x schedule for GRAHMC) with
     resume-by-signature and incremental saving. Returns a DataFrame."""
@@ -604,12 +662,13 @@ def run_all_benchmarks(
                             sampler, target, target_name, subkey, n_chains,
                             num_warmup, num_samples,
                             schedule or "constant", num_steps_grid,
-                            learn_mass, track_convergence, convergence_base)
+                            learn_mass, track_convergence, convergence_base,
+                            mesh_devices=mesh_devices)
                     else:
                         result = run_single_benchmark_with_L(
                             sampler, target, target_name, subkey, n_chains,
                             num_warmup, num_samples, schedule or "constant",
-                            20, learn_mass)
+                            20, learn_mass, mesh_devices=mesh_devices)
                     all_results.append(result)
                     save_result_incremental(result, output_dir, is_first=is_first)
                     is_first = False

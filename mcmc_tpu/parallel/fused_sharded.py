@@ -81,6 +81,8 @@ def grahmc_run_sharded(
                    P(CHAIN_AXIS),                # accept counts
                    P(CHAIN_AXIS),                # divergence counts
                    P(CHAIN_AXIS, None),          # final positions
+                   P(CHAIN_AXIS),                # final log-probs
+                   P(CHAIN_AXIS, None),          # final grads
                    P()),                         # global divergence total
         check_vma=False)  # pallas_call out_shapes carry no vma annotations
     def run_shard(key, local_pos, eps, gam, steep, inv_mass):
@@ -107,10 +109,10 @@ def grahmc_run_sharded(
                                                 length=num_samples)
         total_div = lax.psum(jnp.sum(state.divergence_count), CHAIN_AXIS)
         return (samples, lps, state.accept_count, state.divergence_count,
-                state.position, total_div)
+                state.position, state.log_prob, state.grad_log_prob, total_div)
 
-    samples, lps, acc_counts, div_counts, final_pos, total_div = run_shard(
-        key, init_position, *scalars, inv_mass_matrix)
+    (samples, lps, acc_counts, div_counts, final_pos, final_lp, final_grad,
+     total_div) = run_shard(key, init_position, *scalars, inv_mass_matrix)
 
     accept_rate = acc_counts.astype(jnp.float32) / num_samples
     info = {
@@ -120,4 +122,8 @@ def grahmc_run_sharded(
         "final_positions": final_pos,
         "n_devices": n_dev,
     }
-    return RunResult(samples, lps, accept_rate, None, info)
+    from mcmc_tpu.samplers.base import ChainState
+    final_state = ChainState(
+        position=final_pos, log_prob=final_lp, grad_log_prob=final_grad,
+        accept_count=acc_counts, divergence_count=div_counts)
+    return RunResult(samples, lps, accept_rate, final_state, info)

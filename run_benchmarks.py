@@ -50,6 +50,8 @@ def main():
     parser.add_argument("--output-dir", type=str, default="benchmark_results",
                         help="Directory to save results")
     parser.add_argument("--seed", type=int, default=42, help="Random seed")
+    parser.add_argument("--mesh", type=str, default="auto",
+                        help="Chain-shard over devices: 'auto' (all local devices when >1), an integer device count, or 'off'")
 
     args = parser.parse_args()
 
@@ -89,6 +91,8 @@ def main():
         mass_matrix_modes=mass_modes,
         track_convergence=args.track_convergence,
         convergence_base=args.convergence_base,
+        mesh_devices=(args.mesh if args.mesh in ('auto', 'off')
+                      else int(args.mesh)),
     )
     print_summary(df)
 

@@ -189,3 +189,59 @@ def test_round_floats_preserves_ints():
     assert out["n"] == 7 and isinstance(out["n"], int)
     assert out["x"] == 1.2346 and isinstance(out["x"], float)
     assert out["y"] == 2.3457 and out["b"] is True and out["s"] == "k"
+
+
+@pytest.mark.slow
+def test_single_benchmark_mesh_sharded_e2e():
+    """8-device CPU-mesh e2e: GSPMD chain sharding through the full
+    warmup+sample+gate pipeline produces a schema-valid result row
+    (VERDICT r1 item 5)."""
+    t = get_target("standard_normal", dim=4)
+    r = run_single_benchmark_with_L(
+        "grahmc", t, "standard_normal", random.PRNGKey(3), n_chains=16,
+        num_warmup=150, num_samples=300, schedule_type="tanh", num_steps=8,
+        mesh_devices=8)
+    assert r.get("error") is None
+    for f in SCHEMA_FIELDS:
+        assert f in r, f"missing field {f}"
+    assert r["n_chains"] == 16
+    assert 0.0 < r["accept_rate"] <= 1.0
+    assert np.isfinite(r["rhat_max"])
+
+
+def test_sample_dispatches_to_sharded_fused_kernel():
+    """With a mesh and backend='pallas', _sample routes to the shard_map
+    fused-kernel wrapper (grahmc_run_sharded) and returns a full-chain
+    history with real divergence totals."""
+    from mcmc_tpu.benchmark.runner import _sample
+    from mcmc_tpu.parallel import make_mesh
+
+    t = get_target("standard_normal", dim=4)
+    mesh = make_mesh(8)
+    pos = random.normal(random.PRNGKey(4), (32, 4)).astype(np.float32)
+    res = _sample("grahmc", t, random.PRNGKey(5), pos, step_size=0.4,
+                  num_steps=6, num_samples=50, inv_mass=None,
+                  schedule_type="tanh", warmup_info={"gamma": 0.5,
+                                                     "steepness": 1.0},
+                  backend="pallas", mesh=mesh)
+    assert res.samples.shape == (50, 32, 4)
+    assert res.final_state.position.shape == (32, 4)
+    assert "total_divergences" in res.info
+    assert res.info["n_devices"] == 8
+    assert 0.0 < float(res.accept_rate.mean()) <= 1.0
+
+
+def test_sample_dispatches_hmc_to_sharded_fused_kernel():
+    """HMC on the sharded fused path runs friction-free (gamma=0)."""
+    from mcmc_tpu.benchmark.runner import _sample
+    from mcmc_tpu.parallel import make_mesh
+
+    t = get_target("standard_normal", dim=4)
+    mesh = make_mesh(4)
+    pos = random.normal(random.PRNGKey(6), (16, 4)).astype(np.float32)
+    res = _sample("hmc", t, random.PRNGKey(7), pos, step_size=0.4,
+                  num_steps=6, num_samples=40, inv_mass=None,
+                  schedule_type="constant", warmup_info={},
+                  backend="pallas", mesh=mesh)
+    assert res.samples.shape == (40, 16, 4)
+    assert np.all(np.isfinite(np.asarray(res.samples)))

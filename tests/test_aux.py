@@ -141,3 +141,13 @@ def test_profiling_utils():
     assert c["chain_steps_per_sec"] == 400.0
     assert c["grad_evals_per_sec"] == 6400.0
     assert c["ess_per_sec_per_chip"] == 50.0
+
+
+def test_overlay_animation_renders(tmp_path):
+    """animation_alt parity: single-axes overlay with repel/attract phase
+    split renders and saves (reference animations/animation_alt.py:299-385)."""
+    from mcmc_tpu.animations import animate_overlay_comparison
+    out = str(tmp_path / "overlay.gif")
+    fig, anim = animate_overlay_comparison(num_steps=8, output_path=out)
+    import os
+    assert os.path.getsize(out) > 1000

@@ -1,18 +1,29 @@
-"""Benchmark: GRAHMC chain-throughput on 50D Neal's funnel.
+"""Benchmark: GRAHMC + NUTS throughput and measured ESS on 50D Neal's funnel.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extras": {...}}
 
-Metric: GRAHMC chain-steps/sec (chains x MH transitions / sec, each transition
-= 16 conformal-leapfrog substeps with funnel gradient) at 65,536 chains on the
-TPU chip — BASELINE.json's "GRAHMC sampler steps/sec at 10^5 chains" config
-(multimodal-scale chain count, 50D funnel).
+Primary metric: GRAHMC chain-steps/sec (chains x MH transitions / sec, each
+transition = 16 conformal-leapfrog substeps with funnel gradient) at 65,536
+chains on the TPU chip — BASELINE.json's "GRAHMC sampler steps/sec at 10^5
+chains" config — measured AT A TUNED OPERATING POINT: the step size is
+dual-averaging tuned on-device to accept ~0.65 (reference target,
+run_benchmarks.py:549) and the SAME step is used for the reference-CPU
+baseline, so both sides do statistically meaningful work (VERDICT r1 weak #3:
+the round-1 bench ran at 7% acceptance).
 
-Baseline: the same quantity measured by RUNNING THE REFERENCE implementation
-(pure-JAX host loops, /root/reference) on CPU at its practical chain count
-(256 chains), since the reference publishes no numbers (BASELINE.md). The
-baseline is measured once in a CPU subprocess and cached to
-.bench_baseline.json; delete that file to re-measure.
+extras (also printed to stderr):
+  - measured min bulk-ESS/sec/chip over ALL 65,536 chains' collected history
+    via the chain-chunked streaming estimator (no 64-chain extrapolation),
+  - a NUTS row: persistent (asynchronous) NUTS useful-gradient evals/sec and
+    measured ESS/sec at 4,096 chains vs the reference CPU NUTS at the same
+    tuned step (useful grads = sum over chains of 2^(depth+1)-1 per
+    transition; every persistent-NUTS leapfrog is useful by construction).
+
+Baselines are measured by RUNNING THE REFERENCE implementation
+(/root/reference, pure-JAX host loops) on CPU at its practical chain counts,
+since the reference publishes no numbers (BASELINE.md). Results are cached in
+.bench_baseline.json (versioned; delete to re-measure).
 """
 
 import json
@@ -23,14 +34,20 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
+CACHE_VERSION = 2
 
 DIM = 50
-NUM_STEPS = 16          # leapfrog substeps per transition
+NUM_STEPS = 16          # leapfrog substeps per GRAHMC transition
 TPU_CHAINS = 65536
-CPU_CHAINS = 256        # reference CPU practical scale
-TIMED_SAMPLES = 100
+CPU_CHAINS = 256        # reference CPU practical scale (GRAHMC)
+TIMED_SAMPLES = 192
 
-_BASELINE_SCRIPT = r"""
+NUTS_TPU_CHAINS = 4096
+NUTS_CPU_CHAINS = 64
+NUTS_STEPS_PER_SAMPLE = 64
+NUTS_TIMED_SAMPLES = 192
+
+_GRAHMC_BASELINE_SCRIPT = r"""
 import json, sys, time
 sys.path.insert(0, "/root/reference")
 import jax
@@ -55,8 +72,8 @@ from samplers.GRAHMC import rahmc_run, constant_schedule
 
 key = random.PRNGKey(0)
 init = random.normal(key, (%(chains)d, DIM)) * 0.5
-kw = dict(step_size=0.05, num_steps=%(num_steps)d, gamma=1.0, steepness=1.0,
-          burn_in=0, friction_schedule=constant_schedule)
+kw = dict(step_size=%(step)0.8f, num_steps=%(num_steps)d, gamma=1.0,
+          steepness=1.0, burn_in=0, friction_schedule=constant_schedule)
 # compile warm-up at the same static shape as the timed run
 out = rahmc_run(random.PRNGKey(1), log_prob_fn, init, num_samples=%(samples)d, **kw)
 jax.block_until_ready(out[0])
@@ -68,27 +85,150 @@ for rep in range(5):
     jax.block_until_ready(out[0])
     dts.append(time.time() - t0)
 dt = min(dts)
+accept = float(out[2].mean())
 print(json.dumps({"chain_steps_per_sec": %(chains)d * %(samples)d / dt,
-                  "seconds": dt, "chains": %(chains)d, "samples": %(samples)d}))
+                  "seconds": dt, "chains": %(chains)d, "samples": %(samples)d,
+                  "accept": accept}))
+"""
+
+_NUTS_BASELINE_SCRIPT = r"""
+import json, sys, time
+sys.path.insert(0, "/root/reference")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+from jax import random
+
+DIM = %(dim)d
+def log_prob_fn(x):
+    x0 = x[0]
+    x_rest = x[1:]
+    D_rest = DIM - 1
+    log_p_x0 = -0.5 * (x0**2 / 9.0 + jnp.log(2.0 * jnp.pi * 9.0))
+    log_p_rest = -0.5 * (jnp.sum(x_rest**2) / jnp.exp(x0) + D_rest * x0
+                         + D_rest * jnp.log(2.0 * jnp.pi))
+    return log_p_x0 + log_p_rest
+
+from samplers.NUTS import nuts_run
+
+key = random.PRNGKey(0)
+init = random.normal(key, (%(chains)d, DIM)) * 0.5
+out = nuts_run(random.PRNGKey(1), log_prob_fn, init, step_size=%(step)0.8f,
+               num_samples=%(samples)d, burn_in=0)
+jax.block_until_ready(out[0])
+dts, outs = [], None
+for rep in range(3):
+    t0 = time.time()
+    outs = nuts_run(random.PRNGKey(2 + rep), log_prob_fn, init,
+                    step_size=%(step)0.8f, num_samples=%(samples)d, burn_in=0)
+    jax.block_until_ready(outs[0])
+    dts.append(time.time() - t0)
+dt = min(dts)
+depths = np.asarray(outs[4])
+useful_grads = float((2.0 ** (depths + 1) - 1).sum())
+print(json.dumps({"useful_grads_per_sec": useful_grads / dt,
+                  "transitions_per_sec": depths.size / dt,
+                  "seconds": dt, "chains": %(chains)d,
+                  "samples": %(samples)d,
+                  "mean_depth": float(depths.mean())}))
 """
 
 
-def measure_baseline():
-    if os.path.exists(BASELINE_CACHE):
-        with open(BASELINE_CACHE) as f:
-            return json.load(f)
-    script = _BASELINE_SCRIPT % {"dim": DIM, "chains": CPU_CHAINS,
-                                 "num_steps": NUM_STEPS, "samples": TIMED_SAMPLES}
-    print("[bench] measuring reference CPU baseline...", file=sys.stderr)
+def _run_subprocess(script, what):
+    print(f"[bench] measuring reference CPU baseline ({what})...",
+          file=sys.stderr)
     out = subprocess.run([sys.executable, "-c", script], capture_output=True,
-                         text=True, timeout=1800)
+                         text=True, timeout=3600)
     if out.returncode != 0:
         print(out.stderr[-2000:], file=sys.stderr)
-        raise RuntimeError("baseline measurement failed")
-    result = json.loads(out.stdout.strip().splitlines()[-1])
+        raise RuntimeError(f"baseline measurement failed ({what})")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _load_cache():
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cache = json.load(f)
+        if cache.get("version") == CACHE_VERSION:
+            return cache
+    return {"version": CACHE_VERSION}
+
+
+def _save_cache(cache):
     with open(BASELINE_CACHE, "w") as f:
-        json.dump(result, f)
-    return result
+        json.dump(cache, f)
+
+
+def _tune_step(target, n_chains, kind, jnp, random):
+    """Dual-averaging tune the step size to accept ~0.65 on-device.
+
+    GRAHMC tunes through the fused kernel; NUTS through the persistent path.
+    Returns the tuned step (float).
+    """
+    from mcmc_tpu.tuning import da_init, da_update, da_step_size, \
+        da_final_step_size
+    from mcmc_tpu.samplers.base import init_chain_state
+
+    init = (random.normal(random.PRNGKey(11), (n_chains, DIM)) * 0.5
+            ).astype(jnp.float32)
+    da = da_init(0.1)
+    key = random.PRNGKey(12)
+
+    if kind == "grahmc":
+        from mcmc_tpu.ops.fused_trajectory import make_fused_grahmc_step
+        from mcmc_tpu.samplers.grahmc import constant_schedule
+        fused = make_fused_grahmc_step(target.log_prob_fn,
+                                       target.value_and_grad_fn,
+                                       NUM_STEPS, constant_schedule)
+        state = init_chain_state(init, target.log_prob_fn,
+                                 target.value_and_grad_fn)
+        inv_mass = jnp.ones(DIM, jnp.float32)
+        import jax
+
+        @jax.jit
+        def batch(key, state, eps):
+            def body(c, _):
+                k, s = c
+                k, s, (acc, *_r) = fused(k, s, eps, 1.0, 1.0, inv_mass)
+                return (k, s), jnp.mean(acc)
+            (key, state), accs = jax.lax.scan(body, (key, state), length=10)
+            return key, state, jnp.mean(accs)
+
+        for it in range(40):
+            key, state, acc = batch(key, state, da_step_size(da))
+            da = da_update(da, acc, 0.65)
+    else:
+        from mcmc_tpu.samplers import nuts_run_persistent
+        pos = init
+        for it in range(15):
+            eps = float(da_step_size(da))
+            key, k = random.split(key)
+            res = nuts_run_persistent(
+                k, target.log_prob_fn, pos, step_size=eps, num_samples=1,
+                steps_per_sample=96, burn_in_steps=0,
+                value_and_grad_fn=target.value_and_grad_fn, collect_chains=8)
+            pos = res.final_state.position
+            acc = jnp.nanmean(res.info["mean_accept_probs"])
+            da = da_update(da, acc, 0.65)
+    step = float(da_final_step_size(da))
+    print(f"[bench] tuned {kind} step_size={step:.4f}", file=sys.stderr)
+    return step
+
+
+def _measured_ess_per_sec(samples, dt, jnp, label):
+    """Min bulk-ESS over ALL collected chains (streaming), per sampling sec."""
+    from mcmc_tpu.diagnostics import ess_bulk_chunked
+    t0 = time.time()
+    ess = ess_bulk_chunked(samples, chain_chunk=8192, dim_chunk=4)
+    ess_min = float(jnp.min(ess))
+    ess_median = float(jnp.median(ess))
+    print(f"[bench] {label}: measured bulk-ESS over all "
+          f"{samples.shape[1]:,} chains x {samples.shape[0]} draws: "
+          f"min={ess_min:,.0f} median={ess_median:,.0f} "
+          f"(diag took {time.time() - t0:.0f}s)", file=sys.stderr)
+    return ess_min / dt
 
 
 def measure_tpu():
@@ -102,20 +242,34 @@ def measure_tpu():
     from jax import random
 
     from mcmc_tpu.targets import neals_funnel
-    from mcmc_tpu.samplers import grahmc_run, constant_schedule
+    from mcmc_tpu.samplers import grahmc_run, nuts_run_persistent
+    from mcmc_tpu.samplers.grahmc import constant_schedule
 
+    print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
     target = neals_funnel(DIM)
+    cache = _load_cache()
+
+    # ---- tuned operating points (cached) --------------------------------
+    if "grahmc_step" not in cache:
+        cache["grahmc_step"] = _tune_step(target, TPU_CHAINS, "grahmc",
+                                          jnp, random)
+        _save_cache(cache)
+    if "nuts_step" not in cache:
+        cache["nuts_step"] = _tune_step(target, NUTS_TPU_CHAINS, "nuts",
+                                        jnp, random)
+        _save_cache(cache)
+    g_step = cache["grahmc_step"]
+    n_step = cache["nuts_step"]
+
+    # ---- GRAHMC: timed fused-kernel run ---------------------------------
     key = random.PRNGKey(0)
     init = (random.normal(key, (TPU_CHAINS, DIM)) * 0.5).astype(jnp.float32)
-    kw = dict(step_size=0.05, num_steps=NUM_STEPS, gamma=1.0, steepness=1.0,
+    kw = dict(step_size=g_step, num_steps=NUM_STEPS, gamma=1.0, steepness=1.0,
               burn_in=0, friction_schedule=constant_schedule,
               value_and_grad_fn=target.value_and_grad_fn, collect_chains=64,
               backend="pallas")   # fused on-chip trajectory kernel
 
-    print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
     # compile warm-up with the SAME static shape as the timed run
-    # (num_samples is a static arg; a different value would recompile
-    # inside the timed region)
     res = grahmc_run(random.PRNGKey(1), target.log_prob_fn, init,
                      num_samples=TIMED_SAMPLES, **kw)
     jax.block_until_ready(res.samples)
@@ -127,40 +281,107 @@ def measure_tpu():
         t0 = time.time()
         res = grahmc_run(random.PRNGKey(2 + rep), target.log_prob_fn, init,
                          num_samples=TIMED_SAMPLES, **kw)
-        float(jnp.sum(res.samples) + jnp.sum(res.final_state.position))
+        float(jnp.sum(res.final_state.position))
         dts.append(time.time() - t0)
     dt = sorted(dts[1:])[len(dts[1:]) // 2]
     accept = float(res.accept_rate.mean())
-    print(f"[bench] TPU: {dt:.2f}s for {TIMED_SAMPLES} samples x {TPU_CHAINS} "
-          f"chains (accept={accept:.3f})", file=sys.stderr)
+    grahmc_rate = TPU_CHAINS * TIMED_SAMPLES / dt
+    print(f"[bench] GRAHMC TPU: {dt:.2f}s for {TIMED_SAMPLES} x {TPU_CHAINS} "
+          f"chains (accept={accept:.3f}, step={g_step:.4f})", file=sys.stderr)
 
-    # Secondary counters (stderr only; the JSON metric stays chain-steps/s):
-    # bulk-ESS/sec estimated from the collected chain prefix, scaled to all
-    # chains (chains are i.i.d. given the warmed state).
+    extras = {"grahmc_accept": round(accept, 3),
+              "grahmc_step_size": round(g_step, 5)}
+    # Separate timed run WITH full-history collection: ESS/sec must be
+    # measured over ALL chains against the wall time of the run that
+    # produced that history (collection costs real HBM writes, so it is not
+    # folded into the headline chain-steps/s either).
     try:
-        from mcmc_tpu.diagnostics import ess_bulk
-        ess_prefix = float(jnp.min(ess_bulk(res.samples)))
-        n_collect = res.samples.shape[1]
-        ess_rate = ess_prefix * (TPU_CHAINS / n_collect) / dt
-        print(f"[bench] est. min bulk-ESS/sec/chip: {ess_rate:,.0f} "
-              f"(prefix of {n_collect} chains, {TIMED_SAMPLES} draws)",
-              file=sys.stderr)
+        kw_full = dict(kw, collect_chains=None)
+        res_full = grahmc_run(random.PRNGKey(9), target.log_prob_fn, init,
+                              num_samples=TIMED_SAMPLES, **kw_full)
+        jax.block_until_ready(res_full.samples)
+        t0 = time.time()
+        res_full = grahmc_run(random.PRNGKey(10), target.log_prob_fn, init,
+                              num_samples=TIMED_SAMPLES, **kw_full)
+        float(jnp.sum(res_full.final_state.position))
+        dt_full = time.time() - t0
+        extras["grahmc_ess_per_sec"] = round(
+            _measured_ess_per_sec(res_full.samples, dt_full, jnp, "GRAHMC"), 1)
     except Exception as e:  # counters must never fail the bench
-        print(f"[bench] ESS counter skipped: {e}", file=sys.stderr)
-    return TPU_CHAINS * TIMED_SAMPLES / dt
+        print(f"[bench] GRAHMC ESS counter skipped: {e}", file=sys.stderr)
+
+    # ---- NUTS: persistent path, timed, full-history ESS ------------------
+    try:
+        n_init = (random.normal(random.PRNGKey(3),
+                                (NUTS_TPU_CHAINS, DIM)) * 0.5
+                  ).astype(jnp.float32)
+        nkw = dict(step_size=n_step, num_samples=NUTS_TIMED_SAMPLES,
+                   steps_per_sample=NUTS_STEPS_PER_SAMPLE, burn_in_steps=0,
+                   value_and_grad_fn=target.value_and_grad_fn)
+        nres = nuts_run_persistent(random.PRNGKey(4), target.log_prob_fn,
+                                   n_init, **nkw)
+        jax.block_until_ready(nres.samples)
+        ndts = []
+        for rep in range(4):
+            t0 = time.time()
+            nres = nuts_run_persistent(random.PRNGKey(5 + rep),
+                                       target.log_prob_fn, n_init, **nkw)
+            float(jnp.sum(nres.final_state.position))
+            ndts.append(time.time() - t0)
+        ndt = sorted(ndts[1:])[len(ndts[1:]) // 2]
+        n_grads = NUTS_TIMED_SAMPLES * NUTS_STEPS_PER_SAMPLE * NUTS_TPU_CHAINS
+        extras["nuts_useful_grads_per_sec"] = round(n_grads / ndt, 1)
+        extras["nuts_accept"] = round(float(jnp.nanmean(
+            nres.info["mean_accept_probs"])), 3)
+        extras["nuts_step_size"] = round(n_step, 5)
+        print(f"[bench] NUTS TPU (persistent): {ndt:.2f}s, "
+              f"{n_grads / ndt / 1e6:,.1f}M useful grads/s at "
+              f"{NUTS_TPU_CHAINS} chains (accept="
+              f"{extras['nuts_accept']:.3f})", file=sys.stderr)
+        extras["nuts_ess_per_sec"] = round(
+            _measured_ess_per_sec(nres.samples, ndt, jnp, "NUTS"), 1)
+    except Exception as e:
+        print(f"[bench] NUTS row skipped: {e}", file=sys.stderr)
+
+    return grahmc_rate, extras, cache
 
 
 def main():
-    baseline = measure_baseline()
-    print(f"[bench] reference CPU baseline: "
-          f"{baseline['chain_steps_per_sec']:.1f} chain-steps/s "
-          f"({baseline['chains']} chains)", file=sys.stderr)
-    tpu_rate = measure_tpu()
+    grahmc_rate, extras, cache = measure_tpu()
+
+    if "grahmc_cpu" not in cache:
+        cache["grahmc_cpu"] = _run_subprocess(
+            _GRAHMC_BASELINE_SCRIPT % {
+                "dim": DIM, "chains": CPU_CHAINS, "num_steps": NUM_STEPS,
+                "samples": 100, "step": cache["grahmc_step"]}, "GRAHMC")
+        _save_cache(cache)
+    if "nuts_cpu" not in cache:
+        cache["nuts_cpu"] = _run_subprocess(
+            _NUTS_BASELINE_SCRIPT % {
+                "dim": DIM, "chains": NUTS_CPU_CHAINS, "samples": 24,
+                "step": cache["nuts_step"]}, "NUTS")
+        _save_cache(cache)
+
+    base = cache["grahmc_cpu"]
+    print(f"[bench] reference CPU GRAHMC baseline: "
+          f"{base['chain_steps_per_sec']:.1f} chain-steps/s "
+          f"({base['chains']} chains, accept={base.get('accept', -1):.3f})",
+          file=sys.stderr)
+    nbase = cache["nuts_cpu"]
+    print(f"[bench] reference CPU NUTS baseline: "
+          f"{nbase['useful_grads_per_sec']:,.0f} useful grads/s "
+          f"({nbase['chains']} chains)", file=sys.stderr)
+    if "nuts_useful_grads_per_sec" in extras:
+        extras["nuts_vs_baseline"] = round(
+            extras["nuts_useful_grads_per_sec"]
+            / nbase["useful_grads_per_sec"], 2)
+
     print(json.dumps({
-        "metric": "grahmc_chain_steps_per_sec_50d_funnel",
-        "value": round(tpu_rate, 1),
+        "metric": "grahmc_chain_steps_per_sec_50d_funnel_tuned",
+        "value": round(grahmc_rate, 1),
         "unit": "chain_steps/s",
-        "vs_baseline": round(tpu_rate / baseline["chain_steps_per_sec"], 2),
+        "vs_baseline": round(grahmc_rate / base["chain_steps_per_sec"], 2),
+        "extras": extras,
     }))
 
 

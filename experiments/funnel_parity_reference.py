@@ -117,9 +117,19 @@ def _install_sequential_tune_grahmc():
     sys.modules["tuning.sequential_tune_grahmc"] = mod
 
 
+def _install_arviz_stub():
+    """arviz is absent from this image; inject the numpy implementation of
+    the same published diagnostics (experiments/_arviz_stub.py)."""
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import _arviz_stub
+    sys.modules["arviz"] = _arviz_stub
+
+
 def main():
     _install_rahmc_paper_targets_stub()
     _install_sequential_tune_grahmc()
+    _install_arviz_stub()
     import run_benchmarks
     sys.argv = ["run_benchmarks.py"] + sys.argv[1:]
     run_benchmarks.main()

@@ -217,6 +217,111 @@ def _gaussian_mixture(dim, d_pad, params, ax):
     return vag
 
 
+def _coord(q, i, ax):
+    """i-th coordinate, keepdims: (C,1) or (1,C)."""
+    return q[:, i:i + 1] if ax == 1 else q[i:i + 1, :]
+
+
+def _multimodal_funnel_2d(dim, d_pad, params, ax):
+    mu, sigma, c = params["mu"], params["sigma"], params["c"]
+    sig2 = sigma * sigma
+    log_norm_prior = math.log(0.5) - 0.5 * math.log(2.0 * math.pi * sig2)
+    log_2pi_c = math.log(2.0 * math.pi * c)
+
+    def vag(q):
+        coord0 = _ids(d_pad, ax) == 0
+        coord1 = _ids(d_pad, ax) == 1
+        v = _coord(q, 0, ax)
+        x = _coord(q, 1, ax)
+        a1 = -0.5 * (v - mu) ** 2 / sig2
+        a2 = -0.5 * (v + mu) ** 2 / sig2
+        mx = jnp.maximum(a1, a2)
+        e1 = jnp.exp(a1 - mx)
+        e2 = jnp.exp(a2 - mx)
+        lse = e1 + e2
+        log_prior = log_norm_prior + mx + jnp.log(lse)
+        inv_var = jnp.exp(-v) / c
+        log_cond = -0.5 * (x * x * inv_var + v + log_2pi_c)
+        lp = log_prior + log_cond
+        w1 = e1 / lse
+        w2 = e2 / lse
+        gv = (-(w1 * (v - mu) + w2 * (v + mu)) / sig2
+              + 0.5 * x * x * inv_var - 0.5)
+        gx = -x * inv_var
+        grad = jnp.where(coord0, gv, jnp.where(coord1, gx, 0.0))
+        return lp, grad
+    return vag
+
+
+def _l1_shell_terms(u, radii, sig2):
+    """Unrolled logsumexp over scalar radii: returns (lp, dlp_du)."""
+    terms = [-0.5 * (u - r) ** 2 / sig2 for r in radii]
+    mx = terms[0]
+    for t in terms[1:]:
+        mx = jnp.maximum(mx, t)
+    exps = [jnp.exp(t - mx) for t in terms]
+    lse = exps[0]
+    for e in exps[1:]:
+        lse = lse + e
+    lp = mx + jnp.log(lse)
+    du = exps[0] * (-(u - radii[0]) / sig2)
+    for e, r in zip(exps[1:], radii[1:]):
+        du = du + e * (-(u - r) / sig2)
+    return lp, du / lse
+
+
+def _concentric_l1(dim, d_pad, params, ax):
+    radii = params["radii"]
+    sig2 = params["sigma"] ** 2
+
+    def vag(q):
+        mask = _mask_row(dim, d_pad, ax)
+        u = jnp.sum(jnp.abs(q) * mask, axis=ax, keepdims=True)
+        lp, du = _l1_shell_terms(u, radii, sig2)
+        grad = du * jnp.sign(q) * mask
+        return lp, grad
+    return vag
+
+
+def _nested_l1(dim, d_pad, params, ax):
+    r_outer, r_inner = params["r_outer"], params["r_inner"]
+    mu_norm, n_inner = params["mu_norm"], params["n_inner"]
+    sig2 = params["sigma"] ** 2
+    # centres: origin (radius r_outer) + axis points (radius r_inner);
+    # axis/sign are scalars, so each centre's offset is rebuilt from iota
+    centres = [(None, 0.0, r_outer)]
+    for j in range(n_inner):
+        centres.append(((j // 2) % dim, 1.0 if j % 2 == 0 else -1.0, r_inner))
+
+    def vag(q):
+        mask = _mask_row(dim, d_pad, ax)
+        ids = _ids(d_pad, ax)
+        diffs, us = [], []
+        for axis, sign, _r in centres:
+            if axis is None:
+                d = q
+            else:
+                d = q - jnp.where(ids == axis, sign * mu_norm, 0.0)
+            d = d * mask
+            diffs.append(d)
+            us.append(jnp.sum(jnp.abs(d), axis=ax, keepdims=True))
+        terms = [-0.5 * (u - c[2]) ** 2 / sig2 for u, c in zip(us, centres)]
+        mx = terms[0]
+        for t in terms[1:]:
+            mx = jnp.maximum(mx, t)
+        exps = [jnp.exp(t - mx) for t in terms]
+        lse = exps[0]
+        for e in exps[1:]:
+            lse = lse + e
+        lp = mx + jnp.log(lse)
+        grad = jnp.zeros_like(q)
+        for e, u, c, d in zip(exps, us, centres, diffs):
+            grad = grad + (e * (-(u - c[2]) / sig2)) * jnp.sign(d)
+        grad = grad / lse * mask
+        return lp, grad
+    return vag
+
+
 _BUILDERS = {
     "standard_normal": _standard_normal,
     "ill_conditioned_gaussian": _ill_conditioned,
@@ -226,6 +331,9 @@ _BUILDERS = {
     "log_gamma": _log_gamma,
     "rosenbrock": _rosenbrock,
     "gaussian_mixture": _gaussian_mixture,
+    "multimodal_funnel_2d": _multimodal_funnel_2d,
+    "concentric_l1_balls": _concentric_l1,
+    "nested_l1_balls": _nested_l1,
 }
 
 PALLAS_FAMILIES = tuple(_BUILDERS)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import jax.random as random
 from jax.nn import softmax, logsumexp
 
-from mcmc_tpu.targets import TargetDistribution
+from mcmc_tpu.targets import TargetDistribution, _tag
 
 
 def multimodal_funnel_2d(mu: float = 3.0, sigma: float = 1.0, c: float = 1.0) -> TargetDistribution:
@@ -58,6 +58,8 @@ def multimodal_funnel_2d(mu: float = 3.0, sigma: float = 1.0, c: float = 1.0) ->
         x = random.normal(k3, (n_chains,)) * jnp.sqrt(c)
         return jnp.stack([v, x], axis=-1)
 
+    _tag(value_and_grad_fn, "multimodal_funnel_2d", 2,
+         mu=mu, sigma=sigma, c=c)
     var_v = mu ** 2 + sig2
     # Var[x] = c * E[e^v] = c * exp(sig2/2) * cosh(mu)  (mixture of lognormal moments)
     var_x = c * jnp.exp(sig2 / 2.0) * jnp.cosh(mu)
@@ -103,6 +105,9 @@ def concentric_l1_balls(dim: int = 2, radii=(4.0, 8.0, 16.0), sigma: float = 0.5
 
     def log_prob_fn(x):
         return value_and_grad_fn(x)[0]
+
+    _tag(value_and_grad_fn, "concentric_l1_balls", dim,
+         radii=tuple(float(r) for r in radii), sigma=sigma)
 
     def init_sampler(key, n_chains):
         # Start on random shells: direction on the L1 sphere of a random radius.
@@ -167,6 +172,9 @@ def nested_l1_balls(dim: int = 2, r_outer: float = 20.0, r_inner: float = 2.0,
         d = d / jnp.sum(jnp.abs(d), axis=-1, keepdims=True)
         return c + d * r[:, None] + random.normal(k3, (n_chains, dim)) * sigma
 
+    _tag(value_and_grad_fn, "nested_l1_balls", dim,
+         r_outer=r_outer, r_inner=r_inner, mu_norm=mu_norm, sigma=sigma,
+         n_inner=n_inner)
     symmetric = (n_inner % 2 == 0)
     return TargetDistribution(
         log_prob_fn=log_prob_fn,

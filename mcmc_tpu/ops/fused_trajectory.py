@@ -97,15 +97,28 @@ def _make_kernel(padded_vag: Callable, num_steps: int,
                  inject_randoms: bool, dim_axis: int):
     """Kernel body factory. Ref order:
     seed(SMEM), scalars(SMEM), q, lp, grad, inv_mass, mask
-    [, p0, u if inject_randoms] -> q_out, lp_out, grad_out, acc_out, dh_out.
+    [, data... for data-carrying targets][, p0, u if inject_randoms]
+    -> q_out, lp_out, grad_out, acc_out, dh_out.
 
     Per-chain scalars (lp, accept, dh) are (C, 1) blocks in the lane layout
     and (1, C) blocks in the transposed layout; inv_mass/mask broadcast along
-    the chain axis."""
+    the chain axis. Targets tagged with `data_arrays` (e.g. the hierarchical
+    logistic's design matrix) receive those arrays as whole-array VMEM refs —
+    Pallas kernels cannot capture constant arrays."""
     ax = dim_axis
+    n_data_refs = len(getattr(padded_vag, "data_arrays", ()))
 
     def kernel(seed_ref, scal_ref, q_ref, lp_ref, grad_ref, invm_ref,
                mask_ref, *rest):
+        data_vals = tuple(r[:] for r in rest[:n_data_refs])
+        rest = rest[n_data_refs:]
+        if data_vals:
+            base_vag = padded_vag
+
+            def vag_with_data(q):
+                return base_vag(q, *data_vals)
+        else:
+            vag_with_data = padded_vag
         if inject_randoms:
             (p0_ref, u_ref, q_out, lp_out, grad_out, acc_out, dh_out,
              prop_out, prop_lp_out) = rest
@@ -146,7 +159,7 @@ def _make_kernel(padded_vag: Callable, num_steps: int,
                 p = p * scale
             p = p + half_eps * grad
             q = q + eps * (p * invm)
-            lp, grad = padded_vag(q)
+            lp, grad = vag_with_data(q)
             p = p + half_eps * grad
             if friction_schedule is not None:
                 p = p * scale
@@ -230,6 +243,11 @@ def _build_call(padded_vag, num_steps, friction_schedule, n_chains, d_pad,
                                    memory_space=pltpu.VMEM)
         in_specs[6] = pl.BlockSpec((1, d_pad), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM)
+    for arr in getattr(padded_vag, "data_arrays", ()):
+        # whole-array constant data (same block for every grid tile)
+        in_specs.append(pl.BlockSpec(arr.shape,
+                                     lambda i, _rank=len(arr.shape): (0,) * _rank,
+                                     memory_space=pltpu.VMEM))
     if inject_randoms:
         in_specs += [full, per_chain]             # p0, u
 
@@ -290,14 +308,26 @@ def make_fused_grahmc_step(
 
     call_cache = {}
 
+    vag_cache = {}
+
     def fused(key, state, step_size, gamma, steepness, inv_mass_matrix):
         n_chains, dim = state.position.shape
         dim_axis = choose_layout(dim) if layout == "auto" else (
             1 if layout == "lanes" else 0)
         d_pad = _round_up(dim, LANE if dim_axis == 1 else SUBLANE)
+        vag_key = (dim, d_pad, dim_axis)
+        if vag_key not in vag_cache:
+            vag_cache[vag_key] = make_padded_vag(value_and_grad_fn, d_pad,
+                                                 dim_axis)
+        padded_vag = vag_cache[vag_key]
+        has_data = bool(getattr(padded_vag, "data_arrays", ()))
         # default tiles: 512 chains on sublanes (lane layout) or 2048 chains
-        # on lanes (transposed); shrink to divide n_chains
-        tile = chain_tile or (512 if dim_axis == 1 else 2048)
+        # on lanes (transposed); data-carrying targets halve the tile — their
+        # (n_data, tile) likelihood intermediates must also fit the 16MB
+        # scoped VMEM. Shrink to divide n_chains.
+        tile = chain_tile or (
+            (256 if dim_axis == 1 else 1024) if has_data
+            else (512 if dim_axis == 1 else 2048))
         tile = min(tile, n_chains)
         while n_chains % tile:
             tile //= 2
@@ -305,12 +335,12 @@ def make_fused_grahmc_step(
 
         cache_key = (n_chains, dim, tile, dim_axis)
         if cache_key not in call_cache:
-            padded_vag = make_padded_vag(value_and_grad_fn, d_pad, dim_axis)
             call_cache[cache_key] = _build_call(
                 padded_vag, num_steps, friction_schedule, n_chains, d_pad,
                 tile, inject_randoms=not onchip_rng, interpret=interpret,
                 dim_axis=dim_axis)
         call = call_cache[cache_key]
+        data_arrays = tuple(getattr(padded_vag, "data_arrays", ()))
 
         key, seed_key = random.split(key)
         seed = seed_words_from_key(seed_key)
@@ -333,14 +363,15 @@ def make_fused_grahmc_step(
             invm, mask = invm.T, mask.T
 
         if onchip_rng:
-            outs = call(seed, scalars, q, lp, grad, invm, mask)
+            outs = call(seed, scalars, q, lp, grad, invm, mask, *data_arrays)
         else:
             k_mom, k_u = random.split(seed_key)
             p0 = (random.normal(k_mom, q.shape, dtype=jnp.float32)
                   / jnp.sqrt(invm))
             u_shape = lp.shape
             u = random.uniform(k_u, u_shape, dtype=jnp.float32)
-            outs = call(seed, scalars, q, lp, grad, invm, mask, p0, u)
+            outs = call(seed, scalars, q, lp, grad, invm, mask, *data_arrays,
+                        p0, u)
         q1, lp1, grad1, acc, dh, prop_q, prop_lp = outs
         if dim_axis == 0:
             q1, lp1, grad1, acc, dh = q1.T, lp1.T, grad1.T, acc.T, dh.T
@@ -386,6 +417,7 @@ def make_debug_trajectory(value_and_grad_fn, num_steps: int,
     d_pad = _round_up(dim, LANE if dim_axis == 1 else SUBLANE)
     tile = n_chains
     padded_vag = make_padded_vag(value_and_grad_fn, d_pad, dim_axis)
+    data_arrays = tuple(getattr(padded_vag, "data_arrays", ()))
     call = _build_call(padded_vag, num_steps, friction_schedule, n_chains,
                        d_pad, tile, inject_randoms=True, interpret=interpret,
                        dim_axis=dim_axis)
@@ -407,7 +439,8 @@ def make_debug_trajectory(value_and_grad_fn, num_steps: int,
         if dim_axis == 0:
             qp, gp, pp, lpp, up = qp.T, gp.T, pp.T, lpp.T, up.T
             invm, mask = invm.T, mask.T
-        outs = call(seed, scalars, qp, lpp, gp, invm, mask, pp, up)
+        outs = call(seed, scalars, qp, lpp, gp, invm, mask, *data_arrays,
+                    pp, up)
         q1, lp1, grad1, acc, dh, prop_q, prop_lp = outs
         if dim_axis == 0:
             q1, lp1, grad1, acc, dh = q1.T, lp1.T, grad1.T, acc.T, dh.T

@@ -73,7 +73,7 @@ def hierarchical_logistic(dim: int = 100, n_data: int = 256,
         return jnp.concatenate([tau, beta], axis=1)
 
     _tag(value_and_grad_fn, "hierarchical_logistic", dim,
-         n_data=n_data, data_seed=data_seed)
+         n_data=n_data, data_seed=data_seed, X=X_np, y=y_np.astype(np.float32))
 
     return TargetDistribution(
         log_prob_fn=log_prob_fn,

@@ -296,3 +296,52 @@ def test_grahmc_pallas_backend_rahmc_target():
         value_and_grad_fn=t.value_and_grad_fn, backend="pallas")
     assert res.samples.shape == (60, 16, 2)
     assert np.all(np.isfinite(np.asarray(res.samples)))
+
+
+@pytest.mark.parametrize("dim_axis", [1, 0])
+def test_padded_vag_hierarchical_logistic(dim_axis):
+    """Data-carrying padded specialization (design matrix as VMEM operand):
+    block math == analytic math. Measured on TPU v5e at 8192 chains, S=250:
+    fused 15.7M chain-steps/s == XLA 15.7M (both MXU-bound at ~25.4
+    matmul-TFLOP/s); the kernel exists for multi-chip shard_map, not
+    single-chip speed."""
+    from mcmc_tpu.targets.hierarchical import hierarchical_logistic
+    t = hierarchical_logistic(dim=20, n_data=64)
+    x = t.init_sampler(random.PRNGKey(0), 8).astype(jnp.float32)
+    d_pad = 128 if dim_axis == 1 else 24
+    vag = make_padded_vag(t.value_and_grad_fn, d_pad, dim_axis)
+    block = _pad(x, d_pad)
+    if dim_axis == 0:
+        block = block.T
+    lp, g = vag(block, *[jnp.asarray(a) for a in vag.data_arrays])
+    if dim_axis == 0:
+        lp, g = lp.T, g.T
+    lp_ref, g_ref = t.value_and_grad_fn(x)
+    np.testing.assert_allclose(np.asarray(lp[:, 0]),
+                               np.asarray(lp_ref, np.float32),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(g[:, :20]),
+                               np.asarray(g_ref, np.float32),
+                               rtol=3e-4, atol=3e-4)
+    assert np.all(np.asarray(g[:, 20:]) == 0.0)
+
+
+def test_grahmc_pallas_backend_hierarchical():
+    """Fused kernel end-to-end on the data-carrying target; posterior agrees
+    with the XLA path."""
+    from mcmc_tpu.targets.hierarchical import hierarchical_logistic
+    from mcmc_tpu.samplers import grahmc_run
+    t = hierarchical_logistic(dim=20, n_data=64)
+    pos = t.init_sampler(random.PRNGKey(0), 16).astype(jnp.float32)
+    outs = {}
+    for backend in ("pallas", "xla"):
+        res = grahmc_run(
+            random.PRNGKey(1), t.log_prob_fn, pos, step_size=0.05,
+            num_steps=8, gamma=0.5, steepness=1.0, num_samples=120,
+            burn_in=40, friction_schedule=get_friction_schedule("constant"),
+            value_and_grad_fn=t.value_and_grad_fn, backend=backend)
+        flat = np.asarray(res.samples).reshape(-1, 20)
+        assert np.all(np.isfinite(flat))
+        outs[backend] = (float(res.accept_rate.mean()), flat.mean(0))
+    assert abs(outs["pallas"][0] - outs["xla"][0]) < 0.2
+    np.testing.assert_allclose(outs["pallas"][1], outs["xla"][1], atol=0.6)

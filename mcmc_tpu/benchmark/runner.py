@@ -28,8 +28,8 @@ from mcmc_tpu.diagnostics import (
     MIN_ESS_HARD_GATE, MIN_ESS_TAIL_HARD_GATE,
 )
 from mcmc_tpu.samplers import (
-    rwmh_run, hmc_run, nuts_run, grahmc_run, get_friction_schedule,
-    default_steepness,
+    rwmh_run, hmc_run, nuts_run, nuts_run_persistent, grahmc_run,
+    get_friction_schedule, default_steepness,
 )
 from mcmc_tpu.tuning import run_adaptive_warmup, dual_averaging_tune_rwmh
 
@@ -139,7 +139,8 @@ def _resolve_mesh(n_chains: int, mesh_devices="auto"):
 
 def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
             inv_mass, schedule_type, warmup_info, backend: str = "auto",
-            mesh=None):
+            mesh=None, nuts_backend: str = "classic",
+            nuts_steps_per_sample: int = 64):
     """Phase 2 dispatch. Returns a RunResult.
 
     With a mesh, XLA samplers run GSPMD-partitioned over the chain axis
@@ -173,6 +174,16 @@ def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
                        value_and_grad_fn=target.value_and_grad_fn,
                        backend=backend)
     if sampler == "nuts":
+        if nuts_backend == "persistent":
+            # TPU fast path: asynchronous NUTS, fixed-interval snapshots
+            # (samplers/nuts_persistent.py). Exact gradient accounting via
+            # info["n_leapfrogs"].
+            return nuts_run_persistent(
+                key, target.log_prob_fn, position, step_size=step_size,
+                num_samples=num_samples,
+                steps_per_sample=nuts_steps_per_sample, burn_in_steps=0,
+                inv_mass_matrix=inv_mass, max_tree_depth=10,
+                value_and_grad_fn=target.value_and_grad_fn)
         return nuts_run(key, target.log_prob_fn, position, step_size=step_size,
                         num_samples=num_samples, burn_in=0,
                         inv_mass_matrix=inv_mass, max_tree_depth=10,
@@ -202,6 +213,7 @@ def run_single_benchmark_with_L(
     track_convergence: bool = False,
     convergence_base: float = 1.5,
     mesh_devices="auto",
+    nuts_backend: str = "classic",
 ) -> Dict:
     """One warmup+sample+diagnose+gate pipeline at a fixed trajectory length."""
     is_grahmc = sampler in ("grahmc", "rahmc")
@@ -254,7 +266,7 @@ def run_single_benchmark_with_L(
                 key, s_key = random.split(key)
                 res = _sample(sampler, target, s_key, position, step_size,
                               num_steps, batch, inv_mass, schedule_type,
-                              warmup_info, mesh=mesh)
+                              warmup_info, mesh=mesh, nuts_backend=nuts_backend)
                 position = res.final_state.position
                 pieces.append(res)
                 cumulative = jnp.concatenate([p.samples for p in pieces], axis=0)
@@ -282,7 +294,7 @@ def run_single_benchmark_with_L(
             key, s_key = random.split(key)
             res = _sample(sampler, target, s_key, position, step_size,
                           num_steps, num_samples, inv_mass, schedule_type,
-                          warmup_info, mesh=mesh)
+                          warmup_info, mesh=mesh, nuts_backend=nuts_backend)
             samples = res.samples
             accept_rate = float(res.accept_rate.mean())
             total_div = int(res.info["total_divergences"])
@@ -293,7 +305,13 @@ def run_single_benchmark_with_L(
               f"div={divergence_rate:.2%}")
 
         # Gradient accounting
-        if sampler == "nuts" and tree_depths is not None:
+        if (sampler == "nuts" and res is not None
+                and "n_leapfrogs" in getattr(res, "info", {})):
+            # persistent path: exact count of executed (all useful) leapfrogs
+            n_gradients = int(res.info["n_leapfrogs"])
+            avg_tree_depth = float(np.asarray(
+                res.info["mean_tree_depth"]).mean())
+        elif sampler == "nuts" and tree_depths is not None:
             grads_per = (2 ** np.asarray(tree_depths)) - 1
             n_gradients = int(grads_per.sum())
             avg_tree_depth = float(np.asarray(tree_depths).mean())
@@ -613,6 +631,7 @@ def run_all_benchmarks(
     track_convergence: bool = False,
     convergence_base: float = 1.5,
     mesh_devices="auto",
+    nuts_backend: str = "classic",
 ):
     """Iterate target x sampler x mass-mode (x schedule for GRAHMC) with
     resume-by-signature and incremental saving. Returns a DataFrame."""
@@ -668,7 +687,8 @@ def run_all_benchmarks(
                         result = run_single_benchmark_with_L(
                             sampler, target, target_name, subkey, n_chains,
                             num_warmup, num_samples, schedule or "constant",
-                            20, learn_mass, mesh_devices=mesh_devices)
+                            20, learn_mass, mesh_devices=mesh_devices,
+                            nuts_backend=nuts_backend)
                     all_results.append(result)
                     save_result_incremental(result, output_dir, is_first=is_first)
                     is_first = False

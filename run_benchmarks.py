@@ -50,6 +50,11 @@ def main():
     parser.add_argument("--output-dir", type=str, default="benchmark_results",
                         help="Directory to save results")
     parser.add_argument("--seed", type=int, default=42, help="Random seed")
+    parser.add_argument("--nuts-backend", type=str, default="classic",
+                        choices=["classic", "persistent"],
+                        help="NUTS execution path: 'classic' (reference "
+                        "lockstep tree doubling) or 'persistent' (asynchronous "
+                        "TPU fast path, fixed-interval snapshots)")
     parser.add_argument("--mesh", type=str, default="auto",
                         help="Chain-shard over devices: 'auto' (all local devices when >1), an integer device count, or 'off'")
 
@@ -93,6 +98,7 @@ def main():
         convergence_base=args.convergence_base,
         mesh_devices=(args.mesh if args.mesh in ('auto', 'off')
                       else int(args.mesh)),
+        nuts_backend=args.nuts_backend,
     )
     print_summary(df)
 

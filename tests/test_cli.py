@@ -245,3 +245,19 @@ def test_sample_dispatches_hmc_to_sharded_fused_kernel():
                   backend="pallas", mesh=mesh)
     assert res.samples.shape == (40, 16, 4)
     assert np.all(np.isfinite(np.asarray(res.samples)))
+
+
+@pytest.mark.slow
+def test_single_benchmark_nuts_persistent_backend():
+    """--nuts-backend persistent: schema-valid row, exact leapfrog-count
+    gradient accounting."""
+    t = get_target("standard_normal", dim=4)
+    r = run_single_benchmark_with_L(
+        "nuts", t, "standard_normal", random.PRNGKey(11), n_chains=8,
+        num_warmup=200, num_samples=300, schedule_type="constant",
+        num_steps=20, nuts_backend="persistent")
+    assert r.get("error") is None
+    for f in SCHEMA_FIELDS:
+        assert f in r, f"missing field {f}"
+    assert r["n_gradients"] == 300 * 64 * 8
+    assert r["avg_tree_depth"] is not None

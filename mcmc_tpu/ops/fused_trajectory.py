@@ -321,13 +321,14 @@ def make_fused_grahmc_step(
                                                  dim_axis)
         padded_vag = vag_cache[vag_key]
         has_data = bool(getattr(padded_vag, "data_arrays", ()))
-        # default tiles: 512 chains on sublanes (lane layout) or 2048 chains
-        # on lanes (transposed); data-carrying targets halve the tile — their
-        # (n_data, tile) likelihood intermediates must also fit the 16MB
-        # scoped VMEM. Shrink to divide n_chains.
+        # default tiles: 512 chains on sublanes (lane layout) or 1024 chains
+        # on lanes (transposed; measured optimum on v5e — 80.7M vs 73.2M
+        # chain-steps/s at 2048 on the 50D funnel); data-carrying targets
+        # halve again — their (n_data, tile) likelihood intermediates must
+        # also fit the 16MB scoped VMEM. Shrink to divide n_chains.
         tile = chain_tile or (
             (256 if dim_axis == 1 else 1024) if has_data
-            else (512 if dim_axis == 1 else 2048))
+            else (512 if dim_axis == 1 else 1024))
         tile = min(tile, n_chains)
         while n_chains % tile:
             tile //= 2

@@ -139,3 +139,14 @@ def test_fused_kernel_sharded_over_mesh():
     assert np.all(np.abs(flat.var(0) - 1.0) < 0.3)
     assert int(res.info["total_divergences"]) == 0
     assert res.info["final_positions"].shape == (64, 6)
+
+
+def test_distributed_helpers_single_process():
+    """Multi-host helpers degrade gracefully to single-process: initialize()
+    is a no-op returning process 0; make_chain_mesh spans all local devices
+    on one named chain axis."""
+    from mcmc_tpu.parallel.distributed import initialize, make_chain_mesh
+    assert initialize(num_processes=1) == 0
+    mesh = make_chain_mesh()
+    assert mesh.axis_names == ("chains",)
+    assert mesh.devices.size == len(jax.devices())

@@ -150,3 +150,24 @@ def test_distributed_helpers_single_process():
     mesh = make_chain_mesh()
     assert mesh.axis_names == ("chains",)
     assert mesh.devices.size == len(jax.devices())
+
+
+def test_persistent_nuts_sharded_over_mesh():
+    """Persistent NUTS is pure batched jnp — GSPMD partitions it over the
+    chain mesh from sharded inputs alone (no collectives in the hot loop)."""
+    from mcmc_tpu.parallel import make_mesh, shard_chains
+    from mcmc_tpu.samplers import nuts_run_persistent
+    from mcmc_tpu.targets import standard_normal
+
+    t = standard_normal(4)
+    mesh = make_mesh(8)
+    pos = shard_chains(
+        random.normal(random.PRNGKey(0), (32, 4)), mesh)
+    res = nuts_run_persistent(random.PRNGKey(1), t.log_prob_fn, pos,
+                              step_size=0.5, num_samples=30,
+                              steps_per_sample=8, burn_in_steps=16,
+                              value_and_grad_fn=t.value_and_grad_fn)
+    assert res.samples.shape == (30, 32, 4)
+    flat = np.asarray(res.samples).reshape(-1, 4)
+    assert np.all(np.isfinite(flat))
+    assert np.all(np.abs(flat.mean(0)) < 0.6)

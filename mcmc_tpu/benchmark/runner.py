@@ -68,8 +68,10 @@ def _grid_summary(r: Dict) -> Dict:
 
 def _warmup(sampler, target, target_name, key, init_pos, num_warmup,
             schedule_type, num_steps, learn_mass_matrix, verbose=True,
-            backend="auto"):
+            backend="auto", nuts_backend="classic"):
     """Phase 1 dispatch. Returns (step_size, inv_mass, position, warmup_info)."""
+    if sampler == "nuts" and nuts_backend == "persistent":
+        backend = "persistent"
     if sampler == "rwmh":
         scale, _hist = dual_averaging_tune_rwmh(
             key, target.log_prob_fn, init_pos, max_iter=1000)
@@ -246,7 +248,8 @@ def run_single_benchmark_with_L(
         step_size, inv_mass, position, warmup_info = _warmup(
             sampler, target, target_name, warm_key, init_pos, num_warmup,
             schedule_type, num_steps, learn_mass_matrix,
-            backend="xla" if mesh is not None else "auto")
+            backend="xla" if mesh is not None else "auto",
+            nuts_backend=nuts_backend)
         warmup_time = time.time() - warmup_start
         print(f"  warmup {warmup_time:.1f}s, step_size={step_size:.4f}")
 

@@ -67,8 +67,68 @@ def build_schedule(
 
 def _make_step_fn(sampler: str, log_prob_fn, value_and_grad_fn, kwargs,
                   schedule_type, gamma, steepness, backend: str = "xla"):
-    """Build (key, state, step_size, inv_mass) -> (key, state, accept_stat)."""
+    """Build the warmup stepping triple:
+
+        (step, make_state, get_position)
+
+    step: (key, state, step_size, inv_mass) -> (key, state, accept_stat);
+    make_state: (initial_position) -> state pytree carried through the
+    window scans; get_position: state -> (n_chains, dim) for Welford and the
+    returned warmed position. Classic samplers use ChainState; persistent
+    NUTS carries its asynchronous machine state instead (one warmup "step"
+    advances `steps_per_warmup_step` global leapfrog iterations)."""
     vag = make_value_and_grad(log_prob_fn, value_and_grad_fn)
+
+    def _chain_state(pos):
+        return init_chain_state(pos, log_prob_fn, value_and_grad_fn,
+                                needs_grad=True)
+
+    def _classic(step):
+        return step, _chain_state, lambda s: s.position
+
+    if sampler == "nuts" and backend == "persistent":
+        from mcmc_tpu import precision
+        from mcmc_tpu.samplers.nuts_persistent import (
+            _init_pstate, _make_window_step)
+        max_tree_depth = kwargs.get("max_tree_depth", 10)
+        G = kwargs.get("steps_per_warmup_step", 32)
+
+        if value_and_grad_fn is not None:
+            vag_b = value_and_grad_fn
+        else:
+            vag_b = jax.vmap(jax.value_and_grad(log_prob_fn))
+
+        def make_state(pos):
+            e_dtype = precision.energy_dtype()
+            cs = _chain_state(pos)
+            return _init_pstate(cs.position,
+                                jnp.asarray(cs.log_prob, e_dtype),
+                                cs.grad_log_prob, e_dtype)
+
+        def step(key, ps, step_size, inv_mass):
+            e_dtype = ps.sum_alpha.dtype
+            wstep = _make_window_step(vag_b, step_size,
+                                      jnp.asarray(inv_mass, ps.q.dtype),
+                                      max_tree_depth, 1000.0, e_dtype)
+            key, sub = random.split(key)
+            C, D = ps.q.shape
+            kp, kd, kd2, ks, ku = random.split(sub, 5)
+            xs = (random.normal(kp, (G, C, D), ps.q.dtype),
+                  random.bernoulli(kd, 0.5, (G, C)),
+                  random.bernoulli(kd2, 0.5, (G, C)),
+                  random.uniform(ks, (G, C)),
+                  random.uniform(ku, (G, C), dtype=jnp.float32,
+                                 minval=jnp.finfo(jnp.float32).tiny))
+            a0, t0 = ps.alpha_acc, ps.transitions
+            ps = lax.scan(wstep, ps, xs)[0]
+            da_, dt_ = ps.alpha_acc - a0, ps.transitions - t0
+            valid = dt_ > 0
+            per_chain = jnp.where(valid, da_ / jnp.maximum(dt_, 1), 0.0)
+            stat = jnp.sum(per_chain) / jnp.maximum(jnp.sum(valid), 1)
+            stat = jnp.where(jnp.any(valid), stat,
+                             jnp.asarray(0.65, e_dtype))
+            return key, ps, stat
+        return step, make_state, lambda s: s.q
 
     if sampler == "hmc":
         from mcmc_tpu.samplers.hmc import hmc_step
@@ -78,7 +138,7 @@ def _make_step_fn(sampler: str, log_prob_fn, value_and_grad_fn, kwargs,
             key, state, (accept, *_r) = hmc_step(key, state, vag, step_size,
                                                  num_steps, inv_mass)
             return key, state, jnp.mean(accept)
-        return step
+        return _classic(step)
 
     if sampler in ("grahmc", "rahmc"):
         from mcmc_tpu.samplers.grahmc import grahmc_step, get_friction_schedule
@@ -94,14 +154,14 @@ def _make_step_fn(sampler: str, log_prob_fn, value_and_grad_fn, kwargs,
                 key, state, (accept, *_r) = fused(
                     key, state, step_size, gamma, steepness, inv_mass)
                 return key, state, jnp.mean(accept)
-            return step
+            return _classic(step)
 
         def step(key, state, step_size, inv_mass):
             key, state, (accept, *_r) = grahmc_step(
                 key, state, vag, step_size, num_steps, gamma, steepness,
                 inv_mass, schedule_fn)
             return key, state, jnp.mean(accept)
-        return step
+        return _classic(step)
 
     if sampler == "nuts":
         from mcmc_tpu.samplers.nuts import nuts_step
@@ -114,7 +174,7 @@ def _make_step_fn(sampler: str, log_prob_fn, value_and_grad_fn, kwargs,
                 key, state, vag_single, step_size, inv_mass, max_tree_depth)
             # NUTS acceptance statistic = mean trajectory alpha
             return key, state, jnp.mean(mean_alpha)
-        return step
+        return _classic(step)
 
     raise ValueError(f"Unknown sampler: {sampler}")
 
@@ -157,8 +217,9 @@ def run_adaptive_warmup(
     else:
         gamma = steepness = None
 
-    step_fn = _make_step_fn(sampler, target_log_prob, value_and_grad_fn, kwargs,
-                            schedule_type, gamma, steepness, backend)
+    step_fn, make_state, get_position = _make_step_fn(
+        sampler, target_log_prob, value_and_grad_fn, kwargs,
+        schedule_type, gamma, steepness, backend)
 
     @partial(jax.jit, static_argnames=("num_batches", "samples_per_batch",
                                        "accumulate"))
@@ -173,7 +234,7 @@ def run_adaptive_warmup(
                 k, s, w = inner
                 k, s, accept_stat = step_fn(k, s, step_size, inv_mass)
                 if accumulate:
-                    w = welford_update(w, s.position)
+                    w = welford_update(w, get_position(s))
                 return (k, s, w), accept_stat
 
             (key, cs, wf), accepts = lax.scan(
@@ -190,8 +251,7 @@ def run_adaptive_warmup(
     initial_step = 0.5 / float(jnp.sqrt(n_dim))
     da_state = da_init(initial_step)
     inv_mass = jnp.ones(n_dim, dtype=initial_position.dtype)
-    chain_state = init_chain_state(initial_position, target_log_prob,
-                                   value_and_grad_fn, needs_grad=True)
+    chain_state = make_state(initial_position)
     welford = welford_init((n_chains, n_dim))
 
     schedule = build_schedule(num_warmup)
@@ -230,7 +290,7 @@ def run_adaptive_warmup(
                       f" (n={float(welford.count):.0f}/chain)")
 
     final_step_size = float(da_final_step_size(da_state))
-    position = chain_state.position
+    position = get_position(chain_state)
     if verbose:
         print(f"Warmup complete. Final step_size: {final_step_size:.5f}")
 

@@ -221,3 +221,21 @@ def test_sequential_tune_grahmc_contract():
     assert gamma == hist["selected_gamma"]
     assert gamma == hist["gamma_grid"][int(np.argmax(hist["esjd"]))]
     assert steepness == 2.0  # non-tanh default
+
+
+def test_warmup_nuts_persistent_backend():
+    """Windowed warmup through the persistent NUTS machine: DA converges to a
+    sensible step and the mass matrix learns the target scales."""
+    t = ill_conditioned_gaussian(6)
+    init = random.normal(random.PRNGKey(0), (16, 6)) * 0.1
+    step, inv_mass, pos, info = run_adaptive_warmup(
+        "nuts", t.log_prob_fn, None, init, random.PRNGKey(1),
+        num_warmup=600, value_and_grad_fn=t.value_and_grad_fn,
+        backend="persistent", steps_per_warmup_step=16)
+    assert step > 0
+    assert pos.shape == (16, 6)
+    assert np.all(np.isfinite(np.asarray(pos)))
+    true_var = np.diag(np.asarray(t.true_cov))
+    learned = np.asarray(inv_mass)
+    # learned metric ordered like the true variances (monotone correlation)
+    assert np.corrcoef(learned, true_var)[0, 1] > 0.8

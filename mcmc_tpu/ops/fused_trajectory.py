@@ -86,7 +86,19 @@ def _bits_to_uniform(bits):
 
 
 def _gaussian(shape):
-    """Standard normal via Box-Muller from two on-chip uniform draws."""
+    """Standard normal via Box-Muller from on-chip uniform draws.
+
+    Uses the full transform — each (u1, u2) pair yields TWO independent
+    normals, r·cos and r·sin — when the leading axis is even (always true
+    for sublane-padded blocks), halving the prng/log/sqrt work per normal."""
+    if len(shape) == 2 and shape[0] % 2 == 0 and shape[0] > 1:
+        half = (shape[0] // 2, shape[1])
+        u1 = _bits_to_uniform(pltpu.prng_random_bits(half))
+        u2 = _bits_to_uniform(pltpu.prng_random_bits(half))
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        theta = TWO_PI * u2
+        return jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)],
+                               axis=0)
     u1 = _bits_to_uniform(pltpu.prng_random_bits(shape))
     u2 = _bits_to_uniform(pltpu.prng_random_bits(shape))
     return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(TWO_PI * u2)

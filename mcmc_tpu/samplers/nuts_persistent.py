@@ -247,9 +247,21 @@ def _make_window_step(value_and_grad_batched, step_size, inv_mass,
     return step
 
 
+def _resolve_backend(backend: str, value_and_grad_fn) -> str:
+    """auto -> 'pallas' on TPU for targets with analytic pallas metadata
+    (the fused-VMEM window kernel, ops/fused_nuts.py), else 'xla'."""
+    if backend != "auto":
+        return backend
+    if (jax.default_backend() == "tpu" and value_and_grad_fn is not None
+            and getattr(value_and_grad_fn, "pallas_info", None) is not None):
+        return "pallas"
+    return "xla"
+
+
 @partial(jax.jit, static_argnames=(
     "log_prob_fn", "num_samples", "steps_per_sample", "burn_in_steps",
-    "max_tree_depth", "value_and_grad_fn", "collect_chains"))
+    "max_tree_depth", "value_and_grad_fn", "collect_chains", "backend",
+    "chain_tile"))
 def nuts_run_persistent(
     key,
     log_prob_fn,
@@ -263,6 +275,8 @@ def nuts_run_persistent(
     delta_max=1000.0,
     value_and_grad_fn: Optional[Callable] = None,
     collect_chains: Optional[int] = None,
+    backend: str = "auto",
+    chain_tile: Optional[int] = None,
 ) -> RunResult:
     """Asynchronous NUTS: `num_samples` snapshots, one every
     `steps_per_sample` global leapfrog iterations.
@@ -271,7 +285,18 @@ def nuts_run_persistent(
     num_samples * steps_per_sample) * n_chains. info carries per-chain
     transition counts, mean accept prob, mean terminal depth, and divergence
     stats with the same keys as `nuts_run`.
+
+    backend: 'xla' runs the scan-based machine; 'pallas' runs each snapshot
+    window as ONE fused VMEM kernel (ops/fused_nuts.py) — the state machine
+    never touches HBM inside a window; 'auto' picks pallas on TPU when the
+    target carries analytic pallas metadata.
     """
+    resolved = _resolve_backend(backend, value_and_grad_fn)
+    if resolved == "pallas":
+        return _run_persistent_pallas(
+            key, log_prob_fn, init_position, step_size, num_samples,
+            steps_per_sample, burn_in_steps, inv_mass_matrix, max_tree_depth,
+            delta_max, value_and_grad_fn, collect_chains, chain_tile)
     state0 = init_chain_state(init_position, log_prob_fn, value_and_grad_fn,
                               needs_grad=True)
     C, D = state0.position.shape
@@ -347,3 +372,90 @@ def nuts_run_persistent(
         divergence_count=ps.divergences)
     accept_rate = mean_accept.astype(jnp.float32)
     return RunResult(samples, lps, accept_rate, final_state, info)
+
+
+def _run_persistent_pallas(key, log_prob_fn, init_position, step_size,
+                           num_samples, steps_per_sample, burn_in_steps,
+                           inv_mass_matrix, max_tree_depth, delta_max,
+                           value_and_grad_fn, collect_chains, chain_tile):
+    """Persistent NUTS through the fused VMEM window kernel.
+
+    Identical machine semantics to the XLA scan (verified by an
+    injected-randomness parity test); float32 throughout (TPU fast path).
+    Each snapshot window is ONE pallas_call — the 13 (C, D) state arrays
+    cross HBM once per `steps_per_sample` leapfrogs instead of once per
+    leapfrog, which is what bounds the XLA path.
+    """
+    from mcmc_tpu.ops import fused_nuts
+
+    state0 = init_chain_state(init_position, log_prob_fn, value_and_grad_fn,
+                              needs_grad=True)
+    C, D = state0.position.shape
+    e_dtype = precision.energy_dtype()
+    pos_dtype = state0.position.dtype
+    if inv_mass_matrix is None:
+        inv_mass_matrix = jnp.ones(D, jnp.float32)
+
+    d_pad = fused_nuts._round_up(D, fused_nuts.SUBLANE)
+    ts = fused_nuts.pack_state(
+        state0.position.astype(jnp.float32),
+        jnp.asarray(state0.log_prob, jnp.float32),
+        state0.grad_log_prob.astype(jnp.float32), d_pad)
+
+    window_sample = fused_nuts.make_fused_nuts_window(
+        value_and_grad_fn, steps_per_sample, max_tree_depth, C, D,
+        delta_max=float(delta_max), chain_tile=chain_tile)
+
+    if burn_in_steps > 0:
+        window_burn = fused_nuts.make_fused_nuts_window(
+            value_and_grad_fn, burn_in_steps, max_tree_depth, C, D,
+            delta_max=float(delta_max), chain_tile=chain_tile)
+        key, bk = random.split(key)
+        ts = window_burn(bk, ts, step_size, inv_mass_matrix)
+        rows = ts.rows
+        for r in (fused_nuts.R_TRANSITIONS, fused_nuts.R_DIVERGENCES,
+                  fused_nuts.R_ALPHA_ACC, fused_nuts.R_DEPTH_ACC):
+            rows = rows.at[r].set(0.0)
+        ts = ts._replace(rows=rows)
+
+    n_collect = collect_chains or C
+
+    def emit(ts, k):
+        ts = window_sample(k, ts, step_size, inv_mass_matrix)
+        return ts, (ts.q[:D, :n_collect].T,
+                    ts.rows[fused_nuts.R_LP, :n_collect])
+
+    keys = random.split(key, num_samples)
+    ts, (samples, lps) = lax.scan(emit, ts, keys)
+
+    rows = ts.rows
+    transitions = rows[fused_nuts.R_TRANSITIONS].astype(jnp.int32)
+    divergences = rows[fused_nuts.R_DIVERGENCES].astype(jnp.int32)
+    trans = jnp.maximum(transitions, 1)
+    mean_accept = (rows[fused_nuts.R_ALPHA_ACC]
+                   / trans.astype(jnp.float32)).astype(e_dtype)
+    total_div = jnp.sum(divergences)
+    total_trans = jnp.sum(transitions)
+    final_q = ts.q[:D].T.astype(pos_dtype)
+    info = {
+        "divergence_count": divergences,
+        "total_divergences": total_div,
+        "divergence_rate": total_div.astype(jnp.float32)
+        / jnp.maximum(total_trans, 1).astype(jnp.float32),
+        "transitions": transitions,
+        "mean_accept_probs": mean_accept,
+        "mean_tree_depth": rows[fused_nuts.R_DEPTH_ACC]
+        / trans.astype(jnp.float32),
+        "n_leapfrogs": jnp.asarray(
+            (burn_in_steps + num_samples * steps_per_sample) * C, jnp.int64
+            if jax.config.jax_enable_x64 else jnp.int32),
+        "final_positions": final_q,
+    }
+    final_state = ChainState(
+        position=final_q,
+        log_prob=rows[fused_nuts.R_LP].astype(e_dtype),
+        grad_log_prob=ts.grad[:D].T.astype(pos_dtype),
+        accept_count=transitions,
+        divergence_count=divergences)
+    return RunResult(samples.astype(pos_dtype), lps.astype(e_dtype),
+                     mean_accept.astype(jnp.float32), final_state, info)

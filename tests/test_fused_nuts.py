@@ -1,0 +1,158 @@
+"""Fused persistent-NUTS window kernel (ops/fused_nuts.py).
+
+Parity: the kernel (interpret mode, injected host randomness) must reproduce
+the XLA state machine (`nuts_persistent._make_window_step`) iteration-for-
+iteration when fed identical random streams — positions, endpoints, proposal,
+and every per-chain counter. Plus RunResult schema / determinism / moments
+through the `backend='pallas'` path.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import jax.random as random
+from jax import lax
+
+from mcmc_tpu.ops import fused_nuts
+from mcmc_tpu.samplers import nuts_run_persistent
+from mcmc_tpu.samplers.base import init_chain_state
+from mcmc_tpu.samplers.nuts_persistent import (_init_pstate,
+                                               _make_window_step)
+from mcmc_tpu.targets import neals_funnel, standard_normal
+
+F32 = jnp.float32
+
+
+def _run_both(target, dim, n_chains, n_iters, step_size, seed=0,
+              max_tree_depth=6):
+    """Run the fused window and the XLA machine on identical random streams;
+    return (TState, _PState)."""
+    key = random.PRNGKey(seed)
+    init = (random.normal(random.PRNGKey(seed + 100), (n_chains, dim))
+            * 0.5).astype(F32)
+    state0 = init_chain_state(init, target.log_prob_fn,
+                              target.value_and_grad_fn)
+    q0 = state0.position.astype(F32)
+    lp0 = jnp.asarray(state0.log_prob, F32)
+    g0 = state0.grad_log_prob.astype(F32)
+    inv_mass = jnp.ones(dim, F32)
+
+    d_pad = fused_nuts._round_up(dim, fused_nuts.SUBLANE)
+    ts = fused_nuts.pack_state(q0, lp0, g0, d_pad)
+    window = fused_nuts.make_fused_nuts_window(
+        target.value_and_grad_fn, n_iters, max_tree_depth, n_chains, dim,
+        interpret=True)
+    ts = window(key, ts, step_size, inv_mass)
+
+    # identical draws, converted to the XLA machine's xs layout
+    kp, kd, kd2, ks, ku = random.split(key, 5)
+    p0 = random.normal(kp, (n_iters, d_pad, n_chains), F32)
+    dirs = random.bernoulli(kd, 0.5, (n_iters, n_chains)).astype(F32)
+    dirs2 = random.bernoulli(kd2, 0.5, (n_iters, n_chains)).astype(F32)
+    swaps = random.uniform(ks, (n_iters, n_chains), F32)
+    slices = random.uniform(ku, (n_iters, n_chains), F32,
+                            minval=jnp.finfo(F32).tiny)
+    xs = (jnp.transpose(p0, (0, 2, 1))[:, :, :dim],
+          dirs > 0.5, dirs2 > 0.5, swaps, slices)
+
+    def vag_f32(q):
+        lp, g = target.value_and_grad_fn(q)
+        return jnp.asarray(lp, F32), g.astype(F32)
+
+    step = _make_window_step(vag_f32, jnp.asarray(step_size, F32), inv_mass,
+                             max_tree_depth, 1000.0, F32)
+    ps = _init_pstate(q0, lp0, g0, F32)
+    ps = lax.scan(step, ps, xs)[0]
+    return ts, ps
+
+
+@pytest.mark.parametrize("factory,dim,step", [
+    (standard_normal, 7, 0.5),
+    (neals_funnel, 10, 0.2),
+])
+def test_fused_window_matches_xla_machine(factory, dim, step):
+    target = factory(dim)
+    ts, ps = _run_both(target, dim, n_chains=16, n_iters=48, step_size=step)
+
+    def tvals(a):  # kernel layout -> (C, D)
+        return np.asarray(a[:dim].T)
+
+    rows = np.asarray(ts.rows)
+    # continuous state (f32 round-off tolerance; formulations differ in
+    # reduction order between the padded transposed vag and the batched vag)
+    np.testing.assert_allclose(tvals(ts.q), np.asarray(ps.q),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(tvals(ts.q_c), np.asarray(ps.q_c),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(tvals(ts.q_l), np.asarray(ps.q_l),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(tvals(ts.q_r), np.asarray(ps.q_r),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(rows[fused_nuts.R_LP], np.asarray(ps.lp),
+                               rtol=2e-4, atol=2e-4)
+    # discrete machine state must agree exactly
+    np.testing.assert_array_equal(rows[fused_nuts.R_TRANSITIONS],
+                                  np.asarray(ps.transitions, np.float32))
+    np.testing.assert_array_equal(rows[fused_nuts.R_DIVERGENCES],
+                                  np.asarray(ps.divergences, np.float32))
+    np.testing.assert_array_equal(rows[fused_nuts.R_DEPTH],
+                                  np.asarray(ps.depth, np.float32))
+    np.testing.assert_array_equal(rows[fused_nuts.R_STEPS_LEFT],
+                                  np.asarray(ps.steps_left, np.float32))
+    np.testing.assert_array_equal(rows[fused_nuts.R_N_VALID],
+                                  np.asarray(ps.n_valid, np.float32))
+    np.testing.assert_array_equal(rows[fused_nuts.R_DEPTH_ACC],
+                                  np.asarray(ps.depth_acc, np.float32))
+    np.testing.assert_array_equal(rows[fused_nuts.R_NEEDS_START],
+                                  np.asarray(ps.needs_start, np.float32))
+    np.testing.assert_allclose(rows[fused_nuts.R_ALPHA_ACC],
+                               np.asarray(ps.alpha_acc), rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_backend_schema_and_determinism():
+    t = standard_normal(4)
+    pos = (random.normal(random.PRNGKey(1), (8, 4)) * 0.1).astype(F32)
+    kw = dict(step_size=0.5, num_samples=10, steps_per_sample=8,
+              burn_in_steps=8, value_and_grad_fn=t.value_and_grad_fn,
+              backend="pallas")
+    res = nuts_run_persistent(random.PRNGKey(0), t.log_prob_fn, pos, **kw)
+    assert res.samples.shape == (10, 8, 4)
+    assert res.log_probs.shape == (10, 8)
+    for k in ("divergence_count", "total_divergences", "divergence_rate",
+              "transitions", "mean_accept_probs", "mean_tree_depth",
+              "n_leapfrogs", "final_positions"):
+        assert k in res.info, k
+    assert int(res.info["n_leapfrogs"]) == (8 + 10 * 8) * 8
+    assert np.all(np.isfinite(np.asarray(res.samples)))
+    res2 = nuts_run_persistent(random.PRNGKey(0), t.log_prob_fn, pos, **kw)
+    np.testing.assert_array_equal(np.asarray(res.samples),
+                                  np.asarray(res2.samples))
+
+
+def test_pallas_backend_collect_prefix_and_counters():
+    t = standard_normal(3)
+    pos = (random.normal(random.PRNGKey(1), (16, 3)) * 0.1).astype(F32)
+    res = nuts_run_persistent(random.PRNGKey(0), t.log_prob_fn, pos,
+                              step_size=0.5, num_samples=6, steps_per_sample=8,
+                              value_and_grad_fn=t.value_and_grad_fn,
+                              backend="pallas", collect_chains=4)
+    assert res.samples.shape == (6, 4, 3)
+    assert res.final_state.position.shape == (16, 3)
+    assert np.all(np.asarray(res.info["transitions"]) >= 1)
+    acc = np.asarray(res.info["mean_accept_probs"])
+    assert np.all((acc >= 0) & (acc <= 1))
+
+
+@pytest.mark.slow
+def test_pallas_backend_moments():
+    t = standard_normal(5)
+    pos = (random.normal(random.PRNGKey(1), (32, 5)) * 0.1).astype(F32)
+    res = nuts_run_persistent(random.PRNGKey(0), t.log_prob_fn, pos,
+                              step_size=0.4, num_samples=300,
+                              steps_per_sample=12, burn_in_steps=120,
+                              value_and_grad_fn=t.value_and_grad_fn,
+                              backend="pallas")
+    flat = np.asarray(res.samples).reshape(-1, 5)
+    assert np.all(np.abs(flat.mean(0)) < 0.12)
+    assert np.all(np.abs(flat.var(0) - 1.0) < 0.25)

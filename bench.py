@@ -329,7 +329,9 @@ def measure_tpu():
             float(jnp.sum(nres.final_state.position))
             ndts.append(time.time() - t0)
         ndt = sorted(ndts[1:])[len(ndts[1:]) // 2]
-        n_grads = NUTS_TIMED_SAMPLES * NUTS_STEPS_PER_SAMPLE * NUTS_TPU_CHAINS
+        # leapfrogs actually executed (the pallas fused window masks unroll
+        # slots past a subtree boundary; info reports the true count)
+        n_grads = int(nres.info["n_leapfrogs"])
         extras["nuts_useful_grads_per_sec"] = round(n_grads / ndt, 1)
         extras["nuts_accept"] = round(float(jnp.nanmean(
             nres.info["mean_accept_probs"])), 3)

@@ -52,7 +52,8 @@ ROWS = 24  # 17 live rows padded to a whole number of sublane granules
 # row indices in the packed (ROWS, C) per-chain scalar block
 R_LP, R_LP_PROP, R_H0, R_LOG_U, R_SUM_ALPHA, R_N_VALID, R_N_STEPS, R_DEPTH, \
     R_STEPS_LEFT, R_DIRECTION, R_DIVERGED, R_NEEDS_START, R_TRANSITIONS, \
-    R_DIVERGENCES, R_ALPHA_ACC, R_DEPTH_ACC, R_SUBTREE = range(17)
+    R_DIVERGENCES, R_ALPHA_ACC, R_DEPTH_ACC, R_SUBTREE, R_EXEC = range(18)
+N_LIVE_ROWS = 18
 
 _FULL_FIELDS = ("q", "grad", "q_l", "p_l", "g_l", "q_r", "p_r", "g_r",
                 "q_prop", "g_prop", "q_c", "p_c", "g_c")
@@ -106,12 +107,24 @@ def pack_state(position, log_prob, grad, d_pad):
 
 
 def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
-                 inject_randoms: bool, n_data_refs: int):
+                 inject_randoms: bool, n_data_refs: int,
+                 steps_per_iter: int = 1):
     """Kernel body. Ref order:
     seed(SMEM int32[2]), scalars(SMEM f32[2]: step_size, delta_max),
     13 full arrays, rows, inv_mass, mask [, data...]
     [, p0_all, dir_all, dir2_all, swap_all, slice_all if inject_randoms]
     -> 13 full arrays out, rows out (all aliased to their inputs).
+
+    steps_per_iter (W): leapfrog slots executed per machine iteration. The
+    expensive bookkeeping (fresh-start seeding, boundary stores, proposal
+    swap, U-turn/termination) runs once per ITERATION, amortized over up to
+    W leapfrogs. Slot 0 is always live (every chain has steps_left >= 1
+    after the start section); slots 1..W-1 are masked off for chains whose
+    subtree completed earlier in the unroll, so per-chain trajectories are
+    IDENTICAL to the W=1 machine — W only changes how many leapfrogs happen
+    between bookkeeping passes, never where subtree boundaries fall.
+    Since ~97%% of leapfrogs occur inside subtrees of size >= 2 (mean tree
+    depth ~4 on tuned runs), slot waste is small for W in {2,4}.
     """
 
     def kernel(seed_ref, scal_ref, *refs):
@@ -145,14 +158,14 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
 
         full0 = tuple(r[:] for r in full_in)
         rows0 = rows_ref[:]
-        row_carry0 = tuple(rows0[i:i + 1, :] for i in range(17))
+        row_carry0 = tuple(rows0[i:i + 1, :] for i in range(N_LIVE_ROWS))
 
         def body(i, carry):
             (q, grad, q_l, p_l, g_l, q_r, p_r, g_r, q_prop, g_prop,
              q_c, p_c, g_c) = carry[:13]
             (lp, lp_prop, h0, log_u, sum_alpha, n_valid, n_steps, depth,
              steps_left, direction, diverged, needs_start, transitions,
-             divergences, alpha_acc, depth_acc, subtree) = carry[13:]
+             divergences, alpha_acc, depth_acc, subtree, exec_acc) = carry[13:]
 
             row_shape = lp.shape
             if inject_randoms:
@@ -200,32 +213,52 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
             direction = jnp.where(st, dir_new, direction)
             diverged = jnp.where(st, 0.0, diverged)
 
-            # --- 2. one leapfrog for every chain ---------------------------
+            # --- 2. W leapfrog slots for every chain -----------------------
+            # slot 0 is always live; later slots freeze chains whose subtree
+            # completed earlier in the unroll (steps_left == 0).
             eps = direction * eps0                      # (1, C)
-            p = p_c + 0.5 * eps * g_c
-            qn = q_c + eps * (p * invm)
-            lp_n, grad_n = vag(qn)
-            p = p + 0.5 * eps * grad_n
-            h = -lp_n + 0.5 * jnp.sum(p * p * invm, axis=0, keepdims=True)
-            alpha = jnp.exp(jnp.minimum(0.0, h0 - h))
-            q_c, p_c, g_c = qn, p, grad_n
-            sum_alpha = sum_alpha + alpha
-            n_steps = n_steps + 1.0
-            steps_left = steps_left - 1.0
+            lp_c = lp
+            h_c = h0
+            for k in range(steps_per_iter):
+                p = p_c + 0.5 * eps * g_c
+                qn = q_c + eps * (p * invm)
+                lp_n, grad_n = vag(qn)
+                p = p + 0.5 * eps * grad_n
+                h = -lp_n + 0.5 * jnp.sum(p * p * invm, axis=0, keepdims=True)
+                alpha = jnp.exp(jnp.minimum(0.0, h0 - h))
+                if k == 0:
+                    q_c, p_c, g_c = qn, p, grad_n
+                    lp_c, h_c = lp_n, h
+                    sum_alpha = sum_alpha + alpha
+                    n_steps = n_steps + 1.0
+                    exec_acc = exec_acc + 1.0
+                    steps_left = steps_left - 1.0
+                else:
+                    m = steps_left > 0.0
+                    q_c = jnp.where(m, qn, q_c)
+                    p_c = jnp.where(m, p, p_c)
+                    g_c = jnp.where(m, grad_n, g_c)
+                    lp_c = jnp.where(m, lp_n, lp_c)
+                    h_c = jnp.where(m, h, h_c)
+                    mf = m.astype(jnp.float32)
+                    sum_alpha = sum_alpha + jnp.where(m, alpha, 0.0)
+                    n_steps = n_steps + mf
+                    exec_acc = exec_acc + mf
+                    steps_left = steps_left - mf
 
             # --- 3. subtree-boundary bookkeeping ----------------------------
             bd = steps_left <= 0.0
-            in_slice = log_u <= -h
-            div_new = (h - h0) > delta_max
+            in_slice = log_u <= -h_c
+            div_new = (h_c - h0) > delta_max
             valid = bd & in_slice & ~div_new
             go_right = direction > 0.0
 
-            q_l = jnp.where(bd & ~go_right, qn, q_l)
-            p_l = jnp.where(bd & ~go_right, p, p_l)
-            g_l = jnp.where(bd & ~go_right, grad_n, g_l)
-            q_r = jnp.where(bd & go_right, qn, q_r)
-            p_r = jnp.where(bd & go_right, p, p_r)
-            g_r = jnp.where(bd & go_right, grad_n, g_r)
+            q_l = jnp.where(bd & ~go_right, q_c, q_l)
+            p_l = jnp.where(bd & ~go_right, p_c, p_l)
+            g_l = jnp.where(bd & ~go_right, g_c, g_l)
+            q_r = jnp.where(bd & go_right, q_c, q_r)
+            p_r = jnp.where(bd & go_right, p_c, p_r)
+            g_r = jnp.where(bd & go_right, g_c, g_r)
 
             # endpoint-validity proposal swap (reference NUTS.py:319-336)
             n_new = jnp.where(valid, subtree, 0.0)
@@ -233,9 +266,9 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
             swap_prob = jnp.where(valid & (total > 0.0),
                                   n_new / jnp.maximum(total, 1.0), 0.0)
             take = bd & (swap_u < swap_prob)
-            q_prop = jnp.where(take, qn, q_prop)
-            lp_prop = jnp.where(take, lp_n, lp_prop)
-            g_prop = jnp.where(take, grad_n, g_prop)
+            q_prop = jnp.where(take, q_c, q_prop)
+            lp_prop = jnp.where(take, lp_c, lp_prop)
+            g_prop = jnp.where(take, g_c, g_prop)
             n_valid = total
             diverged = jnp.maximum(diverged, (bd & div_new).astype(jnp.float32))
 
@@ -277,22 +310,23 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
                     q_c, p_c, g_c, lp, lp_prop, h0, log_u, sum_alpha,
                     n_valid, n_steps, depth, steps_left, direction, diverged,
                     needs_start, transitions, divergences, alpha_acc,
-                    depth_acc, subtree)
+                    depth_acc, subtree, exec_acc)
 
         out = lax.fori_loop(0, n_iters, body, full0 + row_carry0)
         for ref, val in zip(full_out, out[:13]):
             ref[:] = val
-        pad_rows = jnp.zeros((ROWS - 17,) + out[13].shape[1:], jnp.float32)
+        pad_rows = jnp.zeros((ROWS - N_LIVE_ROWS,) + out[13].shape[1:],
+                             jnp.float32)
         rows_out[:] = jnp.concatenate(list(out[13:]) + [pad_rows], axis=0)
 
     return kernel
 
 
 def _build_call(padded_vag, n_iters, max_tree_depth, n_chains, d_pad,
-                chain_tile, inject_randoms, interpret):
+                chain_tile, inject_randoms, interpret, steps_per_iter=1):
     n_data_refs = len(getattr(padded_vag, "data_arrays", ()))
     kernel = _make_kernel(padded_vag, n_iters, max_tree_depth,
-                          inject_randoms, n_data_refs)
+                          inject_randoms, n_data_refs, steps_per_iter)
     grid = (n_chains // chain_tile,)
 
     full = pl.BlockSpec((d_pad, chain_tile), lambda i: (0, i),
@@ -344,9 +378,11 @@ def make_fused_nuts_window(
     delta_max: float = 1000.0,
     chain_tile: Optional[int] = None,
     interpret: Optional[bool] = None,
+    steps_per_iter: int = 1,
 ):
     """Build window(key, tstate, step_size, inv_mass_matrix) -> tstate:
-    `n_iters` persistent-NUTS iterations for every chain, fused in VMEM.
+    `n_iters` persistent-NUTS machine iterations (each executing up to
+    `steps_per_iter` leapfrog slots) for every chain, fused in VMEM.
 
     Requires a target with analytic pallas_info metadata (mcmc_tpu.targets).
     Off-TPU the kernel runs in interpreter mode with host-generated
@@ -372,7 +408,7 @@ def make_fused_nuts_window(
     tile = max(tile, 1)
     call = _build_call(padded_vag, n_iters, max_tree_depth, n_chains, d_pad,
                        tile, inject_randoms=not onchip_rng,
-                       interpret=interpret)
+                       interpret=interpret, steps_per_iter=steps_per_iter)
     mask = _mask_row(dim, d_pad, dim_axis=0)
 
     def window(key, ts: TState, step_size, inv_mass_matrix):

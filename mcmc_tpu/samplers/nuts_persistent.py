@@ -261,7 +261,7 @@ def _resolve_backend(backend: str, value_and_grad_fn) -> str:
 @partial(jax.jit, static_argnames=(
     "log_prob_fn", "num_samples", "steps_per_sample", "burn_in_steps",
     "max_tree_depth", "value_and_grad_fn", "collect_chains", "backend",
-    "chain_tile"))
+    "chain_tile", "steps_per_iter"))
 def nuts_run_persistent(
     key,
     log_prob_fn,
@@ -277,6 +277,7 @@ def nuts_run_persistent(
     collect_chains: Optional[int] = None,
     backend: str = "auto",
     chain_tile: Optional[int] = None,
+    steps_per_iter: Optional[int] = None,
 ) -> RunResult:
     """Asynchronous NUTS: `num_samples` snapshots, one every
     `steps_per_sample` global leapfrog iterations.
@@ -290,13 +291,29 @@ def nuts_run_persistent(
     window as ONE fused VMEM kernel (ops/fused_nuts.py) — the state machine
     never touches HBM inside a window; 'auto' picks pallas on TPU when the
     target carries analytic pallas metadata.
+
+    steps_per_iter (pallas backend): leapfrog slots per machine iteration —
+    bookkeeping and RNG amortize over up to that many leapfrogs
+    (ops/fused_nuts.py). steps_per_sample counts SLOTS and must be divisible
+    by it; info['n_leapfrogs'] always reports leapfrogs actually executed.
+    Default None auto-picks the largest of 4/2/1 that divides the windows
+    (4 measured optimal on v5e at tuned operating points: 345M vs 220M
+    useful grads/s at W=1; slot masking only costs throughput when trees
+    are shallow, never correctness).
     """
     resolved = _resolve_backend(backend, value_and_grad_fn)
     if resolved == "pallas":
+        if steps_per_iter is None:
+            steps_per_iter = next(
+                w for w in (4, 2, 1)
+                if steps_per_sample % w == 0 and burn_in_steps % w == 0)
         return _run_persistent_pallas(
             key, log_prob_fn, init_position, step_size, num_samples,
             steps_per_sample, burn_in_steps, inv_mass_matrix, max_tree_depth,
-            delta_max, value_and_grad_fn, collect_chains, chain_tile)
+            delta_max, value_and_grad_fn, collect_chains, chain_tile,
+            steps_per_iter)
+    if steps_per_iter not in (None, 1):
+        raise ValueError("steps_per_iter > 1 requires the pallas backend")
     state0 = init_chain_state(init_position, log_prob_fn, value_and_grad_fn,
                               needs_grad=True)
     C, D = state0.position.shape
@@ -364,6 +381,10 @@ def nuts_run_persistent(
         "n_leapfrogs": jnp.asarray(
             (burn_in_steps + num_samples * steps_per_sample) * C, jnp.int64
             if jax.config.jax_enable_x64 else jnp.int32),
+        # the XLA machine executes every slot (one leapfrog per iteration)
+        "n_leapfrog_slots": jnp.asarray(
+            (burn_in_steps + num_samples * steps_per_sample) * C, jnp.int64
+            if jax.config.jax_enable_x64 else jnp.int32),
         "final_positions": ps.q,
     }
     final_state = ChainState(
@@ -377,7 +398,8 @@ def nuts_run_persistent(
 def _run_persistent_pallas(key, log_prob_fn, init_position, step_size,
                            num_samples, steps_per_sample, burn_in_steps,
                            inv_mass_matrix, max_tree_depth, delta_max,
-                           value_and_grad_fn, collect_chains, chain_tile):
+                           value_and_grad_fn, collect_chains, chain_tile,
+                           steps_per_iter=1):
     """Persistent NUTS through the fused VMEM window kernel.
 
     Identical machine semantics to the XLA scan (verified by an
@@ -402,14 +424,20 @@ def _run_persistent_pallas(key, log_prob_fn, init_position, step_size,
         jnp.asarray(state0.log_prob, jnp.float32),
         state0.grad_log_prob.astype(jnp.float32), d_pad)
 
+    if steps_per_sample % steps_per_iter or (
+            burn_in_steps % steps_per_iter):
+        raise ValueError("steps_per_sample and burn_in_steps must be "
+                         "divisible by steps_per_iter")
     window_sample = fused_nuts.make_fused_nuts_window(
-        value_and_grad_fn, steps_per_sample, max_tree_depth, C, D,
-        delta_max=float(delta_max), chain_tile=chain_tile)
+        value_and_grad_fn, steps_per_sample // steps_per_iter,
+        max_tree_depth, C, D, delta_max=float(delta_max),
+        chain_tile=chain_tile, steps_per_iter=steps_per_iter)
 
     if burn_in_steps > 0:
         window_burn = fused_nuts.make_fused_nuts_window(
-            value_and_grad_fn, burn_in_steps, max_tree_depth, C, D,
-            delta_max=float(delta_max), chain_tile=chain_tile)
+            value_and_grad_fn, burn_in_steps // steps_per_iter,
+            max_tree_depth, C, D, delta_max=float(delta_max),
+            chain_tile=chain_tile, steps_per_iter=steps_per_iter)
         key, bk = random.split(key)
         ts = window_burn(bk, ts, step_size, inv_mass_matrix)
         rows = ts.rows
@@ -446,7 +474,11 @@ def _run_persistent_pallas(key, log_prob_fn, init_position, step_size,
         "mean_accept_probs": mean_accept,
         "mean_tree_depth": rows[fused_nuts.R_DEPTH_ACC]
         / trans.astype(jnp.float32),
-        "n_leapfrogs": jnp.asarray(
+        # leapfrogs actually executed (== the slot count for
+        # steps_per_iter=1; < slots when later unroll slots are masked)
+        "n_leapfrogs": jnp.sum(rows[fused_nuts.R_EXEC]).astype(
+            jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
+        "n_leapfrog_slots": jnp.asarray(
             (burn_in_steps + num_samples * steps_per_sample) * C, jnp.int64
             if jax.config.jax_enable_x64 else jnp.int32),
         "final_positions": final_q,

@@ -123,7 +123,11 @@ def test_pallas_backend_schema_and_determinism():
               "transitions", "mean_accept_probs", "mean_tree_depth",
               "n_leapfrogs", "final_positions"):
         assert k in res.info, k
-    assert int(res.info["n_leapfrogs"]) == (8 + 10 * 8) * 8
+    # default steps_per_iter auto-selects W=4 here: every slot is accounted,
+    # executed leapfrogs never exceed slots
+    slots = (8 + 10 * 8) * 8
+    assert int(res.info["n_leapfrog_slots"]) == slots
+    assert 0 < int(res.info["n_leapfrogs"]) <= slots
     assert np.all(np.isfinite(np.asarray(res.samples)))
     res2 = nuts_run_persistent(random.PRNGKey(0), t.log_prob_fn, pos, **kw)
     np.testing.assert_array_equal(np.asarray(res.samples),
@@ -156,3 +160,47 @@ def test_pallas_backend_moments():
     flat = np.asarray(res.samples).reshape(-1, 5)
     assert np.all(np.abs(flat.mean(0)) < 0.12)
     assert np.all(np.abs(flat.var(0) - 1.0) < 0.25)
+
+
+def test_steps_per_iter_unroll():
+    """W>1 amortizes bookkeeping; trajectories remain valid NUTS — posteriors
+    agree with W=1 and executed-leapfrog accounting is consistent."""
+    t = standard_normal(5)
+    pos = (random.normal(random.PRNGKey(1), (32, 5)) * 0.1).astype(F32)
+    kw = dict(step_size=0.4, num_samples=120, steps_per_sample=16,
+              burn_in_steps=32, value_and_grad_fn=t.value_and_grad_fn,
+              backend="pallas")
+    res1 = nuts_run_persistent(random.PRNGKey(0), t.log_prob_fn, pos,
+                               steps_per_iter=1, **kw)
+    res4 = nuts_run_persistent(random.PRNGKey(0), t.log_prob_fn, pos,
+                               steps_per_iter=4, **kw)
+    slots = (32 + 120 * 16) * 32
+    assert int(res1.info["n_leapfrogs"]) == slots
+    assert int(res1.info["n_leapfrog_slots"]) == slots
+    # W=4 masks unrollable slots but must execute most of them
+    exec4 = int(res4.info["n_leapfrogs"])
+    assert 0.5 * slots < exec4 < slots
+    for res in (res1, res4):
+        flat = np.asarray(res.samples).reshape(-1, 5)
+        assert np.all(np.abs(flat.mean(0)) < 0.15)
+        assert np.all(np.abs(flat.var(0) - 1.0) < 0.3)
+        assert np.all(np.asarray(res.info["transitions"]) >= 1)
+    # comparable dynamics: mean terminal tree depth agrees
+    d1 = float(np.mean(np.asarray(res1.info["mean_tree_depth"])))
+    d4 = float(np.mean(np.asarray(res4.info["mean_tree_depth"])))
+    assert abs(d1 - d4) < 1.0
+
+
+def test_steps_per_iter_requires_divisibility_and_pallas():
+    t = standard_normal(3)
+    pos = (random.normal(random.PRNGKey(1), (8, 3)) * 0.1).astype(F32)
+    with pytest.raises(ValueError, match="divisible"):
+        nuts_run_persistent(random.PRNGKey(0), t.log_prob_fn, pos,
+                            step_size=0.4, num_samples=4, steps_per_sample=6,
+                            value_and_grad_fn=t.value_and_grad_fn,
+                            backend="pallas", steps_per_iter=4)
+    with pytest.raises(ValueError, match="pallas"):
+        nuts_run_persistent(random.PRNGKey(0), t.log_prob_fn, pos,
+                            step_size=0.4, num_samples=4, steps_per_sample=8,
+                            value_and_grad_fn=t.value_and_grad_fn,
+                            backend="xla", steps_per_iter=4)

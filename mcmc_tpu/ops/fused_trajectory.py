@@ -104,6 +104,30 @@ def _gaussian(shape):
     return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(TWO_PI * u2)
 
 
+def _integrate(q0, p0, lp0, grad0, vag, eps, num_steps, friction_schedule,
+               gamma_max, steepness, invm):
+    """L conformal-leapfrog substeps entirely in VMEM (the hot loop)."""
+    half_eps = 0.5 * eps
+    total_time = eps * num_steps
+
+    def substep(i, carry):
+        q, p, lp, grad = carry
+        if friction_schedule is not None:
+            gamma_t = friction_schedule(i.astype(jnp.float32) * eps,
+                                        total_time, gamma_max, steepness)
+            scale = jnp.exp(-gamma_t * half_eps)
+            p = p * scale
+        p = p + half_eps * grad
+        q = q + eps * (p * invm)
+        lp, grad = vag(q)
+        p = p + half_eps * grad
+        if friction_schedule is not None:
+            p = p * scale
+        return (q, p, lp, grad)
+
+    return lax.fori_loop(0, num_steps, substep, (q0, p0, lp0, grad0))
+
+
 def _make_kernel(padded_vag: Callable, num_steps: int,
                  friction_schedule: Optional[Callable],
                  inject_randoms: bool, dim_axis: int):
@@ -159,26 +183,9 @@ def _make_kernel(padded_vag: Callable, num_steps: int,
         kin0 = 0.5 * jnp.sum(p0 * p0 * invm, axis=ax, keepdims=True)
         h0 = -lp0 + kin0
 
-        half_eps = 0.5 * eps
-        total_time = eps * num_steps
-
-        def substep(i, carry):
-            q, p, lp, grad = carry
-            if friction_schedule is not None:
-                gamma_t = friction_schedule(i.astype(jnp.float32) * eps,
-                                            total_time, gamma_max, steepness)
-                scale = jnp.exp(-gamma_t * half_eps)
-                p = p * scale
-            p = p + half_eps * grad
-            q = q + eps * (p * invm)
-            lp, grad = vag_with_data(q)
-            p = p + half_eps * grad
-            if friction_schedule is not None:
-                p = p * scale
-            return (q, p, lp, grad)
-
-        q1, p1, lp1, grad1 = lax.fori_loop(
-            0, num_steps, substep, (q0, p0, lp0, grad0))
+        q1, p1, lp1, grad1 = _integrate(
+            q0, p0, lp0, grad0, vag_with_data, eps, num_steps,
+            friction_schedule, gamma_max, steepness, invm)
 
         p1 = -p1
         kin1 = 0.5 * jnp.sum(p1 * p1 * invm, axis=ax, keepdims=True)
@@ -411,6 +418,233 @@ def make_fused_grahmc_step(
                                 dh_flat.astype(e_dtype))
 
     return fused
+
+
+def _make_multistep_kernel(padded_vag: Callable, num_steps: int,
+                           friction_schedule: Optional[Callable],
+                           transitions: int, inject_randoms: bool):
+    """T full MH transitions per kernel call, transposed layout only.
+
+    Chain state (q, lp, grad) stays in VMEM across all T transitions — HBM
+    sees it once per call instead of once per transition, and the XLA glue
+    (kernel launch, scan plumbing) amortizes T-fold. Per-transition outputs:
+    accept/delta_H rows and the post-transition position/log-prob history
+    (the same per-step collection the single-step harness produces).
+
+    Ref order: seed(SMEM), scalars(SMEM), q, lp, grad, inv_mass, mask
+    [, data...][, p0_all (T,d_pad,C), u_all (T,C) if inject_randoms]
+    -> q, lp, grad (aliased), acc (T,C), dh (T,C), hist_q (T,d_pad,C),
+       hist_lp (T,C).
+    """
+    n_data_refs = len(getattr(padded_vag, "data_arrays", ()))
+
+    def kernel(seed_ref, scal_ref, q_ref, lp_ref, grad_ref, invm_ref,
+               mask_ref, *rest):
+        data_vals = tuple(r[:] for r in rest[:n_data_refs])
+        rest = rest[n_data_refs:]
+        if data_vals:
+            base_vag = padded_vag
+
+            def vag(qq):
+                return base_vag(qq, *data_vals)
+        else:
+            vag = padded_vag
+        if inject_randoms:
+            (p0_ref, u_ref, q_out, lp_out, grad_out, acc_out, dh_out,
+             hist_q_out, hist_lp_out) = rest
+        else:
+            (q_out, lp_out, grad_out, acc_out, dh_out,
+             hist_q_out, hist_lp_out) = rest
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 7919,
+                            seed_ref[1])
+
+        eps = scal_ref[0]
+        gamma_max = scal_ref[1]
+        steepness = scal_ref[2]
+        invm = invm_ref[:]
+        mask = mask_ref[:]
+        inv_sqrt_m = 1.0 / jnp.sqrt(invm)
+
+        def transition(t, carry):
+            q0, lp0, grad0 = carry
+            if inject_randoms:
+                p0 = jnp.reshape(p0_ref[pl.ds(t, 1), :, :], q0.shape) * mask
+                u = u_ref[pl.ds(t, 1), :]
+            else:
+                p0 = _gaussian(q0.shape) * inv_sqrt_m * mask
+                u = _bits_to_uniform(pltpu.prng_random_bits(lp0.shape))
+
+            kin0 = 0.5 * jnp.sum(p0 * p0 * invm, axis=0, keepdims=True)
+            h0 = -lp0 + kin0
+            q1, p1, lp1, grad1 = _integrate(
+                q0, p0, lp0, grad0, vag, eps, num_steps,
+                friction_schedule, gamma_max, steepness, invm)
+            p1 = -p1
+            h1 = -lp1 + 0.5 * jnp.sum(p1 * p1 * invm, axis=0, keepdims=True)
+            h1 = jnp.where(jnp.isfinite(h1), h1, ENERGY_OVERFLOW)
+            accept = jnp.log(u) < jnp.minimum(0.0, h0 - h1)
+
+            q0 = jnp.where(accept, q1, q0)
+            lp0 = jnp.where(accept, lp1, lp0)
+            grad0 = jnp.where(accept, grad1, grad0)
+            acc_out[pl.ds(t, 1), :] = accept.astype(jnp.float32)
+            dh_out[pl.ds(t, 1), :] = h1 - h0
+            hist_q_out[pl.ds(t, 1), :, :] = q0[None]
+            hist_lp_out[pl.ds(t, 1), :] = lp0
+            return (q0, lp0, grad0)
+
+        q, lp, grad = lax.fori_loop(
+            0, transitions, transition, (q_ref[:], lp_ref[:], grad_ref[:]))
+        q_out[:] = q
+        lp_out[:] = lp
+        grad_out[:] = grad
+
+    return kernel
+
+
+def make_fused_grahmc_multistep(
+    log_prob_fn,
+    value_and_grad_fn,
+    num_steps: int,
+    friction_schedule: Optional[Callable],
+    transitions: int,
+    chain_tile: Optional[int] = None,
+    interpret: Optional[bool] = None,
+):
+    """Build multi(key, state, step_size, gamma, steepness, inv_mass) ->
+    (key, new_state, (accept (T,C), delta_h (T,C), hist_q (T,C,dim),
+    hist_lp (T,C))) running T transitions per kernel call.
+
+    Transposed layout only (chains on lanes) — the right layout for every
+    small-dim target; callers fall back to the single-step kernel otherwise.
+    """
+    if value_and_grad_fn is None:
+        raise TypeError("the Pallas backend requires an analytic "
+                        "value_and_grad_fn from mcmc_tpu.targets")
+    on_tpu = jax.default_backend() == "tpu"
+    if interpret is None:
+        interpret = not on_tpu
+    onchip_rng = on_tpu and not interpret
+    call_cache = {}
+    vag_cache = {}
+
+    def multi(key, state, step_size, gamma, steepness, inv_mass_matrix):
+        n_chains, dim = state.position.shape
+        d_pad = _round_up(dim, SUBLANE)
+        if dim not in vag_cache:
+            vag_cache[dim] = make_padded_vag(value_and_grad_fn, d_pad,
+                                             dim_axis=0)
+        padded_vag = vag_cache[dim]
+        has_data = bool(getattr(padded_vag, "data_arrays", ()))
+        # history blocks (T, d_pad, tile) must fit scoped VMEM alongside the
+        # state; 512 measured safe for T<=8 at d_pad 56
+        tile = chain_tile or (256 if has_data else 512)
+        tile = min(tile, n_chains)
+        while n_chains % tile:
+            tile //= 2
+        tile = max(tile, 1)
+
+        cache_key = (n_chains, dim, tile)
+        if cache_key not in call_cache:
+            kernel = _make_multistep_kernel(
+                padded_vag, num_steps, friction_schedule, transitions,
+                inject_randoms=not onchip_rng)
+            grid = (n_chains // tile,)
+            full = pl.BlockSpec((d_pad, tile), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+            row = pl.BlockSpec((1, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+            trow = pl.BlockSpec((transitions, tile), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+            thist = pl.BlockSpec((transitions, d_pad, tile),
+                                 lambda i: (0, 0, i),
+                                 memory_space=pltpu.VMEM)
+            bcast = pl.BlockSpec((d_pad, 1), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+            in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        full, row, full, bcast, bcast]
+            for arr in getattr(padded_vag, "data_arrays", ()):
+                in_specs.append(pl.BlockSpec(
+                    arr.shape,
+                    lambda i, _rank=len(arr.shape): (0,) * _rank,
+                    memory_space=pltpu.VMEM))
+            if not onchip_rng:
+                in_specs += [
+                    pl.BlockSpec((transitions, d_pad, tile),
+                                 lambda i: (0, 0, i),
+                                 memory_space=pltpu.VMEM),
+                    trow,
+                ]
+            out_shape = [
+                jax.ShapeDtypeStruct((d_pad, n_chains), jnp.float32),
+                jax.ShapeDtypeStruct((1, n_chains), jnp.float32),
+                jax.ShapeDtypeStruct((d_pad, n_chains), jnp.float32),
+                jax.ShapeDtypeStruct((transitions, n_chains), jnp.float32),
+                jax.ShapeDtypeStruct((transitions, n_chains), jnp.float32),
+                jax.ShapeDtypeStruct((transitions, d_pad, n_chains),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((transitions, n_chains), jnp.float32),
+            ]
+            out_specs = [full, row, full, trow, trow, thist, trow]
+            ipt = interpret
+            if ipt and onchip_rng:  # pragma: no cover - TPU interpret only
+                ipt = pltpu.InterpretParams()
+            call_cache[cache_key] = pl.pallas_call(
+                kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+                out_shape=out_shape,
+                input_output_aliases={2: 0, 3: 1, 4: 2},
+                interpret=ipt)
+        call = call_cache[cache_key]
+        data_arrays = tuple(getattr(padded_vag, "data_arrays", ()))
+
+        key, seed_key = random.split(key)
+        seed = seed_words_from_key(seed_key)
+        scalars = jnp.stack([
+            jnp.asarray(step_size, jnp.float32),
+            jnp.asarray(gamma, jnp.float32),
+            jnp.asarray(steepness, jnp.float32),
+        ])
+        pad = d_pad - dim
+        q = jnp.pad(state.position.astype(jnp.float32),
+                    ((0, 0), (0, pad))).T
+        grad = jnp.pad(state.grad_log_prob.astype(jnp.float32),
+                       ((0, 0), (0, pad))).T
+        lp = state.log_prob.astype(jnp.float32)[None, :]
+        invm = jnp.pad(jnp.asarray(inv_mass_matrix, jnp.float32),
+                       (0, pad), constant_values=1.0)[:, None]
+        mask = _mask_row(dim, d_pad, dim_axis=0)
+
+        args = (seed, scalars, q, lp, grad, invm, mask) + data_arrays
+        if not onchip_rng:
+            k_mom, k_u = random.split(seed_key)
+            p0 = (random.normal(k_mom, (transitions, d_pad, n_chains),
+                                jnp.float32) / jnp.sqrt(invm))
+            u = random.uniform(k_u, (transitions, n_chains), jnp.float32)
+            args = args + (p0, u)
+        (q1, lp1, grad1, acc, dh, hist_q, hist_lp) = call(*args)
+
+        pos_dtype = state.position.dtype
+        e_dtype = state.log_prob.dtype
+        accept = acc > 0.5                               # (T, C)
+        divergent = jnp.abs(dh) > DIVERGENCE_DELTA_H
+        new_state = state._replace(
+            position=q1.T[:, :dim].astype(pos_dtype),
+            log_prob=lp1[0].astype(e_dtype),
+            grad_log_prob=grad1.T[:, :dim].astype(pos_dtype),
+            accept_count=state.accept_count
+            + jnp.sum(accept, axis=0).astype(jnp.int32),
+            divergence_count=state.divergence_count
+            + jnp.sum(divergent, axis=0).astype(jnp.int32),
+        )
+        extras = (accept,
+                  jnp.transpose(hist_q, (0, 2, 1))[:, :, :dim].astype(
+                      pos_dtype),
+                  hist_lp.astype(e_dtype),
+                  dh.astype(e_dtype))
+        return key, new_state, extras
+
+    return multi
 
 
 def make_debug_trajectory(value_and_grad_fn, num_steps: int,

@@ -345,3 +345,90 @@ def test_grahmc_pallas_backend_hierarchical():
         outs[backend] = (float(res.accept_rate.mean()), flat.mean(0))
     assert abs(outs["pallas"][0] - outs["xla"][0]) < 0.2
     np.testing.assert_allclose(outs["pallas"][1], outs["xla"][1], atol=0.6)
+
+
+def test_multistep_kernel_matches_chained_single_steps():
+    """T transitions in one kernel call == T chained single-transition calls
+    on identical randoms (same transposed layout -> identical arithmetic)."""
+    from mcmc_tpu.ops.fused_trajectory import (
+        make_fused_grahmc_multistep, make_debug_trajectory, _round_up,
+        SUBLANE)
+    from mcmc_tpu.samplers.base import init_chain_state
+    from mcmc_tpu.samplers.grahmc import tanh_schedule
+    from mcmc_tpu.targets import neals_funnel
+
+    dim, C, T, L = 10, 16, 4, 6
+    t = neals_funnel(dim)
+    key = random.PRNGKey(7)
+    init = (random.normal(random.PRNGKey(8), (C, dim)) * 0.4).astype(
+        jnp.float32)
+    state = init_chain_state(init, t.log_prob_fn, t.value_and_grad_fn)
+    state = state._replace(position=state.position.astype(jnp.float32),
+                           log_prob=state.log_prob.astype(jnp.float32),
+                           grad_log_prob=state.grad_log_prob.astype(
+                               jnp.float32))
+    inv_mass = jnp.full((dim,), 1.7, jnp.float32)
+    eps, gamma, steep = 0.15, 1.0, 0.5
+
+    multi = make_fused_grahmc_multistep(
+        t.log_prob_fn, t.value_and_grad_fn, L, tanh_schedule, T,
+        interpret=True)
+    _, ms, (acc_m, hist_q, hist_lp, dh_m) = multi(
+        key, state, eps, gamma, steep, inv_mass)
+
+    # reproduce the wrapper's draws
+    d_pad = _round_up(dim, SUBLANE)
+    _, seed_key = random.split(key)
+    k_mom, k_u = random.split(seed_key)
+    invm_col = jnp.pad(inv_mass, (0, d_pad - dim),
+                       constant_values=1.0)[:, None]
+    p0_all = (random.normal(k_mom, (T, d_pad, C), jnp.float32)
+              / jnp.sqrt(invm_col))
+    u_all = random.uniform(k_u, (T, C), jnp.float32)
+
+    debug = make_debug_trajectory(t.value_and_grad_fn, L, tanh_schedule,
+                                  C, dim, interpret=True,
+                                  layout="transposed")
+    q, lp, g = state.position, state.log_prob, state.grad_log_prob
+    for k in range(T):
+        q1, lp1, g1, acc, dh = debug(q, lp, g, p0_all[k, :dim].T, u_all[k],
+                                     eps, gamma, steep, inv_mass)
+        q = jnp.where(acc[:, None], q1, q)
+        lp = jnp.where(acc, lp1, lp)
+        g = jnp.where(acc[:, None], g1, g)
+        np.testing.assert_array_equal(np.asarray(acc_m[k]), np.asarray(acc))
+        np.testing.assert_allclose(np.asarray(dh_m[k]), np.asarray(dh),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(hist_q[k]), np.asarray(q),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(hist_lp[k]), np.asarray(lp),
+                                   rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ms.position), np.asarray(q),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(ms.accept_count),
+        np.asarray(jnp.sum(acc_m.astype(jnp.int32), axis=0)))
+
+
+def test_grahmc_run_multistep_path_moments():
+    """The auto-selected multi-transition path produces correct posteriors
+    and exact per-step history shapes through the public run API."""
+    from mcmc_tpu.samplers import grahmc_run
+    from mcmc_tpu.samplers.grahmc import constant_schedule
+    from mcmc_tpu.targets import standard_normal
+    t = standard_normal(6)
+    init = (random.normal(random.PRNGKey(1), (64, 6)) * 0.2).astype(
+        jnp.float32)
+    res = grahmc_run(
+        random.PRNGKey(0), t.log_prob_fn, init, step_size=0.12, num_steps=8,
+        gamma=0.5, steepness=1.0, num_samples=320, burn_in=64,
+        friction_schedule=constant_schedule,
+        value_and_grad_fn=t.value_and_grad_fn, backend="pallas",
+        collect_chains=16)
+    assert res.samples.shape == (320, 16, 6)
+    assert res.log_probs.shape == (320, 16)
+    flat = np.asarray(res.samples).reshape(-1, 6)
+    assert np.all(np.abs(flat.mean(0)) < 0.2)
+    assert np.all(np.abs(flat.var(0) - 1.0) < 0.25)
+    acc = float(np.asarray(res.accept_rate).mean())
+    assert 0.6 < acc <= 1.0

@@ -58,21 +58,30 @@ def _rank_normalize(x):
     """Normal-scores transform of pooled average ranks, per trailing dim.
 
     Average ranks for ties (exact match with scipy.stats.rankdata
-    method='average'), computed via sort + two searchsorted passes:
-    rank = (left_insertion + right_insertion + 1) / 2, 1-based.
+    method='average'): in sort order each element's tie run [lo, e] is found
+    with forward/backward max-scans over run boundaries; average 1-based rank
+    = (lo + e + 2) / 2.  Both permutation steps are two-operand `lax.sort`s
+    (value-keyed, carrying a payload): TPU `searchsorted` lowers to
+    binary-search gathers (measured ~50x slower than sort at 4M pooled
+    values), and re-sorting keyed on the permutation applies the inverse
+    permutation without argsort or gather.
     z = ndtri((rank - 3/8) / (S + 1/4)), evaluated tail-safely (_z_from_rank2).
     """
     n, m, d = x.shape
-    flat = x.reshape(n * m, d)
-    srt = jnp.sort(flat, axis=0)
+    N = n * m
+    flat = x.reshape(N, d)
+    idx = lax.broadcasted_iota(jnp.int32, (N, d), 0)
+    srt, perm = lax.sort((flat, idx), dimension=0, num_keys=1)
 
-    def per_dim(s, v):
-        lo = jnp.searchsorted(s, v, side="left")
-        hi = jnp.searchsorted(s, v, side="right")
-        return lo + hi + 1          # = 2 * average_rank (1-based)
+    is_new = jnp.concatenate(
+        [jnp.ones((1, d), bool), srt[1:] != srt[:-1]], axis=0)
+    lo = lax.cummax(jnp.where(is_new, idx, 0), axis=0)
+    is_end = jnp.concatenate([is_new[1:], jnp.ones((1, d), bool)], axis=0)
+    e = -lax.cummax(jnp.where(is_end, -idx, -(N - 1)), axis=0, reverse=True)
+    k2 = lo + e + 2                  # = 2 * average_rank (1-based)
 
-    k2 = jax.vmap(per_dim, in_axes=(1, 1), out_axes=1)(srt, flat)
-    z = _z_from_rank2(k2, n * m).astype(flat.dtype)
+    z_sorted = _z_from_rank2(k2, N).astype(flat.dtype)
+    _, z = lax.sort((perm, z_sorted), dimension=0, num_keys=1)
     return z.reshape(n, m, d)
 
 

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from mcmc_tpu.diagnostics.rhat_ess import (
-    _autocovariance_fft, _ess_combine, _split_chains, _z_from_rank2,
+    _autocovariance_fft, _ess_combine, _rank_normalize, _split_chains,
 )
 
 DEFAULT_CHAIN_CHUNK = 8192
@@ -44,35 +44,12 @@ DEFAULT_DIM_CHUNK = 8
 def _rank_z_block(block):
     """Pooled rank-normal z-scores for a whole (S, C, dd) dim block.
 
-    Average ranks for ties (exact match with the monolithic
-    `_rank_normalize`, i.e. scipy rankdata method='average'): in sort order,
-    each element's run [lo, e] is found with forward/backward max-scans over
-    run-start markers; avg 1-based rank = (lo + e + 2) / 2.
-
-    Both permutation steps use two-operand `lax.sort` (value-keyed sort
-    carrying the payload) instead of argsort + take_along_axis: the second
-    sort keyed on the permutation applies the inverse permutation without
-    materializing it, eliminating both random-access gathers — measured 3.2x
-    faster at (192, 65536, 4) on v5e, bit-identical output.
+    Identical semantics (and implementation — the two-operand-sort scheme,
+    measured 3.2x faster than argsort+gather at (192, 65536, 4) on v5e) to
+    the monolithic `_rank_normalize`; jitted separately so each dim block
+    compiles once at its own static shape.
     """
-    S, C, dd = block.shape
-    N = S * C
-    flat = block.reshape(N, dd)
-    idx = lax.broadcasted_iota(jnp.int32, (N, dd), 0)
-    srt, perm = lax.sort((flat, idx), dimension=0, num_keys=1)
-
-    is_new = jnp.concatenate(
-        [jnp.ones((1, dd), bool), srt[1:] != srt[:-1]], axis=0)
-    lo = lax.cummax(jnp.where(is_new, idx, 0), axis=0)
-    is_end = jnp.concatenate([is_new[1:], jnp.ones((1, dd), bool)], axis=0)
-    e = -lax.cummax(jnp.where(is_end, -idx, -(N - 1)), axis=0, reverse=True)
-    k2 = lo + e + 2                  # = 2 * average_rank (1-based)
-
-    z_sorted = _z_from_rank2(k2, N).astype(flat.dtype)
-    # sorting the permutation back to the identity carries z_sorted to the
-    # original draw order (inverse permutation without argsort or gather)
-    _, z = lax.sort((perm, z_sorted), dimension=0, num_keys=1)
-    return z.reshape(S, C, dd)
+    return _rank_normalize(block)
 
 
 @jax.jit

@@ -167,14 +167,14 @@ def test_steps_per_iter_unroll():
     agree with W=1 and executed-leapfrog accounting is consistent."""
     t = standard_normal(5)
     pos = (random.normal(random.PRNGKey(1), (32, 5)) * 0.1).astype(F32)
-    kw = dict(step_size=0.4, num_samples=120, steps_per_sample=16,
+    kw = dict(step_size=0.4, num_samples=64, steps_per_sample=16,
               burn_in_steps=32, value_and_grad_fn=t.value_and_grad_fn,
               backend="pallas")
     res1 = nuts_run_persistent(random.PRNGKey(0), t.log_prob_fn, pos,
                                steps_per_iter=1, **kw)
     res4 = nuts_run_persistent(random.PRNGKey(0), t.log_prob_fn, pos,
                                steps_per_iter=4, **kw)
-    slots = (32 + 120 * 16) * 32
+    slots = (32 + 64 * 16) * 32
     assert int(res1.info["n_leapfrogs"]) == slots
     assert int(res1.info["n_leapfrog_slots"]) == slots
     # W=4 masks unrollable slots but must execute most of them

@@ -230,8 +230,8 @@ def test_warmup_nuts_persistent_backend():
     init = random.normal(random.PRNGKey(0), (16, 6)) * 0.1
     step, inv_mass, pos, info = run_adaptive_warmup(
         "nuts", t.log_prob_fn, None, init, random.PRNGKey(1),
-        num_warmup=600, value_and_grad_fn=t.value_and_grad_fn,
-        backend="persistent", steps_per_warmup_step=16)
+        num_warmup=400, value_and_grad_fn=t.value_and_grad_fn,
+        backend="persistent", steps_per_warmup_step=12)
     assert step > 0
     assert pos.shape == (16, 6)
     assert np.all(np.isfinite(np.asarray(pos)))

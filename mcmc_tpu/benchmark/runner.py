@@ -104,11 +104,11 @@ def _warmup(sampler, target, target_name, key, init_pos, num_warmup,
 
 
 def _resolve_backend(sampler, target) -> str:
-    """'pallas' for HMC/GRAHMC on TPU when the target has a fused kernel
+    """'pallas' for RWMH/HMC/GRAHMC on TPU when the target has a fused kernel
     specialization, else 'xla'."""
     import jax
     from mcmc_tpu.ops.padded_targets import PALLAS_FAMILIES
-    if (sampler in ("hmc", "grahmc", "rahmc")
+    if (sampler in ("rwmh", "hmc", "grahmc", "rahmc")
             and jax.default_backend() == "tpu"
             and getattr(target.value_and_grad_fn, "pallas_info", None)
             and target.value_and_grad_fn.pallas_info["family"] in PALLAS_FAMILIES):
@@ -168,7 +168,9 @@ def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
             collect_chains_per_device=n_local)
     if sampler == "rwmh":
         return rwmh_run(key, target.log_prob_fn, position,
-                        num_samples=num_samples, scale=step_size, burn_in=0)
+                        num_samples=num_samples, scale=step_size, burn_in=0,
+                        value_and_grad_fn=target.value_and_grad_fn,
+                        backend=backend)
     if sampler == "hmc":
         return hmc_run(key, target.log_prob_fn, position, step_size=step_size,
                        num_steps=num_steps, num_samples=num_samples, burn_in=0,

@@ -432,3 +432,84 @@ def test_grahmc_run_multistep_path_moments():
     assert np.all(np.abs(flat.var(0) - 1.0) < 0.25)
     acc = float(np.asarray(res.accept_rate).mean())
     assert 0.6 < acc <= 1.0
+
+
+def test_fused_rwmh_matches_injected_random_reference():
+    """The fused RWMH kernel (interpret mode, injected randoms) is bit-exact
+    against the same arithmetic replayed in plain jnp on the padded layout."""
+    from mcmc_tpu.ops.fused_rwmh import make_fused_rwmh_multistep
+    from mcmc_tpu.ops.fused_trajectory import _round_up, SUBLANE
+    from mcmc_tpu.ops.padded_targets import _mask_row
+    from mcmc_tpu.samplers.base import init_chain_state
+    from mcmc_tpu.targets import neals_funnel
+
+    dim, C, T = 10, 16, 4
+    t = neals_funnel(dim)
+    key = random.PRNGKey(5)
+    init = (random.normal(random.PRNGKey(6), (C, dim)) * 0.4).astype(
+        jnp.float32)
+    state = init_chain_state(init, t.log_prob_fn, needs_grad=False)
+    state = state._replace(position=state.position.astype(jnp.float32),
+                           log_prob=state.log_prob.astype(jnp.float32))
+    scale = 0.3
+
+    multi = make_fused_rwmh_multistep(t.log_prob_fn, t.value_and_grad_fn, T,
+                                      interpret=True)
+    _, ms, (acc_m, hist_q, hist_lp) = multi(key, state, scale)
+
+    # replay the wrapper's draws and arithmetic on the padded layout
+    d_pad = _round_up(dim, SUBLANE)
+    _, seed_key = random.split(key)
+    k_noise, k_u = random.split(seed_key)
+    noise = random.normal(k_noise, (T, d_pad, C), jnp.float32)
+    u = random.uniform(k_u, (T, C), jnp.float32)
+    vag = make_padded_vag(t.value_and_grad_fn, d_pad, dim_axis=0)
+    mask = _mask_row(dim, d_pad, dim_axis=0)
+
+    q = jnp.pad(state.position, ((0, 0), (0, d_pad - dim))).T
+    lp = state.log_prob[None, :]
+    for k in range(T):
+        prop = q + scale * noise[k] * mask
+        lp1, _ = vag(prop)
+        acc = jnp.log(u[k]) < jnp.minimum(0.0, lp1 - lp)
+        q = jnp.where(acc, prop, q)
+        lp = jnp.where(acc, lp1, lp)
+        np.testing.assert_array_equal(np.asarray(acc_m[k]),
+                                      np.asarray(acc[0]))
+        np.testing.assert_array_equal(np.asarray(hist_q[k]),
+                                      np.asarray(q.T[:, :dim]))
+        # lp goes through exp/log reductions that XLA fuses differently in
+        # the interpret-mode kernel vs the plain-jnp replay: allclose, not ==
+        np.testing.assert_allclose(np.asarray(hist_lp[k]),
+                                   np.asarray(lp[0]), rtol=2e-6, atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(ms.position),
+                                  np.asarray(q.T[:, :dim]))
+    np.testing.assert_array_equal(
+        np.asarray(ms.accept_count),
+        np.asarray(jnp.sum(acc_m.astype(jnp.int32), axis=0)))
+
+
+def test_rwmh_run_pallas_backend_moments():
+    """rwmh_run(backend='pallas') samples the correct posterior through the
+    public API and matches the XLA backend's acceptance statistics."""
+    from mcmc_tpu.samplers import rwmh_run
+    from mcmc_tpu.targets import standard_normal
+    t = standard_normal(4)
+    init = (random.normal(random.PRNGKey(1), (64, 4)) * 0.2).astype(
+        jnp.float32)
+    outs = {}
+    for backend in ("pallas", "xla"):
+        res = rwmh_run(random.PRNGKey(0), t.log_prob_fn, init,
+                       num_samples=480, scale=1.1, burn_in=64,
+                       collect_chains=32, backend=backend,
+                       value_and_grad_fn=t.value_and_grad_fn)
+        assert res.samples.shape == (480, 32, 4)
+        assert res.log_probs.shape == (480, 32)
+        flat = np.asarray(res.samples).reshape(-1, 4)
+        outs[backend] = (float(np.asarray(res.accept_rate).mean()),
+                         flat.mean(0), flat.var(0))
+    for backend, (acc, mean, var) in outs.items():
+        assert 0.2 < acc < 0.5, (backend, acc)   # 2.38/sqrt(d) regime
+        assert np.all(np.abs(mean) < 0.2), (backend, mean)
+        assert np.all(np.abs(var - 1.0) < 0.3), (backend, var)
+    assert abs(outs["pallas"][0] - outs["xla"][0]) < 0.1

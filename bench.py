@@ -42,10 +42,16 @@ TPU_CHAINS = 65536
 CPU_CHAINS = 256        # reference CPU practical scale (GRAHMC)
 TIMED_SAMPLES = 192
 
-NUTS_TPU_CHAINS = 4096
-NUTS_CPU_CHAINS = 64
+NUTS_TPU_CHAINS = 65536     # persistent NUTS scales: 233/481/670M useful
+NUTS_CPU_CHAINS = 64        # grads/s at 4k/16k/65k chains (BASELINE.md)
 NUTS_STEPS_PER_SAMPLE = 64
 NUTS_TIMED_SAMPLES = 192
+
+RWMH_DIM = 10               # reference README quick-start target
+RWMH_TPU_CHAINS = 65536
+RWMH_CPU_CHAINS = 4096      # RWMH is cheap; reference CPU handles more chains
+RWMH_TIMED_SAMPLES = 512
+RWMH_SCALE = 2.38 / RWMH_DIM ** 0.5  # Roberts-Rosenthal optimal scaling
 
 _GRAHMC_BASELINE_SCRIPT = r"""
 import json, sys, time
@@ -133,6 +139,43 @@ print(json.dumps({"useful_grads_per_sec": useful_grads / dt,
                   "seconds": dt, "chains": %(chains)d,
                   "samples": %(samples)d,
                   "mean_depth": float(depths.mean())}))
+"""
+
+
+_RWMH_BASELINE_SCRIPT = r"""
+import json, sys, time
+sys.path.insert(0, "/root/reference")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+from jax import random
+
+DIM = %(dim)d
+def log_prob_fn(x):
+    # standard normal in the reference's single-point formulation
+    # (targets.py log-probs take (n_dim,); rwMH_step vmaps over chains)
+    return -0.5 * (jnp.sum(x**2) + DIM * jnp.log(2.0 * jnp.pi))
+
+from samplers.RWMH import rwMH_run
+
+key = random.PRNGKey(0)
+init = random.normal(key, (%(chains)d, DIM)) * 0.3
+out = rwMH_run(random.PRNGKey(1), log_prob_fn, init,
+               num_samples=%(samples)d, scale=%(scale)0.8f, burn_in=0)
+jax.block_until_ready(out[0])
+dts = []
+for rep in range(5):
+    t0 = time.time()
+    out = rwMH_run(random.PRNGKey(2 + rep), log_prob_fn, init,
+                   num_samples=%(samples)d, scale=%(scale)0.8f, burn_in=0)
+    jax.block_until_ready(out[0])
+    dts.append(time.time() - t0)
+dt = min(dts)
+print(json.dumps({"chain_steps_per_sec": %(chains)d * %(samples)d / dt,
+                  "seconds": dt, "chains": %(chains)d,
+                  "samples": %(samples)d,
+                  "accept": float(out[2].mean())}))
 """
 
 
@@ -345,6 +388,37 @@ def measure_tpu():
     except Exception as e:
         print(f"[bench] NUTS row skipped: {e}", file=sys.stderr)
 
+    # ---- RWMH: fused multi-transition kernel, timed ----------------------
+    try:
+        from mcmc_tpu.targets import standard_normal
+        from mcmc_tpu.samplers import rwmh_run
+        rt = standard_normal(RWMH_DIM)
+        r_init = (random.normal(random.PRNGKey(6),
+                                (RWMH_TPU_CHAINS, RWMH_DIM)) * 0.3
+                  ).astype(jnp.float32)
+        rkw = dict(num_samples=RWMH_TIMED_SAMPLES, scale=RWMH_SCALE,
+                   burn_in=0, collect_chains=64,
+                   value_and_grad_fn=rt.value_and_grad_fn, backend="pallas")
+        rres = rwmh_run(random.PRNGKey(7), rt.log_prob_fn, r_init, **rkw)
+        jax.block_until_ready(rres.samples)
+        rdts = []
+        for rep in range(5):
+            t0 = time.time()
+            rres = rwmh_run(random.PRNGKey(8 + rep), rt.log_prob_fn, r_init,
+                            **rkw)
+            float(jnp.sum(rres.final_state.position))
+            rdts.append(time.time() - t0)
+        rdt = sorted(rdts)[len(rdts) // 2]
+        extras["rwmh_chain_steps_per_sec"] = round(
+            RWMH_TPU_CHAINS * RWMH_TIMED_SAMPLES / rdt, 1)
+        extras["rwmh_accept"] = round(float(rres.accept_rate.mean()), 3)
+        print(f"[bench] RWMH TPU (fused): {rdt:.3f}s, "
+              f"{extras['rwmh_chain_steps_per_sec'] / 1e6:,.1f}M "
+              f"chain-steps/s at {RWMH_TPU_CHAINS} chains (accept="
+              f"{extras['rwmh_accept']:.3f})", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] RWMH row skipped: {e}", file=sys.stderr)
+
     return grahmc_rate, extras, cache
 
 
@@ -363,6 +437,12 @@ def main():
                 "dim": DIM, "chains": NUTS_CPU_CHAINS, "samples": 24,
                 "step": cache["nuts_step"]}, "NUTS")
         _save_cache(cache)
+    if "rwmh_cpu" not in cache:
+        cache["rwmh_cpu"] = _run_subprocess(
+            _RWMH_BASELINE_SCRIPT % {
+                "dim": RWMH_DIM, "chains": RWMH_CPU_CHAINS, "samples": 200,
+                "scale": RWMH_SCALE}, "RWMH")
+        _save_cache(cache)
 
     base = cache["grahmc_cpu"]
     print(f"[bench] reference CPU GRAHMC baseline: "
@@ -377,6 +457,15 @@ def main():
         extras["nuts_vs_baseline"] = round(
             extras["nuts_useful_grads_per_sec"]
             / nbase["useful_grads_per_sec"], 2)
+    rbase = cache["rwmh_cpu"]
+    print(f"[bench] reference CPU RWMH baseline: "
+          f"{rbase['chain_steps_per_sec']:,.0f} chain-steps/s "
+          f"({rbase['chains']} chains, accept={rbase.get('accept', -1):.3f})",
+          file=sys.stderr)
+    if "rwmh_chain_steps_per_sec" in extras:
+        extras["rwmh_vs_baseline"] = round(
+            extras["rwmh_chain_steps_per_sec"]
+            / rbase["chain_steps_per_sec"], 2)
 
     print(json.dumps({
         "metric": "grahmc_chain_steps_per_sec_50d_funnel_tuned",

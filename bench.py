@@ -401,14 +401,16 @@ def measure_tpu():
                    value_and_grad_fn=rt.value_and_grad_fn, backend="pallas")
         rres = rwmh_run(random.PRNGKey(7), rt.log_prob_fn, r_init, **rkw)
         jax.block_until_ready(rres.samples)
+        # median of 5, first rep dropped (same convention as GRAHMC/NUTS:
+        # the first post-warmup rep is still slower through the tunnel)
         rdts = []
-        for rep in range(5):
+        for rep in range(6):
             t0 = time.time()
             rres = rwmh_run(random.PRNGKey(8 + rep), rt.log_prob_fn, r_init,
                             **rkw)
             float(jnp.sum(rres.final_state.position))
             rdts.append(time.time() - t0)
-        rdt = sorted(rdts)[len(rdts) // 2]
+        rdt = sorted(rdts[1:])[len(rdts[1:]) // 2]
         extras["rwmh_chain_steps_per_sec"] = round(
             RWMH_TPU_CHAINS * RWMH_TIMED_SAMPLES / rdt, 1)
         extras["rwmh_accept"] = round(float(rres.accept_rate.mean()), 3)

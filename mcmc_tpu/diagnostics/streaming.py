@@ -8,17 +8,14 @@ has crashed the remote TPU worker (see `_DIM_CHUNK` note in
 diagnostics/__init__.py). The exact statistics, however, decompose over
 chains:
 
-- rank normalization pools ALL draws, but ranks can be computed per chain
-  chunk by searchsorted into ONE pooled sorted column (computed once per dim
-  chunk, on device);
+- rank normalization pools ALL draws, so it is done ONCE per dim block on
+  device (the two-operand-sort scheme shared with the monolithic
+  `_rank_normalize` — see its docstring);
 - the Vehtari/Geyer ESS and split R-hat need only per-chain moments (chain
   means, unbiased chain variances, chain-averaged autocovariance), which are
   plain sums over chains.
 
-So the streaming path rank-normalizes each dim block ONCE on device (sort +
-tie-run scans + inverse-permutation gather — TPU `searchsorted` lowers to
-binary-search gathers and measured ~50x slower than sort at 4M pooled values,
-so the per-chunk searchsorted design was replaced), then accumulates
+So the streaming path rank-normalizes each dim block once, then accumulates
 per-chain-chunk moments over slices of the precomputed z-scores, then combines
 with the SAME `_ess_combine` / R-hat formulas as the monolithic path —
 chunked == monolithic exactly (up to float summation order), which

@@ -33,7 +33,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mcmc_tpu.ops.fused_trajectory import (
-    SUBLANE, _bits_to_uniform, _gaussian, _round_up, seed_words_from_key,
+    SUBLANE, _bits_to_uniform, _gaussian, _round_up, select_chain_tile,
+    seed_words_from_key,
 )
 from mcmc_tpu.ops.padded_targets import _mask_row, make_padded_vag
 
@@ -129,15 +130,8 @@ def make_fused_rwmh_multistep(
                                              dim_axis=0)
         padded_vag = vag_cache[dim]
         has_data = bool(getattr(padded_vag, "data_arrays", ()))
-        tile = chain_tile or (256 if has_data else 512)
-        tile = min(tile, n_chains)
-        while n_chains % tile:
-            tile //= 2
-        # deep windows (T up to 32) write a (T, d_pad, tile) history block:
-        # keep it under ~2 MiB so double-buffered outputs fit VMEM at any dim
-        while tile > 8 and transitions * d_pad * tile * 4 > (2 << 20):
-            tile //= 2
-        tile = max(tile, 1)
+        tile = select_chain_tile(n_chains, d_pad, transitions, chain_tile,
+                                 has_data)
 
         cache_key = (n_chains, dim, tile)
         if cache_key not in call_cache:

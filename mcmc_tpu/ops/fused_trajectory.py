@@ -49,6 +49,25 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def select_chain_tile(n_chains: int, d_pad: int, transitions: int,
+                      chain_tile: Optional[int] = None,
+                      has_data: bool = False) -> int:
+    """Chain-tile size for multi-transition kernels (transposed layout).
+
+    The (T, d_pad, tile) per-transition history block must fit scoped VMEM
+    alongside the state (512 measured safe for T<=8 at d_pad 56): cap the
+    window at ~2 MiB. Divisibility into n_chains is re-checked after every
+    halving — a shrink through an odd tile must never leave a grid that
+    skips chains.
+    """
+    tile = chain_tile or (256 if has_data else 512)
+    tile = min(tile, n_chains)
+    while tile > 1 and (n_chains % tile
+                        or transitions * d_pad * tile * 4 > (2 << 20)):
+        tile //= 2
+    return tile
+
+
 def choose_layout(dim: int) -> int:
     """dim_axis with the least padding waste: 1 = lane layout (C, d_pad128),
     0 = transposed (d_pad8, C)."""
@@ -536,13 +555,8 @@ def make_fused_grahmc_multistep(
                                              dim_axis=0)
         padded_vag = vag_cache[dim]
         has_data = bool(getattr(padded_vag, "data_arrays", ()))
-        # history blocks (T, d_pad, tile) must fit scoped VMEM alongside the
-        # state; 512 measured safe for T<=8 at d_pad 56
-        tile = chain_tile or (256 if has_data else 512)
-        tile = min(tile, n_chains)
-        while n_chains % tile:
-            tile //= 2
-        tile = max(tile, 1)
+        tile = select_chain_tile(n_chains, d_pad, transitions, chain_tile,
+                                 has_data)
 
         cache_key = (n_chains, dim, tile)
         if cache_key not in call_cache:

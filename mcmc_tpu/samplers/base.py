@@ -177,6 +177,48 @@ def run_sampler(
     return state, samples, log_probs, extras
 
 
+def run_multistep_sampler(
+    multi_step: Callable,
+    key: Array,
+    state: ChainState,
+    num_samples: int,
+    burn_in: int,
+    trans_per_call: int,
+    collect_chains: Optional[int] = None,
+) -> RunResult:
+    """Burn-in + sampling harness for fused multi-transition kernels.
+
+    multi_step: (key, state) -> (key, state, (hist_q (T, C, D),
+    hist_lp (T, C))) advancing `trans_per_call` MH transitions per call with
+    per-transition history. Histories are flattened back to the standard
+    (num_samples, n_collect, dim) layout, so callers get exactly the
+    per-step collection the single-step `run_sampler` harness produces.
+    Shared by the GRAHMC and RWMH Pallas backends.
+    """
+    n_collect = (state.position.shape[0] if collect_chains is None
+                 else collect_chains)
+
+    if burn_in > 0:
+        def burn_body(carry, _):
+            k, s = carry
+            k, s, _ = multi_step(k, s)
+            return (k, s), None
+        (key, state), _ = lax.scan(burn_body, (key, state),
+                                   length=burn_in // trans_per_call)
+        state = reset_counters(state)
+
+    def body(carry, _):
+        k, s = carry
+        k, s, (hist_q, hist_lp) = multi_step(k, s)
+        return (k, s), (hist_q[:, :n_collect], hist_lp[:, :n_collect])
+
+    (key, state), (hq, hlp) = lax.scan(body, (key, state),
+                                       length=num_samples // trans_per_call)
+    samples = hq.reshape((num_samples,) + hq.shape[2:])
+    log_probs = hlp.reshape((num_samples,) + hlp.shape[2:])
+    return finalize_run(state, samples, log_probs, num_samples)
+
+
 def finalize_run(state: ChainState, samples, log_probs, num_samples: int,
                  extra_info: Optional[Dict] = None) -> RunResult:
     """Build the uniform RunResult with accept/divergence rates."""

@@ -23,7 +23,7 @@ from jax import jit, random
 from mcmc_tpu import precision
 from mcmc_tpu.samplers.base import (
     ChainState, RunResult, init_chain_state, make_value_and_grad,
-    run_sampler, finalize_run,
+    run_multistep_sampler, run_sampler, finalize_run,
 )
 from mcmc_tpu.samplers.trajectory import integrate_trajectory, kinetic_energy
 from mcmc_tpu.diagnostics.gates import DIVERGENCE_DELTA_H
@@ -205,9 +205,14 @@ def grahmc_run(
             multi = make_fused_grahmc_multistep(
                 log_prob_fn, value_and_grad_fn, num_steps, friction_schedule,
                 trans_per_call)
-            return _run_multistep(
-                multi, key, state, step_size, gamma, steep, inv_mass_matrix,
-                num_samples, burn_in, trans_per_call, collect_chains)
+
+            def multi_step(k, s):
+                k, s, (_acc, hist_q, hist_lp, _dh) = multi(
+                    k, s, step_size, gamma, steep, inv_mass_matrix)
+                return k, s, (hist_q, hist_lp)
+            return run_multistep_sampler(
+                multi_step, key, state, num_samples, burn_in, trans_per_call,
+                collect_chains)
         fused = _get_fused_step_factory()(
             log_prob_fn, value_and_grad_fn, num_steps, friction_schedule)
         def step(k, s):
@@ -235,43 +240,6 @@ def grahmc_run(
 
     state, samples, log_probs, _ = run_sampler(
         step, key, state, num_samples, burn_in, collect_chains)
-    return finalize_run(state, samples, log_probs, num_samples)
-
-
-def _run_multistep(multi, key, state, step_size, gamma, steep,
-                   inv_mass_matrix, num_samples, burn_in, trans_per_call,
-                   collect_chains):
-    """Burn-in + sampling over the multi-transition fused kernel.
-
-    Each scan step advances trans_per_call MH transitions and yields the
-    same per-transition position/log-prob history the single-step harness
-    collects; histories are flattened back to (num_samples, n_collect, dim).
-    """
-    from jax import lax
-    from mcmc_tpu.samplers.base import reset_counters
-
-    n_collect = (state.position.shape[0] if collect_chains is None
-                 else collect_chains)
-
-    def body(carry, _):
-        k, s = carry
-        k, s, (_acc, hist_q, hist_lp, _dh) = multi(
-            k, s, step_size, gamma, steep, inv_mass_matrix)
-        return (k, s), (hist_q[:, :n_collect], hist_lp[:, :n_collect])
-
-    if burn_in > 0:
-        def burn_body(carry, _):
-            k, s = carry
-            k, s, _ = multi(k, s, step_size, gamma, steep, inv_mass_matrix)
-            return (k, s), None
-        (key, state), _ = lax.scan(burn_body, (key, state),
-                                   length=burn_in // trans_per_call)
-        state = reset_counters(state)
-
-    (key, state), (hq, hlp) = lax.scan(body, (key, state),
-                                       length=num_samples // trans_per_call)
-    samples = hq.reshape((num_samples,) + hq.shape[2:])
-    log_probs = hlp.reshape((num_samples,) + hlp.shape[2:])
     return finalize_run(state, samples, log_probs, num_samples)
 
 

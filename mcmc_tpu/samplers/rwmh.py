@@ -11,11 +11,11 @@ from functools import partial
 from typing import Optional
 
 import jax.numpy as jnp
-from jax import jit, lax, random
+from jax import jit, random
 
 from mcmc_tpu.samplers.base import (
     ChainState, RunResult, ensure_batched, init_chain_state,
-    reset_counters, run_sampler, finalize_run,
+    run_multistep_sampler, run_sampler, finalize_run,
 )
 
 
@@ -86,8 +86,13 @@ def rwmh_run(
                 if num_samples % t == 0 and burn_in % t == 0)
             multi = make_fused_rwmh_multistep(
                 log_prob_fn, value_and_grad_fn, trans_per_call)
-            return _run_multistep(multi, key, state, scale, num_samples,
-                                  burn_in, trans_per_call, collect_chains)
+
+            def multi_step(k, s):
+                k, s, (_acc, hist_q, hist_lp) = multi(k, s, scale)
+                return k, s, (hist_q, hist_lp)
+            return run_multistep_sampler(
+                multi_step, key, state, num_samples, burn_in, trans_per_call,
+                collect_chains)
         backend = "xla"
 
     def step(k, s):
@@ -98,28 +103,3 @@ def rwmh_run(
     return finalize_run(state, samples, log_probs, num_samples)
 
 
-def _run_multistep(multi, key, state, scale, num_samples, burn_in,
-                   trans_per_call, collect_chains):
-    """Burn-in + sampling over the multi-transition fused RWMH kernel."""
-    n_collect = (state.position.shape[0] if collect_chains is None
-                 else collect_chains)
-
-    if burn_in > 0:
-        def burn_body(carry, _):
-            k, s = carry
-            k, s, _ = multi(k, s, scale)
-            return (k, s), None
-        (key, state), _ = lax.scan(burn_body, (key, state),
-                                   length=burn_in // trans_per_call)
-        state = reset_counters(state)
-
-    def body(carry, _):
-        k, s = carry
-        k, s, (_acc, hist_q, hist_lp) = multi(k, s, scale)
-        return (k, s), (hist_q[:, :n_collect], hist_lp[:, :n_collect])
-
-    (key, state), (hq, hlp) = lax.scan(body, (key, state),
-                                       length=num_samples // trans_per_call)
-    samples = hq.reshape((num_samples,) + hq.shape[2:])
-    log_probs = hlp.reshape((num_samples,) + hlp.shape[2:])
-    return finalize_run(state, samples, log_probs, num_samples)

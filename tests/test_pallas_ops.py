@@ -513,3 +513,28 @@ def test_rwmh_run_pallas_backend_moments():
         assert np.all(np.abs(mean) < 0.2), (backend, mean)
         assert np.all(np.abs(var - 1.0) < 0.3), (backend, var)
     assert abs(outs["pallas"][0] - outs["xla"][0]) < 0.1
+
+
+def test_select_chain_tile_always_divides_and_fits():
+    """The multi-transition chain tile must divide n_chains exactly (a grid
+    that skips chains silently corrupts results — review finding r2) and
+    keep the (T, d_pad, tile) history window under ~2 MiB."""
+    from mcmc_tpu.ops.fused_trajectory import select_chain_tile
+    cases = [
+        # (n_chains, d_pad, T) — incl. the reported failure case: 274 chains,
+        # d_pad 120, T=32 shrinks through odd 137 where naive halving lands
+        # on 68, which does not divide 274
+        (274, 120, 32), (65536, 56, 8), (4096, 16, 32), (202, 104, 32),
+        (96, 40, 32), (3, 8, 8), (1, 128, 32), (100, 8, 1), (137, 120, 32),
+    ]
+    for n_chains, d_pad, T in cases:
+        for has_data in (False, True):
+            tile = select_chain_tile(n_chains, d_pad, T, has_data=has_data)
+            assert tile >= 1, (n_chains, d_pad, T)
+            assert n_chains % tile == 0, (n_chains, d_pad, T, tile)
+            assert (tile == 1
+                    or T * d_pad * tile * 4 <= (2 << 20)), \
+                (n_chains, d_pad, T, tile)
+    # explicit chain_tile requests are still subject to both constraints
+    assert select_chain_tile(274, 120, 32, chain_tile=274) in (2, 137)
+    assert 4096 % select_chain_tile(4096, 120, 32, chain_tile=512) == 0

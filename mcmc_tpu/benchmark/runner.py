@@ -152,6 +152,19 @@ def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
     """
     if backend == "auto":
         backend = _resolve_backend(sampler, target)
+    if (mesh is not None and sampler == "nuts"
+            and nuts_backend == "persistent"
+            and getattr(target.value_and_grad_fn, "pallas_info", None)):
+        # fused persistent-NUTS windows shard_mapped per device (GSPMD over
+        # the XLA machine works too, but compiles ~150x slower)
+        from mcmc_tpu.parallel.fused_sharded import nuts_persistent_run_sharded
+        n_local = position.shape[0] // mesh.devices.size
+        return nuts_persistent_run_sharded(
+            key, target, position, mesh, step_size=step_size,
+            num_samples=num_samples,
+            steps_per_sample=nuts_steps_per_sample, burn_in_steps=0,
+            inv_mass_matrix=inv_mass, max_tree_depth=10,
+            collect_chains_per_device=n_local)
     if (mesh is not None and backend == "pallas"
             and sampler in ("hmc", "grahmc", "rahmc")):
         from mcmc_tpu.parallel.fused_sharded import grahmc_run_sharded

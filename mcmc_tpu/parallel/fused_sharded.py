@@ -1,12 +1,17 @@
-"""Multi-chip fused GRAHMC sampling: shard_map over the chain mesh axis.
+"""Multi-chip fused sampling: shard_map over the chain mesh axis.
 
 GSPMD partitions the XLA samplers automatically (chains are communication-
-free), but a pallas_call is opaque to the partitioner — the fused kernel must
-be explicitly shard_mapped: each device runs the kernel on its local chain
-shard with a per-device RNG stream (fold_in on the mesh axis index). The only
-collectives are the final psums for the divergence totals; the sampling loop
-itself stays collective-free, so this scales over ICI exactly like the XLA
-path (v5p-8 target: SURVEY.md §7 step 7).
+free), but a pallas_call is opaque to the partitioner — the fused kernels
+must be explicitly shard_mapped: each device runs its kernel on its local
+chain shard with a per-device RNG stream (fold_in on the mesh axis index).
+The only collectives are the final psums for the divergence/leapfrog totals;
+the sampling loops stay collective-free, so this scales over ICI exactly
+like the XLA path (v5p-8 target: SURVEY.md §7 step 7).
+
+Wrappers: `grahmc_run_sharded` (fused trajectory kernel) and
+`nuts_persistent_run_sharded` (fused persistent-NUTS window kernel — the
+GSPMD alternative is the XLA machine scan, which compiles in ~405s vs ~3s
+for the fused windows, BASELINE.md).
 
 Validated on the 8-device virtual CPU mesh in tests; on TPU each shard uses
 the kernel's on-chip PRNG.
@@ -114,6 +119,15 @@ def grahmc_run_sharded(
     (samples, lps, acc_counts, div_counts, final_pos, final_lp, final_grad,
      total_div) = run_shard(key, init_position, *scalars, inv_mass_matrix)
 
+    return _assemble_result(samples, lps, acc_counts, div_counts, final_pos,
+                            final_lp, final_grad, total_div, num_samples,
+                            n_chains, n_dev)
+
+
+def _assemble_result(samples, lps, acc_counts, div_counts, final_pos,
+                     final_lp, final_grad, total_div, num_samples, n_chains,
+                     n_dev) -> RunResult:
+
     accept_rate = acc_counts.astype(jnp.float32) / num_samples
     info = {
         "divergence_count": div_counts,
@@ -127,3 +141,99 @@ def grahmc_run_sharded(
         position=final_pos, log_prob=final_lp, grad_log_prob=final_grad,
         accept_count=acc_counts, divergence_count=div_counts)
     return RunResult(samples, lps, accept_rate, final_state, info)
+
+
+def nuts_persistent_run_sharded(
+    key,
+    target,
+    init_position,
+    mesh,
+    step_size,
+    num_samples: int,
+    steps_per_sample: int = 64,
+    burn_in_steps: int = 0,
+    inv_mass_matrix=None,
+    max_tree_depth: int = 10,
+    delta_max: float = 1000.0,
+    collect_chains_per_device: int = 8,
+    chain_tile: Optional[int] = None,
+    steps_per_iter: Optional[int] = None,
+) -> RunResult:
+    """Persistent NUTS through the fused window kernel, chains sharded over
+    `mesh`'s chain axis.
+
+    Each device runs its own fused VMEM state machine on its local chain
+    shard (per-device fold_in RNG); the only collectives are the final psums
+    for the global divergence/transition/leapfrog totals. The GSPMD
+    alternative partitions the XLA machine scan, which works but compiles
+    ~150x slower (BASELINE.md fused-NUTS compile row).
+    """
+    from mcmc_tpu.samplers.base import ChainState
+    from mcmc_tpu.samplers.nuts_persistent import _run_persistent_pallas
+
+    n_chains, dim = init_position.shape
+    n_dev = mesh.devices.size
+    if n_chains % n_dev:
+        raise ValueError(
+            f"n_chains {n_chains} not divisible by mesh size {n_dev}")
+    if inv_mass_matrix is None:
+        inv_mass_matrix = jnp.ones(dim, jnp.float32)
+    inv_mass_matrix = jnp.asarray(inv_mass_matrix, jnp.float32)
+    if steps_per_iter is None:
+        steps_per_iter = next(
+            w for w in (4, 2, 1)
+            if steps_per_sample % w == 0 and burn_in_steps % w == 0)
+
+    init_position = shard_chains(jnp.asarray(init_position, jnp.float32),
+                                 mesh)
+
+    sharded = P(CHAIN_AXIS)
+    out_specs = RunResult(
+        samples=P(None, CHAIN_AXIS, None),
+        log_probs=P(None, CHAIN_AXIS),
+        accept_rate=sharded,
+        final_state=ChainState(
+            position=P(CHAIN_AXIS, None), log_prob=sharded,
+            grad_log_prob=P(CHAIN_AXIS, None), accept_count=sharded,
+            divergence_count=sharded),
+        info={
+            "divergence_count": sharded,
+            "total_divergences": P(),
+            "divergence_rate": P(),
+            "transitions": sharded,
+            "mean_accept_probs": sharded,
+            "mean_tree_depth": sharded,
+            "n_leapfrogs": P(),
+            "n_leapfrog_slots": P(),
+            "final_positions": P(CHAIN_AXIS, None),
+            "n_devices": P(),
+        })
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(CHAIN_AXIS, None), P(), P()),
+             out_specs=out_specs,
+             check_vma=False)  # pallas_call outputs carry no vma annotations
+    def run_shard(key, local_pos, eps, inv_mass):
+        key = random.fold_in(key, lax.axis_index(CHAIN_AXIS))
+        res = _run_persistent_pallas(
+            key, target.log_prob_fn, local_pos, eps, num_samples,
+            steps_per_sample, burn_in_steps, inv_mass, max_tree_depth,
+            delta_max, target.value_and_grad_fn, collect_chains_per_device,
+            chain_tile, steps_per_iter)
+        # lift the per-shard scalar totals to global psums
+        total_div = lax.psum(res.info["total_divergences"], CHAIN_AXIS)
+        total_trans = lax.psum(jnp.sum(res.info["transitions"]), CHAIN_AXIS)
+        info = dict(
+            res.info,
+            total_divergences=total_div,
+            divergence_rate=total_div.astype(jnp.float32)
+            / jnp.maximum(total_trans, 1).astype(jnp.float32),
+            n_leapfrogs=lax.psum(res.info["n_leapfrogs"], CHAIN_AXIS),
+            n_leapfrog_slots=lax.psum(res.info["n_leapfrog_slots"],
+                                      CHAIN_AXIS),
+            n_devices=jnp.asarray(n_dev, jnp.int32),
+        )
+        return res._replace(info=info)
+
+    return run_shard(key, init_position,
+                     jnp.asarray(step_size, jnp.float32), inv_mass_matrix)

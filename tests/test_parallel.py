@@ -171,3 +171,37 @@ def test_persistent_nuts_sharded_over_mesh():
     flat = np.asarray(res.samples).reshape(-1, 4)
     assert np.all(np.isfinite(flat))
     assert np.all(np.abs(flat.mean(0)) < 0.6)
+
+
+def test_fused_persistent_nuts_sharded_over_mesh():
+    """The fused persistent-NUTS window kernel runs under shard_map over the
+    8-device mesh (GSPMD cannot partition pallas_call; the GSPMD
+    alternative is the XLA machine, which compiles ~150x slower on TPU).
+    Statistical sanity + info schema on N(0, I)."""
+    from mcmc_tpu.parallel import make_mesh
+    from mcmc_tpu.parallel.fused_sharded import nuts_persistent_run_sharded
+    from mcmc_tpu.targets import standard_normal
+
+    t = standard_normal(5)
+    mesh = make_mesh()
+    init = (random.normal(random.PRNGKey(40), (32, 5)) * 0.3
+            ).astype(jnp.float32)
+    res = nuts_persistent_run_sharded(
+        random.PRNGKey(41), t, init, mesh, step_size=0.4, num_samples=40,
+        steps_per_sample=16, burn_in_steps=16, collect_chains_per_device=2)
+    assert res.samples.shape == (40, 16, 5)   # 2 chains/device x 8 devices
+    assert res.accept_rate.shape == (32,)
+    assert res.final_state.position.shape == (32, 5)
+    for key_name in ("transitions", "mean_accept_probs", "mean_tree_depth",
+                     "divergence_count"):
+        assert res.info[key_name].shape == (32,), key_name
+    assert int(res.info["n_devices"]) == mesh.devices.size
+    # global totals are psummed, not per-shard
+    slots = (16 + 40 * 16) * 32
+    assert int(res.info["n_leapfrog_slots"]) == slots
+    assert 0 < int(res.info["n_leapfrogs"]) <= slots
+    assert np.all(np.asarray(res.info["transitions"]) >= 1)
+    flat = np.asarray(res.samples).reshape(-1, 5)
+    assert np.all(np.isfinite(flat))
+    assert np.all(np.abs(flat.mean(0)) < 0.3)
+    assert np.all(np.abs(flat.var(0) - 1.0) < 0.4)

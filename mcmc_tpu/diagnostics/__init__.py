@@ -15,7 +15,8 @@ from mcmc_tpu.diagnostics.wasserstein import (
     sliced_wasserstein_distance, compute_sliced_w2,
 )
 from mcmc_tpu.diagnostics.streaming import (
-    ess_bulk_chunked, split_rhat_chunked,
+    ess_bulk_chunked, split_rhat_chunked, ess_tail_chunked,
+    ess_mean_chunked, mcse_mean_chunked, compute_diagnostics_chunked,
 )
 from mcmc_tpu.diagnostics.gates import (
     detect_divergences, check_summary_statistics, evaluate_gates,
@@ -54,14 +55,25 @@ def _diagnostics_device(samples):
     return cat["rhat"], cat["bulk"], cat["tail"], cat["mcse"], mean, std
 
 
+# Above this history size the per-dim-block programs still hold every chain's
+# FFT/sort buffers at once; route to the chain+dim-chunked estimators instead
+# (identical statistics up to summation order — test_streaming_diagnostics).
+_CHUNKED_THRESHOLD_BYTES = 1 << 28
+
+
 def compute_diagnostics(samples) -> dict:
     """Convergence diagnostics + summary statistics for (n, chains, dim) samples.
 
     Output-key parity with the reference's arviz-based version
     (run_benchmarks.py:161-195); ``summary`` is a plain dict of arrays instead
-    of an arviz DataFrame.
+    of an arviz DataFrame. Histories over ~256 MB are transparently computed
+    with the chain-chunked streaming estimators (identical results up to
+    float summation order), so gates work unchanged at 65k-chain scale.
     """
-    rhat, bulk, tail, mcse, mean, std = _diagnostics_device(jnp.asarray(samples))
+    samples = jnp.asarray(samples)
+    if samples.size * samples.dtype.itemsize > _CHUNKED_THRESHOLD_BYTES:
+        return compute_diagnostics_chunked(samples)
+    rhat, bulk, tail, mcse, mean, std = _diagnostics_device(samples)
     rhat, bulk, tail = np.asarray(rhat), np.asarray(bulk), np.asarray(tail)
     return {
         "rhat_max": float(np.max(rhat)),
@@ -85,7 +97,8 @@ def compute_diagnostics(samples) -> dict:
 
 __all__ = [
     "split_rhat", "ess_bulk", "ess_tail", "ess_mean", "mcse_mean",
-    "ess_bulk_chunked", "split_rhat_chunked",
+    "ess_bulk_chunked", "split_rhat_chunked", "ess_tail_chunked",
+    "ess_mean_chunked", "mcse_mean_chunked", "compute_diagnostics_chunked",
     "sliced_wasserstein_distance", "compute_sliced_w2",
     "detect_divergences", "check_summary_statistics", "evaluate_gates",
     "compute_diagnostics",

@@ -70,21 +70,24 @@ def _chunk_moments(z_chunk):
             x.shape[1])
 
 
-def _accumulate_block(block, chain_chunk):
-    """Rank-normalize one dim block, then accumulate moments per chain chunk."""
-    S, C, dd = block.shape
-    z = _rank_z_block(block)
+def _moments_over_chunks(get_chunk, S, C, chain_chunk):
+    """Accumulate `_chunk_moments` sums over chain chunks.
+
+    get_chunk(c0, c1) -> the (S, c1-c0, dd) values whose split-chain moments
+    are wanted (z-scores, tail indicators, or raw draws).
+    """
     sums = None
     m_total = 0
     for c0 in range(0, C, chain_chunk):
-        cv, ac, zm, zm2, zv, m = _chunk_moments(z[:, c0:c0 + chain_chunk])
+        cv, ac, zm, zm2, zv, m = _chunk_moments(
+            get_chunk(c0, min(c0 + chain_chunk, C)))
         m_total += int(m)
         if sums is None:
             sums = [cv, ac, zm, zm2, zv]
         else:
             sums = [a + b for a, b in zip(sums, (cv, ac, zm, zm2, zv))]
     cv, ac, zm, zm2, zv = sums
-    n = (S // 2)
+    n = S // 2
     M = m_total
     mean_var = cv / M
     mean_acov = ac / M
@@ -94,6 +97,18 @@ def _accumulate_block(block, chain_chunk):
         "mean_var": mean_var, "mean_acov": mean_acov, "var_means": var_means,
         "W": zv / M,
     }
+
+
+def _accumulate_block(block, chain_chunk):
+    """Rank-normalize one dim block, then accumulate moments per chain chunk."""
+    S, C, dd = block.shape
+    z = _rank_z_block(block)
+    return _moments_over_chunks(lambda a, b: z[:, a:b], S, C, chain_chunk)
+
+
+def _ess_of_moments(mo):
+    return _ess_combine(mo["mean_var"], mo["mean_acov"], mo["var_means"],
+                        mo["n"], mo["M"])
 
 
 def ess_bulk_chunked(samples, chain_chunk: int = DEFAULT_CHAIN_CHUNK,
@@ -110,9 +125,7 @@ def ess_bulk_chunked(samples, chain_chunk: int = DEFAULT_CHAIN_CHUNK,
     out = []
     for d0 in range(0, D, dim_chunk):
         block = samples[:, :, d0:d0 + dim_chunk]
-        mo = _accumulate_block(block, chain_chunk)
-        out.append(_ess_combine(mo["mean_var"], mo["mean_acov"],
-                                mo["var_means"], mo["n"], mo["M"]))
+        out.append(_ess_of_moments(_accumulate_block(block, chain_chunk)))
     return jnp.concatenate(out)
 
 
@@ -143,3 +156,164 @@ def split_rhat_chunked(samples, chain_chunk: int = DEFAULT_CHAIN_CHUNK,
             rhats.append(jnp.sqrt(var_plus / W))
         out.append(jnp.maximum(*rhats))
     return jnp.concatenate(out)
+
+
+@jax.jit
+def _tail_quantiles(block):
+    """5%/95% quantiles of the pooled (already truncated) block, per dim."""
+    S, C, dd = block.shape
+    flat = block.reshape(S * C, dd)
+    return (jnp.quantile(flat, 0.05, axis=0),
+            jnp.quantile(flat, 0.95, axis=0))
+
+
+def ess_tail_chunked(samples, chain_chunk: int = DEFAULT_CHAIN_CHUNK,
+                     dim_chunk: int = DEFAULT_DIM_CHUNK):
+    """Tail ESS (min ESS of the 5%/95% quantile indicator series), chunked.
+
+    Matches `mcmc_tpu.diagnostics.ess_tail(samples)` up to summation order:
+    the pooled quantiles are computed once per dim block (quantiles are
+    order-free, so pre-split == post-split), then the indicator series'
+    split-chain moments accumulate per chain chunk.
+    """
+    samples = jnp.asarray(samples)
+    S, C, D = samples.shape
+    samples = samples[: 2 * (S // 2)]     # match _split_chains truncation
+    S = samples.shape[0]
+    out = []
+    for d0 in range(0, D, dim_chunk):
+        block = samples[:, :, d0:d0 + dim_chunk]
+        q05, q95 = _tail_quantiles(block)
+        esss = []
+        for q in (q05, q95):
+            mo = _moments_over_chunks(
+                lambda a, b, q=q: (block[:, a:b] <= q).astype(block.dtype),
+                S, C, chain_chunk)
+            esss.append(_ess_of_moments(mo))
+        out.append(jnp.minimum(*esss))
+    return jnp.concatenate(out)
+
+
+def ess_mean_chunked(samples, chain_chunk: int = DEFAULT_CHAIN_CHUNK,
+                     dim_chunk: int = DEFAULT_DIM_CHUNK):
+    """ESS of the raw split draws (the 'mean' method), chunked.
+
+    Matches `mcmc_tpu.diagnostics.ess_mean(samples)` up to summation order.
+    """
+    samples = jnp.asarray(samples)
+    S, C, D = samples.shape
+    samples = samples[: 2 * (S // 2)]
+    S = samples.shape[0]
+    out = []
+    for d0 in range(0, D, dim_chunk):
+        block = samples[:, :, d0:d0 + dim_chunk]
+        mo = _moments_over_chunks(lambda a, b: block[:, a:b], S, C,
+                                  chain_chunk)
+        out.append(_ess_of_moments(mo))
+    return jnp.concatenate(out)
+
+
+@jax.jit
+def _sum_count(chunk):
+    """(sum, count) over draws x chains for a (S, c, dd) chunk."""
+    return jnp.sum(chunk, axis=(0, 1)), chunk.shape[0] * chunk.shape[1]
+
+
+@jax.jit
+def _sq_dev_sum(chunk, mean):
+    return jnp.sum((chunk - mean) ** 2, axis=(0, 1))
+
+
+def _pooled_sd_chunked(samples, chain_chunk, dim_chunk):
+    """ddof=1 standard deviation over ALL pooled draws (untruncated), chunked.
+
+    Two passes (mean, then squared deviations) so float32 accumulation stays
+    exact enough at 10^7+ pooled draws — a single-pass sum-of-squares
+    cancels catastrophically there.
+    """
+    S, C, D = samples.shape
+    out = []
+    for d0 in range(0, D, dim_chunk):
+        block = samples[:, :, d0:d0 + dim_chunk]
+        total, count = None, 0
+        for c0 in range(0, C, chain_chunk):
+            s, m = _sum_count(block[:, c0:c0 + chain_chunk])
+            total = s if total is None else total + s
+            count += int(m)
+        mean = total / count
+        sq = None
+        for c0 in range(0, C, chain_chunk):
+            d = _sq_dev_sum(block[:, c0:c0 + chain_chunk], mean)
+            sq = d if sq is None else sq + d
+        out.append(jnp.sqrt(sq / (count - 1)))
+    return jnp.concatenate(out)
+
+
+def mcse_mean_chunked(samples, chain_chunk: int = DEFAULT_CHAIN_CHUNK,
+                      dim_chunk: int = DEFAULT_DIM_CHUNK):
+    """Monte Carlo standard error of the mean, chunked: sd / sqrt(ess_mean).
+
+    Matches `mcmc_tpu.diagnostics.mcse_mean(samples)` up to summation order
+    (the sd pools ALL draws including an odd trailing one, exactly like the
+    monolithic version).
+    """
+    samples = jnp.asarray(samples)
+    sd = _pooled_sd_chunked(samples, chain_chunk, dim_chunk)
+    return sd / jnp.sqrt(ess_mean_chunked(samples, chain_chunk, dim_chunk))
+
+
+def compute_diagnostics_chunked(samples,
+                                chain_chunk: int = DEFAULT_CHAIN_CHUNK,
+                                dim_chunk: int = DEFAULT_DIM_CHUNK) -> dict:
+    """Full gate-grade diagnostics dict for histories too large to process
+    monolithically — same keys as `mcmc_tpu.diagnostics.compute_diagnostics`
+    (reference arviz parity, run_benchmarks.py:161-195), every statistic
+    computed over ALL chains via the chain+dim-chunked estimators. The input
+    can (and should) be a committed device array; nothing but the final
+    (dim,)-sized statistics leaves the device.
+    """
+    import numpy as np
+
+    samples = jnp.asarray(samples)
+    rhat = np.asarray(split_rhat_chunked(samples, chain_chunk, dim_chunk))
+    bulk = np.asarray(ess_bulk_chunked(samples, chain_chunk, dim_chunk))
+    tail = np.asarray(ess_tail_chunked(samples, chain_chunk, dim_chunk))
+    mcse = np.asarray(mcse_mean_chunked(samples, chain_chunk, dim_chunk))
+
+    S, C, D = samples.shape
+    mean_parts, sq_parts = [], []
+    for d0 in range(0, D, dim_chunk):
+        block = samples[:, :, d0:d0 + dim_chunk]
+        total, count = None, 0
+        for c0 in range(0, C, chain_chunk):
+            s, m = _sum_count(block[:, c0:c0 + chain_chunk])
+            total = s if total is None else total + s
+            count += int(m)
+        mean = total / count
+        sq = None
+        for c0 in range(0, C, chain_chunk):
+            d = _sq_dev_sum(block[:, c0:c0 + chain_chunk], mean)
+            sq = d if sq is None else sq + d
+        mean_parts.append(mean)
+        sq_parts.append(jnp.sqrt(sq / count))   # ddof=0, like jnp.std default
+    mean = np.asarray(jnp.concatenate(mean_parts))
+    std = np.asarray(jnp.concatenate(sq_parts))
+
+    return {
+        "rhat_max": float(np.max(rhat)),
+        "rhat_mean": float(np.mean(rhat)),
+        "ess_bulk_min": float(np.min(bulk)),
+        "ess_bulk_mean": float(np.mean(bulk)),
+        "ess_tail_min": float(np.min(tail)),
+        "ess_tail_mean": float(np.mean(tail)),
+        "mean_estimate": mean,
+        "std_estimate": std,
+        "summary": {
+            "mean": mean,
+            "sd": std,
+            "mcse_mean": mcse,
+            "ess_bulk": bulk,
+            "ess_tail": tail,
+            "r_hat": rhat,
+        },
+    }

@@ -50,3 +50,41 @@ def test_chunked_on_odd_sample_count():
     h = _history(random.PRNGKey(2), S=63, C=10, D=3)
     np.testing.assert_allclose(np.asarray(ess_bulk_chunked(h, 4, 2)),
                                np.asarray(ess_bulk(h)), rtol=1e-6)
+
+
+def test_ess_tail_chunked_matches_monolithic():
+    from mcmc_tpu.diagnostics import ess_tail, ess_tail_chunked
+    h = _history(random.PRNGKey(3))
+    full = np.asarray(ess_tail(h))
+    for cc, dc in ((8, 2), (7, 3)):
+        np.testing.assert_allclose(
+            np.asarray(ess_tail_chunked(h, chain_chunk=cc, dim_chunk=dc)),
+            full, rtol=1e-5, err_msg=f"chunks=({cc},{dc})")
+
+
+def test_mcse_and_mean_ess_chunked_match_monolithic():
+    from mcmc_tpu.diagnostics import (ess_mean, ess_mean_chunked, mcse_mean,
+                                      mcse_mean_chunked)
+    # odd S exercises the untruncated-sd / truncated-ESS split
+    h = _history(random.PRNGKey(4), S=63, C=10, D=3)
+    np.testing.assert_allclose(np.asarray(ess_mean_chunked(h, 4, 2)),
+                               np.asarray(ess_mean(h)), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(mcse_mean_chunked(h, 4, 2)),
+                               np.asarray(mcse_mean(h)), rtol=1e-5)
+
+
+def test_compute_diagnostics_chunked_matches_monolithic():
+    """The full gate-grade dict agrees with compute_diagnostics on every
+    key (so runner gates could consume either)."""
+    from mcmc_tpu.diagnostics import (compute_diagnostics,
+                                      compute_diagnostics_chunked)
+    h = _history(random.PRNGKey(5), S=48, C=12, D=4)
+    a = compute_diagnostics(h)
+    b = compute_diagnostics_chunked(h, chain_chunk=5, dim_chunk=3)
+    for k in ("rhat_max", "rhat_mean", "ess_bulk_min", "ess_bulk_mean",
+              "ess_tail_min", "ess_tail_mean"):
+        np.testing.assert_allclose(b[k], a[k], rtol=1e-5, err_msg=k)
+    for k in ("mean", "sd", "mcse_mean", "ess_bulk", "ess_tail", "r_hat"):
+        np.testing.assert_allclose(np.asarray(b["summary"][k]),
+                                   np.asarray(a["summary"][k]),
+                                   rtol=1e-5, err_msg=k)

@@ -16,9 +16,11 @@ extras (also printed to stderr):
   - measured min bulk-ESS/sec/chip over ALL 65,536 chains' collected history
     via the chain-chunked streaming estimator (no 64-chain extrapolation),
   - a NUTS row: persistent (asynchronous) NUTS useful-gradient evals/sec and
-    measured ESS/sec at 4,096 chains vs the reference CPU NUTS at the same
+    measured ESS/sec at 65,536 chains vs the reference CPU NUTS at the same
     tuned step (useful grads = sum over chains of 2^(depth+1)-1 per
-    transition; every persistent-NUTS leapfrog is useful by construction).
+    transition; every persistent-NUTS leapfrog is useful by construction),
+  - an RWMH row: the fused multi-transition kernel at 65,536 chains vs the
+    reference CPU rwMH_run at the Roberts-Rosenthal 2.38/sqrt(d) scale.
 
 Baselines are measured by RUNNING THE REFERENCE implementation
 (/root/reference, pure-JAX host loops) on CPU at its practical chain counts,

@@ -50,13 +50,19 @@ def _rank_z_block(block):
 
 
 @jax.jit
-def _chunk_moments(z_chunk):
-    """Per-chain-chunk accumulands from precomputed z-scores (S, c, dd).
+def _chunk_moments(z_chunk, center):
+    """Per-chain-chunk accumulands from (S, c, dd) values.
 
     Returns sums over the chunk's 2c split chains of:
-      (chain_var, acov (n, dd), z-mean, z-mean^2, z chain var) and the count.
+      (chain_var, acov (n, dd), mean, mean^2, chain var) and the count.
+    Chain means are accumulated RELATIVE to `center` (a (dd,) estimate of
+    the data location): chain variance, autocovariance and the variance of
+    chain means are all shift-invariant, but the single-pass
+    sum/sum-of-squares combination below cancels catastrophically in float32
+    when |mean| >> sd — centering first makes it accurate for uncentered
+    data (e.g. raw draws of a target with mean 1e4).
     """
-    x = _split_chains(z_chunk)                            # (n, 2c, dd)
+    x = _split_chains(z_chunk) - center                   # (n, 2c, dd)
     n = x.shape[0]
     acov = _autocovariance_fft(x)                         # (n, 2c, dd)
     chain_var = acov[0] * n / (n - 1.0)                   # (2c, dd)
@@ -70,17 +76,24 @@ def _chunk_moments(z_chunk):
             x.shape[1])
 
 
+@jax.jit
+def _first_chain_mean(chunk):
+    """Location estimate for centering: the first chain's draw mean, (dd,)."""
+    return jnp.mean(chunk[:, 0, :], axis=0)
+
+
 def _moments_over_chunks(get_chunk, S, C, chain_chunk):
     """Accumulate `_chunk_moments` sums over chain chunks.
 
     get_chunk(c0, c1) -> the (S, c1-c0, dd) values whose split-chain moments
     are wanted (z-scores, tail indicators, or raw draws).
     """
+    center = _first_chain_mean(get_chunk(0, min(chain_chunk, C)))
     sums = None
     m_total = 0
     for c0 in range(0, C, chain_chunk):
         cv, ac, zm, zm2, zv, m = _chunk_moments(
-            get_chunk(c0, min(c0 + chain_chunk, C)))
+            get_chunk(c0, min(c0 + chain_chunk, C)), center)
         m_total += int(m)
         if sums is None:
             sums = [cv, ac, zm, zm2, zv]
@@ -224,15 +237,15 @@ def _sq_dev_sum(chunk, mean):
     return jnp.sum((chunk - mean) ** 2, axis=(0, 1))
 
 
-def _pooled_sd_chunked(samples, chain_chunk, dim_chunk):
-    """ddof=1 standard deviation over ALL pooled draws (untruncated), chunked.
-
-    Two passes (mean, then squared deviations) so float32 accumulation stays
-    exact enough at 10^7+ pooled draws — a single-pass sum-of-squares
-    cancels catastrophically there.
+def _pooled_mean_sq_chunked(samples, chain_chunk, dim_chunk):
+    """(mean, sum of squared deviations, count) over ALL pooled draws
+    (untruncated), chunked. Two passes (mean, then squared deviations) so
+    float32 accumulation stays exact enough at 10^7+ pooled draws — a
+    single-pass sum-of-squares cancels catastrophically there.
     """
     S, C, D = samples.shape
-    out = []
+    means, sqs = [], []
+    count = 0
     for d0 in range(0, D, dim_chunk):
         block = samples[:, :, d0:d0 + dim_chunk]
         total, count = None, 0
@@ -245,8 +258,9 @@ def _pooled_sd_chunked(samples, chain_chunk, dim_chunk):
         for c0 in range(0, C, chain_chunk):
             d = _sq_dev_sum(block[:, c0:c0 + chain_chunk], mean)
             sq = d if sq is None else sq + d
-        out.append(jnp.sqrt(sq / (count - 1)))
-    return jnp.concatenate(out)
+        means.append(mean)
+        sqs.append(sq)
+    return jnp.concatenate(means), jnp.concatenate(sqs), count
 
 
 def mcse_mean_chunked(samples, chain_chunk: int = DEFAULT_CHAIN_CHUNK,
@@ -258,7 +272,8 @@ def mcse_mean_chunked(samples, chain_chunk: int = DEFAULT_CHAIN_CHUNK,
     monolithic version).
     """
     samples = jnp.asarray(samples)
-    sd = _pooled_sd_chunked(samples, chain_chunk, dim_chunk)
+    _, sq, count = _pooled_mean_sq_chunked(samples, chain_chunk, dim_chunk)
+    sd = jnp.sqrt(sq / (count - 1))
     return sd / jnp.sqrt(ess_mean_chunked(samples, chain_chunk, dim_chunk))
 
 
@@ -278,26 +293,16 @@ def compute_diagnostics_chunked(samples,
     rhat = np.asarray(split_rhat_chunked(samples, chain_chunk, dim_chunk))
     bulk = np.asarray(ess_bulk_chunked(samples, chain_chunk, dim_chunk))
     tail = np.asarray(ess_tail_chunked(samples, chain_chunk, dim_chunk))
-    mcse = np.asarray(mcse_mean_chunked(samples, chain_chunk, dim_chunk))
 
-    S, C, D = samples.shape
-    mean_parts, sq_parts = [], []
-    for d0 in range(0, D, dim_chunk):
-        block = samples[:, :, d0:d0 + dim_chunk]
-        total, count = None, 0
-        for c0 in range(0, C, chain_chunk):
-            s, m = _sum_count(block[:, c0:c0 + chain_chunk])
-            total = s if total is None else total + s
-            count += int(m)
-        mean = total / count
-        sq = None
-        for c0 in range(0, C, chain_chunk):
-            d = _sq_dev_sum(block[:, c0:c0 + chain_chunk], mean)
-            sq = d if sq is None else sq + d
-        mean_parts.append(mean)
-        sq_parts.append(jnp.sqrt(sq / count))   # ddof=0, like jnp.std default
-    mean = np.asarray(jnp.concatenate(mean_parts))
-    std = np.asarray(jnp.concatenate(sq_parts))
+    # one shared mean/sq sweep feeds both the summary moments and the MCSE
+    # (mcse = sd_ddof1 / sqrt(ess_mean); summary sd is ddof=0 like jnp.std)
+    mean_j, sq, count = _pooled_mean_sq_chunked(samples, chain_chunk,
+                                                dim_chunk)
+    mcse = np.asarray(
+        jnp.sqrt(sq / (count - 1))
+        / jnp.sqrt(ess_mean_chunked(samples, chain_chunk, dim_chunk)))
+    mean = np.asarray(mean_j)
+    std = np.asarray(jnp.sqrt(sq / count))
 
     return {
         "rhat_max": float(np.max(rhat)),

@@ -168,14 +168,11 @@ def make_fused_rwmh_multistep(
                 jax.ShapeDtypeStruct((transitions, n_chains), jnp.float32),
             ]
             out_specs = [full, row, trow, thist, trow]
-            ipt = interpret
-            if ipt and onchip_rng:  # pragma: no cover - TPU interpret only
-                ipt = pltpu.InterpretParams()
             call_cache[cache_key] = pl.pallas_call(
                 kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
                 out_shape=out_shape,
                 input_output_aliases={2: 0, 3: 1},
-                interpret=ipt)
+                interpret=interpret)
         call = call_cache[cache_key]
         data_arrays = tuple(getattr(padded_vag, "data_arrays", ()))
 

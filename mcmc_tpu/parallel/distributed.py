@@ -41,9 +41,19 @@ def initialize(coordinator_address: Optional[str] = None,
                                    num_processes=num_processes,
                                    process_id=process_id)
     except (ValueError, RuntimeError) as e:
-        # Already initialized, or single-process environment without a
-        # coordinator: stay single-process.
-        if "already" not in str(e).lower() and jax.process_count() > 1:
+        # Distinguish by message alone: after a FAILED initialize,
+        # jax.process_count() is still 1, so any guard based on it would
+        # swallow real coordinator/network errors and silently leave every
+        # host running as an independent single-process job. Only two cases
+        # may proceed: the runtime is already initialized, or this is a
+        # single-process environment with no coordinator configured.
+        msg = str(e).lower()
+        already = "already" in msg
+        no_coordinator = (coordinator_address is None
+                          and num_processes is None
+                          and ("coordinator" in msg or "environment" in msg
+                               or "auto" in msg))
+        if not (already or no_coordinator):
             raise
     return jax.process_index()
 

@@ -258,10 +258,20 @@ def _resolve_backend(backend: str, value_and_grad_fn) -> str:
     return "xla"
 
 
+def _count_dtype():
+    """Dtype for global leapfrog/slot counters: int64 under x64, else uint32.
+
+    int32 overflows at 2^31 slots — reached at the advertised operating
+    point (65,536 chains x 512 snapshots x 64 steps = 2^31); uint32 extends
+    the exact range to 4.29e9 without requiring x64.
+    """
+    return jnp.int64 if jax.config.jax_enable_x64 else jnp.uint32
+
+
 @partial(jax.jit, static_argnames=(
     "log_prob_fn", "num_samples", "steps_per_sample", "burn_in_steps",
-    "max_tree_depth", "value_and_grad_fn", "collect_chains", "backend",
-    "chain_tile", "steps_per_iter"))
+    "max_tree_depth", "delta_max", "value_and_grad_fn", "collect_chains",
+    "backend", "chain_tile", "steps_per_iter"))
 def nuts_run_persistent(
     key,
     log_prob_fn,
@@ -379,12 +389,12 @@ def nuts_run_persistent(
         "mean_accept_probs": mean_accept,
         "mean_tree_depth": ps.depth_acc.astype(jnp.float32) / trans,
         "n_leapfrogs": jnp.asarray(
-            (burn_in_steps + num_samples * steps_per_sample) * C, jnp.int64
-            if jax.config.jax_enable_x64 else jnp.int32),
+            (burn_in_steps + num_samples * steps_per_sample) * C,
+            _count_dtype()),
         # the XLA machine executes every slot (one leapfrog per iteration)
         "n_leapfrog_slots": jnp.asarray(
-            (burn_in_steps + num_samples * steps_per_sample) * C, jnp.int64
-            if jax.config.jax_enable_x64 else jnp.int32),
+            (burn_in_steps + num_samples * steps_per_sample) * C,
+            _count_dtype()),
         "final_positions": ps.q,
     }
     final_state = ChainState(
@@ -476,11 +486,15 @@ def _run_persistent_pallas(key, log_prob_fn, init_position, step_size,
         / trans.astype(jnp.float32),
         # leapfrogs actually executed (== the slot count for
         # steps_per_iter=1; < slots when later unroll slots are masked)
-        "n_leapfrogs": jnp.sum(rows[fused_nuts.R_EXEC]).astype(
-            jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
+        # per-chain R_EXEC is exact in f32 (each <= slots/chain ~ 1e5);
+        # cast per-chain BEFORE summing so the global total stays exact
+        # past 2^24 (an f32 sum would round) and past 2^31 (int32 would
+        # overflow)
+        "n_leapfrogs": jnp.sum(
+            rows[fused_nuts.R_EXEC].astype(_count_dtype())),
         "n_leapfrog_slots": jnp.asarray(
-            (burn_in_steps + num_samples * steps_per_sample) * C, jnp.int64
-            if jax.config.jax_enable_x64 else jnp.int32),
+            (burn_in_steps + num_samples * steps_per_sample) * C,
+            _count_dtype()),
         "final_positions": final_q,
     }
     final_state = ChainState(

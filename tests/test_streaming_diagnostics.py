@@ -88,3 +88,24 @@ def test_compute_diagnostics_chunked_matches_monolithic():
         np.testing.assert_allclose(np.asarray(b["summary"][k]),
                                    np.asarray(a["summary"][k]),
                                    rtol=1e-5, err_msg=k)
+
+
+def test_chunked_moments_accurate_for_uncentered_data():
+    """float32 single-pass chain-mean variance cancels catastrophically for
+    |mean| >> sd (review r2 finding: ess_mean_chunked returned the degenerate
+    n*M at offset 1e4); centering on a first-chain location estimate fixes
+    it. Check raw-draw ESS and MCSE at large offsets against monolithic."""
+    from mcmc_tpu.diagnostics import (ess_mean, ess_mean_chunked, mcse_mean,
+                                      mcse_mean_chunked)
+    base = _history(random.PRNGKey(6), S=64, C=24, D=2).astype(jnp.float32)
+    for offset in (1e4, 1e5):
+        h = base + offset
+        full = np.asarray(ess_mean(h.astype(jnp.float64))
+                          if jnp.asarray(0.0).dtype == jnp.float64
+                          else ess_mean(h))
+        chunked = np.asarray(ess_mean_chunked(h, 8, 1))
+        np.testing.assert_allclose(chunked, full, rtol=5e-2,
+                                   err_msg=f"offset={offset}")
+        np.testing.assert_allclose(np.asarray(mcse_mean_chunked(h, 8, 1)),
+                                   np.asarray(mcse_mean(h)), rtol=5e-2,
+                                   err_msg=f"offset={offset}")

@@ -239,3 +239,19 @@ def test_warmup_nuts_persistent_backend():
     learned = np.asarray(inv_mass)
     # learned metric ordered like the true variances (monotone correlation)
     assert np.corrcoef(learned, true_var)[0, 1] > 0.8
+
+
+def test_warmup_nuts_persistent_fused_path():
+    """The fused-window warmup branch (TPU default, forced here via
+    fused_warmup=True running the kernel in interpret mode) produces a
+    sensible step size and finite warmed positions on N(0, I)."""
+    t = standard_normal(4)
+    init = random.normal(random.PRNGKey(2), (16, 4)).astype(jnp.float32) * 0.2
+    step, inv_mass, pos, info = run_adaptive_warmup(
+        "nuts", t.log_prob_fn, None, init, random.PRNGKey(3),
+        num_warmup=96, value_and_grad_fn=t.value_and_grad_fn,
+        backend="persistent", steps_per_warmup_step=8, fused_warmup=True)
+    assert 0.01 < step < 5.0
+    assert pos.shape == (16, 4)
+    assert np.all(np.isfinite(np.asarray(pos)))
+    assert np.all(np.asarray(inv_mass) > 0)

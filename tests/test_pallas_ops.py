@@ -538,3 +538,30 @@ def test_select_chain_tile_always_divides_and_fits():
     # explicit chain_tile requests are still subject to both constraints
     assert select_chain_tile(274, 120, 32, chain_tile=274) in (2, 137)
     assert 4096 % select_chain_tile(4096, 120, 32, chain_tile=512) == 0
+
+
+def test_multistep_paths_handle_odd_chain_counts():
+    """Chain counts with awkward factorizations (2 x prime) must sample every
+    chain through both multi-transition public paths (tile-selection
+    regression: a non-dividing tile silently froze the last chains)."""
+    from mcmc_tpu.samplers import grahmc_run, rwmh_run
+    from mcmc_tpu.samplers.grahmc import constant_schedule
+    from mcmc_tpu.targets import standard_normal
+
+    t = standard_normal(6)
+    C = 274                       # 2 x 137
+    init = jnp.full((C, 6), 5.0, jnp.float32)   # far from the mode: any
+    # chain left frozen by a skipped grid tile stays at exactly 5.0
+    res = grahmc_run(
+        random.PRNGKey(0), t.log_prob_fn, init, step_size=0.3, num_steps=4,
+        gamma=0.5, steepness=1.0, num_samples=64, burn_in=0,
+        friction_schedule=constant_schedule,
+        value_and_grad_fn=t.value_and_grad_fn, backend="pallas")
+    moved = np.any(np.asarray(res.final_state.position) != 5.0, axis=1)
+    assert moved.all(), f"{(~moved).sum()} chains never updated (grahmc)"
+
+    res2 = rwmh_run(
+        random.PRNGKey(1), t.log_prob_fn, init, num_samples=64, scale=0.9,
+        burn_in=0, value_and_grad_fn=t.value_and_grad_fn, backend="pallas")
+    moved2 = np.any(np.asarray(res2.final_state.position) != 5.0, axis=1)
+    assert moved2.all(), f"{(~moved2).sum()} chains never updated (rwmh)"

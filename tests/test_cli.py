@@ -259,5 +259,10 @@ def test_single_benchmark_nuts_persistent_backend():
     assert r.get("error") is None
     for f in SCHEMA_FIELDS:
         assert f in r, f"missing field {f}"
-    assert r["n_gradients"] == 300 * 64 * 8
+    # n_gradients = leapfrogs actually executed: the XLA machine executes
+    # every slot (== 300*64*8); the fused window path (selected when the
+    # conftest's 8-device mesh routes through nuts_persistent_run_sharded)
+    # masks unrollable slots past subtree boundaries, so executed <= slots.
+    slots = 300 * 64 * 8
+    assert 0 < r["n_gradients"] <= slots
     assert r["avg_tree_depth"] is not None

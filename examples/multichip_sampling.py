@@ -16,7 +16,7 @@ Three ways to go multi-chip, shown below:
    `mcmc_tpu.parallel.fused_sharded` wraps them per device
    (`grahmc_run_sharded`, `nuts_persistent_run_sharded`).
 
-Run on real hardware (any pod slice; chains must divide the device count):
+Run on real hardware (any pod slice; the chain count must be divisible by the device count):
 
     python examples/multichip_sampling.py
 

@@ -65,6 +65,23 @@ def build_schedule(
     return schedule
 
 
+def _persistent_accept_stat(d_alpha, d_transitions, fallback=0.65):
+    """Batch acceptance statistic from per-chain accumulator deltas.
+
+    Mean of per-chain mean-alpha over chains that completed >= 1 transition
+    this step; `fallback` when no chain finished a trajectory yet. Shared by
+    the XLA-machine and fused-window persistent-NUTS warmup backends so the
+    DA feedback cannot diverge between them.
+    """
+    valid = d_transitions > 0
+    per_chain = jnp.where(valid, d_alpha / jnp.maximum(d_transitions, 1.0),
+                          0.0)
+    stat = jnp.sum(per_chain) / jnp.maximum(
+        jnp.sum(valid.astype(per_chain.dtype)), 1.0)
+    return jnp.where(jnp.any(valid), stat,
+                     jnp.asarray(fallback, per_chain.dtype))
+
+
 def _make_step_fn(sampler: str, log_prob_fn, value_and_grad_fn, kwargs,
                   schedule_type, gamma, steepness, backend: str = "xla"):
     """Build the warmup stepping triple:
@@ -134,14 +151,9 @@ def _make_step_fn(sampler: str, log_prob_fn, value_and_grad_fn, kwargs,
                 a0 = ts.rows[fused_nuts.R_ALPHA_ACC]
                 t0 = ts.rows[fused_nuts.R_TRANSITIONS]
                 ts = meta["window"](sub, ts, step_size, inv_mass)
-                da_ = ts.rows[fused_nuts.R_ALPHA_ACC] - a0
-                dt_ = ts.rows[fused_nuts.R_TRANSITIONS] - t0
-                valid = dt_ > 0
-                per_chain = jnp.where(valid, da_ / jnp.maximum(dt_, 1.0),
-                                      0.0)
-                stat = jnp.sum(per_chain) / jnp.maximum(
-                    jnp.sum(valid.astype(jnp.float32)), 1.0)
-                stat = jnp.where(jnp.any(valid), stat, 0.65)
+                stat = _persistent_accept_stat(
+                    ts.rows[fused_nuts.R_ALPHA_ACC] - a0,
+                    ts.rows[fused_nuts.R_TRANSITIONS] - t0)
                 return key, ts, stat
 
             return step, make_state, lambda ts: ts.q[:meta["D"]].T
@@ -169,12 +181,9 @@ def _make_step_fn(sampler: str, log_prob_fn, value_and_grad_fn, kwargs,
                                  minval=jnp.finfo(jnp.float32).tiny))
             a0, t0 = ps.alpha_acc, ps.transitions
             ps = lax.scan(wstep, ps, xs)[0]
-            da_, dt_ = ps.alpha_acc - a0, ps.transitions - t0
-            valid = dt_ > 0
-            per_chain = jnp.where(valid, da_ / jnp.maximum(dt_, 1), 0.0)
-            stat = jnp.sum(per_chain) / jnp.maximum(jnp.sum(valid), 1)
-            stat = jnp.where(jnp.any(valid), stat,
-                             jnp.asarray(0.65, e_dtype))
+            stat = _persistent_accept_stat(
+                (ps.alpha_acc - a0).astype(e_dtype),
+                (ps.transitions - t0).astype(e_dtype))
             return key, ps, stat
         return step, make_state, lambda s: s.q
 

@@ -274,11 +274,9 @@ def tune_and_sample_grahmc_grid(key, target, n_chains: int = 4,
 
 
 def main():
-    # persistent XLA compilation cache (same policy as run_benchmarks.py);
-    # set via jax.config because jax is already imported at module scope
-    if not os.environ.get("JAX_COMPILATION_CACHE_DIR", ""):
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/mcmc_tpu/jax"))
+    # persistent XLA compilation cache (same policy as run_benchmarks.py)
+    from mcmc_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(
         description="Tune MCMC sampler hyperparameters using dual averaging")
     parser.add_argument("--sampler", type=str, required=True,

@@ -68,3 +68,23 @@ def throughput_counters(num_samples: int, n_chains: int, num_steps: int,
         out["ess_per_sec"] = ess_bulk_min / sample_time
         out["ess_per_sec_per_chip"] = ess_bulk_min / sample_time / n_devices
     return out
+
+
+def enable_compilation_cache(default_dir: str = "~/.cache/mcmc_tpu/jax"):
+    """Enable the persistent XLA compilation cache unless the user opted out.
+
+    Policy (shared by both CLIs): honor JAX_COMPILATION_CACHE_DIR if the
+    variable is SET — including set-to-empty, which disables caching (e.g.
+    read-only $HOME, debugging a stale cache). Only when unset fall back to
+    `default_dir`. Safe to call any time before the first compilation.
+    """
+    import os
+
+    import jax
+
+    if "JAX_COMPILATION_CACHE_DIR" in os.environ:
+        path = os.environ["JAX_COMPILATION_CACHE_DIR"]
+    else:
+        path = os.path.expanduser(default_dir)
+    if path:
+        jax.config.update("jax_compilation_cache_dir", path)

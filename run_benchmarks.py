@@ -12,19 +12,17 @@ rates).
 """
 
 import argparse
-import os
-
-# Persistent XLA compilation cache: the fused kernels and their window scans
-# compile once per (shape, program) — cache them across CLI invocations so
-# repeated benchmark runs skip straight to execution. Opt out by setting
-# JAX_COMPILATION_CACHE_DIR= (empty). Must be set before jax initializes.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/mcmc_tpu/jax"))
 
 from mcmc_tpu.benchmark import run_all_benchmarks, print_summary, ALL_TARGET_NAMES
+from mcmc_tpu.utils import enable_compilation_cache
 
 
 def main():
+    # Persistent XLA compilation cache: the fused kernels and their window
+    # scans compile once per (shape, program) — cache them across CLI
+    # invocations so repeat benchmark runs skip straight to execution. Opt
+    # out with JAX_COMPILATION_CACHE_DIR= (set to empty).
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(
         description="Run MCMC benchmarks with adaptive warmup")
 

@@ -241,10 +241,15 @@ def test_warmup_nuts_persistent_backend():
     assert np.corrcoef(learned, true_var)[0, 1] > 0.8
 
 
+@pytest.mark.slow
 def test_warmup_nuts_persistent_fused_path():
     """The fused-window warmup branch (TPU default, forced here via
     fused_warmup=True running the kernel in interpret mode) produces a
-    sensible step size and finite warmed positions on N(0, I)."""
+    sensible step size and finite warmed positions on N(0, I).
+
+    Slow: run_adaptive_warmup always runs the full reference 2500-step
+    schedule (num_warmup only warns, reference parity), so this executes
+    2500 x 8 interpret-mode leapfrog slots (~50s single-core)."""
     t = standard_normal(4)
     init = random.normal(random.PRNGKey(2), (16, 4)).astype(jnp.float32) * 0.2
     step, inv_mass, pos, info = run_adaptive_warmup(

@@ -151,3 +151,26 @@ def test_overlay_animation_renders(tmp_path):
     fig, anim = animate_overlay_comparison(num_steps=8, output_path=out)
     import os
     assert os.path.getsize(out) > 1000
+
+
+def test_enable_compilation_cache_policy(monkeypatch):
+    """Set-to-empty disables; unset falls back to the default dir."""
+    import jax
+    from mcmc_tpu.utils import enable_compilation_cache
+
+    orig = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "")
+        jax.config.update("jax_compilation_cache_dir", None)
+        enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir is None
+
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/somewhere")
+        enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == "/tmp/somewhere"
+
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR")
+        enable_compilation_cache(default_dir="/tmp/mcmc_default")
+        assert jax.config.jax_compilation_cache_dir == "/tmp/mcmc_default"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", orig)

@@ -42,17 +42,20 @@ DIM = 50
 NUM_STEPS = 16          # leapfrog substeps per GRAHMC transition
 TPU_CHAINS = 65536
 CPU_CHAINS = 256        # reference CPU practical scale (GRAHMC)
-TIMED_SAMPLES = 192
+TIMED_SAMPLES = 768         # headline timing: ~0.6s timed region (a 0.16s
+                            # region at 192 was dominated by tunnel jitter)
+ESS_SAMPLES = 192           # full-history ESS run: 192 x 65536 x 50 f32
+                            # = 2.5 GB history (768 would be 10 GB)
 
 NUTS_TPU_CHAINS = 65536     # persistent NUTS scales: 233/481/670M useful
 NUTS_CPU_CHAINS = 64        # grads/s at 4k/16k/65k chains (BASELINE.md)
 NUTS_STEPS_PER_SAMPLE = 64
-NUTS_TIMED_SAMPLES = 192
+NUTS_TIMED_SAMPLES = 192    # also the NUTS ESS history size (~1s timed)
 
 RWMH_DIM = 10               # reference README quick-start target
 RWMH_TPU_CHAINS = 65536
 RWMH_CPU_CHAINS = 4096      # RWMH is cheap; reference CPU handles more chains
-RWMH_TIMED_SAMPLES = 512
+RWMH_TIMED_SAMPLES = 4096   # ~0.35s timed region (0.05s at 512 was jitter-bound)
 RWMH_SCALE = 2.38 / RWMH_DIM ** 0.5  # Roberts-Rosenthal optimal scaling
 
 _GRAHMC_BASELINE_SCRIPT = r"""
@@ -343,11 +346,11 @@ def measure_tpu():
     try:
         kw_full = dict(kw, collect_chains=None)
         res_full = grahmc_run(random.PRNGKey(9), target.log_prob_fn, init,
-                              num_samples=TIMED_SAMPLES, **kw_full)
+                              num_samples=ESS_SAMPLES, **kw_full)
         jax.block_until_ready(res_full.samples)
         t0 = time.time()
         res_full = grahmc_run(random.PRNGKey(10), target.log_prob_fn, init,
-                              num_samples=TIMED_SAMPLES, **kw_full)
+                              num_samples=ESS_SAMPLES, **kw_full)
         float(jnp.sum(res_full.final_state.position))
         dt_full = time.time() - t0
         extras["grahmc_ess_per_sec"] = round(

@@ -55,7 +55,7 @@ NUTS_TIMED_SAMPLES = 192    # also the NUTS ESS history size (~1s timed)
 RWMH_DIM = 10               # reference README quick-start target
 RWMH_TPU_CHAINS = 65536
 RWMH_CPU_CHAINS = 4096      # RWMH is cheap; reference CPU handles more chains
-RWMH_TIMED_SAMPLES = 4096   # ~0.35s timed region (0.05s at 512 was jitter-bound)
+RWMH_TIMED_SAMPLES = 16384  # ~0.5s timed region at the measured ~2B/s
 RWMH_SCALE = 2.38 / RWMH_DIM ** 0.5  # Roberts-Rosenthal optimal scaling
 
 _GRAHMC_BASELINE_SCRIPT = r"""

@@ -86,5 +86,6 @@ def enable_compilation_cache(default_dir: str = "~/.cache/mcmc_tpu/jax"):
         path = os.environ["JAX_COMPILATION_CACHE_DIR"]
     else:
         path = os.path.expanduser(default_dir)
-    if path:
-        jax.config.update("jax_compilation_cache_dir", path)
+    # empty -> None actively DISABLES a previously-enabled cache, so the
+    # opt-out works even after an earlier enable in the same process
+    jax.config.update("jax_compilation_cache_dir", path or None)

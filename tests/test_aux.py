@@ -160,14 +160,14 @@ def test_enable_compilation_cache_policy(monkeypatch):
 
     orig = jax.config.jax_compilation_cache_dir
     try:
-        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "")
-        jax.config.update("jax_compilation_cache_dir", None)
-        enable_compilation_cache()
-        assert jax.config.jax_compilation_cache_dir is None
-
         monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/somewhere")
         enable_compilation_cache()
         assert jax.config.jax_compilation_cache_dir == "/tmp/somewhere"
+
+        # set-to-empty must disable even when a cache was already enabled
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "")
+        enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir is None
 
         monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR")
         enable_compilation_cache(default_dir="/tmp/mcmc_default")

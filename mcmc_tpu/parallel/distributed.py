@@ -41,19 +41,21 @@ def initialize(coordinator_address: Optional[str] = None,
                                    num_processes=num_processes,
                                    process_id=process_id)
     except (ValueError, RuntimeError) as e:
-        # Distinguish by message alone: after a FAILED initialize,
-        # jax.process_count() is still 1, so any guard based on it would
-        # swallow real coordinator/network errors and silently leave every
-        # host running as an independent single-process job. Only two cases
-        # may proceed: the runtime is already initialized, or this is a
-        # single-process environment with no coordinator configured.
-        msg = str(e).lower()
-        already = "already" in msg
-        no_coordinator = (coordinator_address is None
+        # Only two cases may proceed: the runtime is already initialized, or
+        # this is an argument-free call in a genuinely single-process
+        # environment (no coordinator configured anywhere, process_count()
+        # still 1 after the failed attempt). The no-args structural check is
+        # primary — it does not depend on JAX's exception wording; the
+        # message match is kept only as a secondary already-initialized
+        # signal. Explicit-argument failures always re-raise: swallowing a
+        # real coordinator/network error would silently leave every host
+        # running as an independent single-process job.
+        already = "already" in str(e).lower()
+        no_args_single = (coordinator_address is None
                           and num_processes is None
-                          and ("coordinator" in msg or "environment" in msg
-                               or "auto" in msg))
-        if not (already or no_coordinator):
+                          and process_id is None
+                          and jax.process_count() == 1)
+        if not (already or no_args_single):
             raise
     return jax.process_index()
 

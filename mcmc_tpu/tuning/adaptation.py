@@ -65,43 +65,62 @@ def build_schedule(
     return schedule
 
 
-def _persistent_accept_stat(d_alpha, d_transitions, fallback=0.65):
+def _persistent_accept_stat(d_alpha, d_transitions, fallback=0.65,
+                            axis_name=None):
     """Batch acceptance statistic from per-chain accumulator deltas.
 
     Mean of per-chain mean-alpha over chains that completed >= 1 transition
     this step; `fallback` when no chain finished a trajectory yet. Shared by
     the XLA-machine and fused-window persistent-NUTS warmup backends so the
-    DA feedback cannot diverge between them.
+    DA feedback cannot diverge between them. With `axis_name` (shard_map
+    warmup under a chain mesh) the numerator/denominator sums are psum'd so
+    the statistic is exactly the global one and the replicated DA state stays
+    bit-identical on every device.
     """
     valid = d_transitions > 0
     per_chain = jnp.where(valid, d_alpha / jnp.maximum(d_transitions, 1.0),
                           0.0)
-    stat = jnp.sum(per_chain) / jnp.maximum(
-        jnp.sum(valid.astype(per_chain.dtype)), 1.0)
-    return jnp.where(jnp.any(valid), stat,
-                     jnp.asarray(fallback, per_chain.dtype))
+    num = jnp.sum(per_chain)
+    den = jnp.sum(valid.astype(per_chain.dtype))
+    if axis_name is not None:
+        num = lax.psum(num, axis_name)
+        den = lax.psum(den, axis_name)
+    stat = num / jnp.maximum(den, 1.0)
+    return jnp.where(den > 0, stat, jnp.asarray(fallback, per_chain.dtype))
 
 
 def _make_step_fn(sampler: str, log_prob_fn, value_and_grad_fn, kwargs,
-                  schedule_type, gamma, steepness, backend: str = "xla"):
-    """Build the warmup stepping triple:
+                  schedule_type, gamma, steepness, backend: str = "xla",
+                  axis_name: Optional[str] = None, n_shards: int = 1):
+    """Build the warmup stepping quadruple:
 
-        (step, make_state, get_position)
+        (step, make_state, get_position, state_chain_axis)
 
     step: (key, state, step_size, inv_mass) -> (key, state, accept_stat);
     make_state: (initial_position) -> state pytree carried through the
     window scans; get_position: state -> (n_chains, dim) for Welford and the
-    returned warmed position. Classic samplers use ChainState; persistent
-    NUTS carries its asynchronous machine state instead (one warmup "step"
-    advances `steps_per_warmup_step` global leapfrog iterations)."""
+    returned warmed position; state_chain_axis: which axis of every state
+    leaf is the chain axis ('leading' for ChainState/_PState, 'trailing' for
+    the transposed fused-NUTS TState) — used to build shard_map specs for
+    mesh warmup. Classic samplers use ChainState; persistent NUTS carries its
+    asynchronous machine state instead (one warmup "step" advances
+    `steps_per_warmup_step` global leapfrog iterations). With `axis_name`
+    the accept statistic is reduced over the named mesh axis so it is the
+    global batch statistic on every device."""
     vag = make_value_and_grad(log_prob_fn, value_and_grad_fn)
+
+    def _mean_stat(accept):
+        stat = jnp.mean(accept)
+        if axis_name is not None:
+            stat = lax.pmean(stat, axis_name)
+        return stat
 
     def _chain_state(pos):
         return init_chain_state(pos, log_prob_fn, value_and_grad_fn,
                                 needs_grad=True)
 
     def _classic(step):
-        return step, _chain_state, lambda s: s.position
+        return step, _chain_state, lambda s: s.position, "leading"
 
     if sampler == "nuts" and backend == "persistent":
         from mcmc_tpu import precision
@@ -131,16 +150,28 @@ def _make_step_fn(sampler: str, log_prob_fn, value_and_grad_fn, kwargs,
         if use_fused:
             from mcmc_tpu.ops import fused_nuts
             W = next(w for w in (4, 2, 1) if G % w == 0)
-            meta = {}
+            meta = {"windows": {}}
+
+            def _window_for(C, D):
+                # keyed by the traced chain count: under shard_map warmup the
+                # step sees the device-LOCAL shard, so the kernel must be
+                # built at that width, not the global one
+                if C not in meta["windows"]:
+                    meta["windows"][C] = fused_nuts.make_fused_nuts_window(
+                        vag_b, G // W, max_tree_depth, C, D,
+                        steps_per_iter=W)
+                return meta["windows"][C]
 
             def make_state(pos):
                 cs = _chain_state(pos)
                 C, D = cs.position.shape
                 d_pad = fused_nuts._round_up(D, fused_nuts.SUBLANE)
                 meta["D"] = D
-                meta["window"] = fused_nuts.make_fused_nuts_window(
-                    vag_b, G // W, max_tree_depth, C, D,
-                    steps_per_iter=W)
+                # build the kernel EAGERLY at the width each device will
+                # trace (global C on one device, the local shard under a
+                # mesh): building inside shard_map tracing would leak the
+                # kernel's cached constant arrays as tracers
+                _window_for(C // n_shards, D)
                 return fused_nuts.pack_state(
                     cs.position.astype(jnp.float32),
                     jnp.asarray(cs.log_prob, jnp.float32),
@@ -150,13 +181,15 @@ def _make_step_fn(sampler: str, log_prob_fn, value_and_grad_fn, kwargs,
                 key, sub = random.split(key)
                 a0 = ts.rows[fused_nuts.R_ALPHA_ACC]
                 t0 = ts.rows[fused_nuts.R_TRANSITIONS]
-                ts = meta["window"](sub, ts, step_size, inv_mass)
+                ts = _window_for(ts.q.shape[1], meta["D"])(
+                    sub, ts, step_size, inv_mass)
                 stat = _persistent_accept_stat(
                     ts.rows[fused_nuts.R_ALPHA_ACC] - a0,
-                    ts.rows[fused_nuts.R_TRANSITIONS] - t0)
+                    ts.rows[fused_nuts.R_TRANSITIONS] - t0,
+                    axis_name=axis_name)
                 return key, ts, stat
 
-            return step, make_state, lambda ts: ts.q[:meta["D"]].T
+            return step, make_state, lambda ts: ts.q[:meta["D"]].T, "trailing"
 
         def make_state(pos):
             e_dtype = precision.energy_dtype()
@@ -183,9 +216,10 @@ def _make_step_fn(sampler: str, log_prob_fn, value_and_grad_fn, kwargs,
             ps = lax.scan(wstep, ps, xs)[0]
             stat = _persistent_accept_stat(
                 (ps.alpha_acc - a0).astype(e_dtype),
-                (ps.transitions - t0).astype(e_dtype))
+                (ps.transitions - t0).astype(e_dtype),
+                axis_name=axis_name)
             return key, ps, stat
-        return step, make_state, lambda s: s.q
+        return step, make_state, lambda s: s.q, "leading"
 
     if sampler == "hmc":
         from mcmc_tpu.samplers.hmc import hmc_step
@@ -194,7 +228,7 @@ def _make_step_fn(sampler: str, log_prob_fn, value_and_grad_fn, kwargs,
         def step(key, state, step_size, inv_mass):
             key, state, (accept, *_r) = hmc_step(key, state, vag, step_size,
                                                  num_steps, inv_mass)
-            return key, state, jnp.mean(accept)
+            return key, state, _mean_stat(accept)
         return _classic(step)
 
     if sampler in ("grahmc", "rahmc"):
@@ -210,14 +244,14 @@ def _make_step_fn(sampler: str, log_prob_fn, value_and_grad_fn, kwargs,
             def step(key, state, step_size, inv_mass):
                 key, state, (accept, *_r) = fused(
                     key, state, step_size, gamma, steepness, inv_mass)
-                return key, state, jnp.mean(accept)
+                return key, state, _mean_stat(accept)
             return _classic(step)
 
         def step(key, state, step_size, inv_mass):
             key, state, (accept, *_r) = grahmc_step(
                 key, state, vag, step_size, num_steps, gamma, steepness,
                 inv_mass, schedule_fn)
-            return key, state, jnp.mean(accept)
+            return key, state, _mean_stat(accept)
         return _classic(step)
 
     if sampler == "nuts":
@@ -230,10 +264,82 @@ def _make_step_fn(sampler: str, log_prob_fn, value_and_grad_fn, kwargs,
             key, state, (depths, mean_alpha) = nuts_step(
                 key, state, vag_single, step_size, inv_mass, max_tree_depth)
             # NUTS acceptance statistic = mean trajectory alpha
-            return key, state, jnp.mean(mean_alpha)
+            return key, state, _mean_stat(mean_alpha)
         return _classic(step)
 
     raise ValueError(f"Unknown sampler: {sampler}")
+
+
+def _state_pspec(state, chain_axis: str):
+    """PartitionSpec pytree for a warmup chain-state: every non-scalar leaf
+    shards its chain axis ('leading' for ChainState/_PState/Welford arrays,
+    'trailing' for the transposed fused-NUTS TState); scalars replicate."""
+    from jax.sharding import PartitionSpec as P
+    from mcmc_tpu.parallel import CHAIN_AXIS
+
+    def spec(leaf):
+        nd = jnp.ndim(leaf)
+        if nd == 0:
+            return P()
+        if chain_axis == "trailing":
+            return P(*([None] * (nd - 1) + [CHAIN_AXIS]))
+        return P(CHAIN_AXIS, *([None] * (nd - 1)))
+    return jax.tree.map(spec, state)
+
+
+def _shard_warmup_state(mesh, keys, chain_state, welford, state_chain_axis):
+    """Commit the warmup carry to the mesh: per-device key rows + chain-sharded
+    state/Welford leaves (count stays replicated)."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+    from mcmc_tpu.parallel import CHAIN_AXIS
+
+    def put(tree, specs):
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            tree, specs)
+
+    kspec = P(CHAIN_AXIS, *([None] * (jnp.ndim(keys) - 1)))
+    return (jax.device_put(keys, NamedSharding(mesh, kspec)),
+            put(chain_state, _state_pspec(chain_state, state_chain_axis)),
+            put(welford, _state_pspec(welford, "leading")))
+
+
+def _make_sharded_window_runner(mesh, window_body, state_chain_axis):
+    """shard_map wrapper around one warmup window: each device scans its
+    local chain shard (fused kernels included — pallas_call is opaque to
+    GSPMD); the DA state is replicated and stays bit-identical everywhere
+    because the accept statistics inside `window_body` are psum'd globally."""
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:                                # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from mcmc_tpu.parallel import CHAIN_AXIS
+
+    @partial(jax.jit, static_argnames=("num_batches", "samples_per_batch",
+                                       "accumulate"))
+    def run_window(keys, chain_state, da_state, welford, inv_mass,
+                   num_batches: int, samples_per_batch: int,
+                   accumulate: bool):
+        kspec = P(CHAIN_AXIS, *([None] * (jnp.ndim(keys) - 1)))
+        state_specs = _state_pspec(chain_state, state_chain_axis)
+        wf_specs = _state_pspec(welford, "leading")
+        da_specs = jax.tree.map(lambda _: P(), da_state)
+        common = (kspec, state_specs, da_specs, wf_specs)
+        in_specs = common + (P(),)
+        out_specs = common + (P(),)      # batch_accepts: global, replicated
+
+        @partial(shard_map, mesh=mesh, in_specs=in_specs,
+                 out_specs=out_specs, check_vma=False)
+        def inner(keys, cs, da, wf, im):
+            key, cs, da, wf, batch_accepts = window_body(
+                keys[0], cs, da, wf, im, num_batches, samples_per_batch,
+                accumulate)
+            return key[None], cs, da, wf, batch_accepts
+
+        return inner(keys, chain_state, da_state, welford, inv_mass)
+    return run_window
 
 
 def run_adaptive_warmup(
@@ -250,12 +356,22 @@ def run_adaptive_warmup(
     value_and_grad_fn=None,
     verbose: bool = False,
     backend: str = "auto",
+    mesh=None,
     **kwargs,
 ) -> Tuple[float, Optional[jnp.ndarray], jnp.ndarray, Dict]:
     """Windowed warmup. Returns (step_size, inv_mass_matrix, position, info).
 
     backend: 'pallas' runs GRAHMC warmup steps through the fused TPU kernel;
-    'auto' selects it on TPU when the target has a kernel specialization."""
+    'auto' selects it on TPU when the target has a kernel specialization.
+
+    mesh: a chain `Mesh` routes every window scan through shard_map — each
+    device advances its local chain shard with the fused kernel (pallas_call
+    is opaque to GSPMD, so explicit shard_map is the only way to run the
+    fused fast paths multi-chip); the DA/Welford feedback uses psum'd global
+    statistics, so the replicated DA state is bit-identical on every device
+    and the learned mass matrix equals the single-device one up to RNG
+    streams (VERDICT r2 #3 — previously multi-chip warmup fell back to
+    GSPMD-partitioned XLA scans)."""
     n_chains, n_dim = initial_position.shape
     start_time = time.time()
 
@@ -274,14 +390,19 @@ def run_adaptive_warmup(
     else:
         gamma = steepness = None
 
-    step_fn, make_state, get_position = _make_step_fn(
-        sampler, target_log_prob, value_and_grad_fn, kwargs,
-        schedule_type, gamma, steepness, backend)
+    if mesh is not None:
+        from mcmc_tpu.parallel import CHAIN_AXIS
+        axis_name = CHAIN_AXIS
+    else:
+        axis_name = None
 
-    @partial(jax.jit, static_argnames=("num_batches", "samples_per_batch",
-                                       "accumulate"))
-    def run_window(key, chain_state, da_state, welford, inv_mass,
-                   num_batches: int, samples_per_batch: int, accumulate: bool):
+    step_fn, make_state, get_position, state_chain_axis = _make_step_fn(
+        sampler, target_log_prob, value_and_grad_fn, kwargs,
+        schedule_type, gamma, steepness, backend, axis_name=axis_name,
+        n_shards=1 if mesh is None else mesh.devices.size)
+
+    def _window_body(key, chain_state, da_state, welford, inv_mass,
+                     num_batches, samples_per_batch, accumulate):
         """One warmup window fully on device: scan over DA batches."""
         def batch_body(carry, _):
             key, cs, da, wf = carry
@@ -304,14 +425,35 @@ def run_adaptive_warmup(
             length=num_batches)
         return key, chain_state, da_state, welford, batch_accepts
 
+    if mesh is None:
+        @partial(jax.jit, static_argnames=("num_batches", "samples_per_batch",
+                                           "accumulate"))
+        def run_window(key, chain_state, da_state, welford, inv_mass,
+                       num_batches: int, samples_per_batch: int,
+                       accumulate: bool):
+            return _window_body(key, chain_state, da_state, welford, inv_mass,
+                                num_batches, samples_per_batch, accumulate)
+    else:
+        run_window = _make_sharded_window_runner(
+            mesh, _window_body, state_chain_axis)
+
     # --- initial state ---------------------------------------------------
     initial_step = 0.5 / float(jnp.sqrt(n_dim))
     da_state = da_init(initial_step)
     inv_mass = jnp.ones(n_dim, dtype=initial_position.dtype)
     chain_state = make_state(initial_position)
     welford = welford_init((n_chains, n_dim))
+    if mesh is not None:
+        # distinct per-device key streams, carried sharded over the mesh
+        key = random.split(key, mesh.devices.size)
+        key, chain_state, welford = _shard_warmup_state(
+            mesh, key, chain_state, welford, state_chain_axis)
 
-    schedule = build_schedule(num_warmup)
+    schedule = build_schedule(
+        num_warmup,
+        exploration_steps=kwargs.get("exploration_steps", 500),
+        adaptation_windows=kwargs.get("adaptation_windows"),
+        cooldown_steps=kwargs.get("cooldown_steps", 125))
     if verbose:
         print(f"Adaptation schedule ({sum(e - s for s, e, _ in schedule)} steps):")
         for s, e, t in schedule:
@@ -355,7 +497,7 @@ def run_adaptive_warmup(
     if sampler in ("grahmc", "rahmc"):
         from mcmc_tpu.tuning.sequential import sequential_tune_grahmc
         tuned_step, tuned_gamma, tuned_steepness, tune_history = sequential_tune_grahmc(
-            key=random.fold_in(key, 999),
+            key=random.fold_in(key[0] if mesh is not None else key, 999),
             log_prob_fn=target_log_prob,
             grad_log_prob_fn=target_grad_log_prob,
             init_position=position,
@@ -369,7 +511,10 @@ def run_adaptive_warmup(
             gamma_samples_per_eval=kwargs.get("gamma_samples_per_eval", 150),
             value_and_grad_fn=value_and_grad_fn,
             verbose=verbose,
-            backend=backend,
+            # Under a mesh the sequential tuner runs the GSPMD XLA path on
+            # the (already sharded) positions: its short ESJD probes are not
+            # worth a second family of shard_mapped kernels.
+            backend=backend if mesh is None else "xla",
         )
         gamma, steepness, final_step_size = tuned_gamma, tuned_steepness, tuned_step
         if verbose:

@@ -56,11 +56,14 @@ def main():
     parser.add_argument("--output-dir", type=str, default="benchmark_results",
                         help="Directory to save results")
     parser.add_argument("--seed", type=int, default=42, help="Random seed")
-    parser.add_argument("--nuts-backend", type=str, default="classic",
-                        choices=["classic", "persistent"],
-                        help="NUTS execution path: 'classic' (reference "
-                        "lockstep tree doubling) or 'persistent' (asynchronous "
-                        "TPU fast path, fixed-interval snapshots)")
+    parser.add_argument("--nuts-backend", type=str, default="auto",
+                        choices=["auto", "classic", "persistent"],
+                        help="NUTS execution path: 'auto' (default — the "
+                        "asynchronous persistent TPU fast path on TPU when "
+                        "the target has a fused-kernel specialization, "
+                        "classic otherwise), 'classic' (reference lockstep "
+                        "tree doubling, the opt-out), or 'persistent' "
+                        "(force the asynchronous fixed-interval-snapshot path)")
     parser.add_argument("--mesh", type=str, default="auto",
                         help="Chain-shard over devices: 'auto' (all local devices when >1), an integer device count, or 'off'")
 

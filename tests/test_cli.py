@@ -266,3 +266,30 @@ def test_single_benchmark_nuts_persistent_backend():
     slots = 300 * 64 * 8
     assert 0 < r["n_gradients"] <= slots
     assert r["avg_tree_depth"] is not None
+
+
+def test_nuts_backend_auto_resolution(monkeypatch):
+    """'auto' (the CLI default, VERDICT r2 #1) pins dispatch: persistent on
+    TPU for targets carrying a fused-kernel specialization, classic
+    otherwise; explicit values pass through unchanged."""
+    import mcmc_tpu.benchmark.runner as runner_mod
+
+    t = get_target("standard_normal", dim=4)
+    assert getattr(t.value_and_grad_fn, "pallas_info", None) is not None
+
+    # off-TPU: auto -> classic (reference semantics)
+    assert runner_mod._resolve_nuts_backend("auto", t) == "classic"
+
+    # simulated TPU backend: auto -> persistent when pallas_info is present
+    import jax
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert runner_mod._resolve_nuts_backend("auto", t) == "persistent"
+
+    # ...and classic when the target has no fused specialization
+    t_plain = t._replace(
+        value_and_grad_fn=lambda q: t.value_and_grad_fn(q))
+    assert runner_mod._resolve_nuts_backend("auto", t_plain) == "classic"
+
+    # explicit values are honored as given (the opt-out)
+    assert runner_mod._resolve_nuts_backend("classic", t) == "classic"
+    assert runner_mod._resolve_nuts_backend("persistent", t_plain) == "persistent"

@@ -205,3 +205,89 @@ def test_fused_persistent_nuts_sharded_over_mesh():
     assert np.all(np.isfinite(flat))
     assert np.all(np.abs(flat.mean(0)) < 0.3)
     assert np.all(np.abs(flat.var(0) - 1.0) < 0.4)
+
+
+def test_warmup_mesh_dispatches_fused_sharded(monkeypatch):
+    """Under a mesh, run_adaptive_warmup routes window scans through the
+    shard_map runner with the FUSED GRAHMC kernel per device (VERDICT r2 #3:
+    the GSPMD backend='xla' warmup fallback is gone), and learns a mass
+    matrix statistically equivalent to the GSPMD path's."""
+    import mcmc_tpu.tuning.adaptation as adapt
+    import mcmc_tpu.ops.fused_trajectory as ft
+    from mcmc_tpu.tuning import run_adaptive_warmup
+
+    calls = {"sharded": 0, "fused": 0}
+    orig_runner = adapt._make_sharded_window_runner
+    orig_fused = ft.make_fused_grahmc_step
+
+    def spy_runner(*a, **k):
+        calls["sharded"] += 1
+        return orig_runner(*a, **k)
+
+    def spy_fused(*a, **k):
+        calls["fused"] += 1
+        return orig_fused(*a, **k)
+
+    monkeypatch.setattr(adapt, "_make_sharded_window_runner", spy_runner)
+    monkeypatch.setattr(ft, "make_fused_grahmc_step", spy_fused)
+
+    t = standard_normal(4)
+    mesh = make_mesh()
+    init = shard_chains(random.normal(random.PRNGKey(30), (32, 4)) * 0.1, mesh)
+    short = dict(exploration_steps=100, adaptation_windows=[100, 200],
+                 cooldown_steps=25, max_iter_step=30,
+                 gamma_samples_per_eval=10)
+
+    step, inv_mass, pos, info = run_adaptive_warmup(
+        "grahmc", t.log_prob_fn, None, init, random.PRNGKey(31),
+        num_warmup=425, schedule_type="constant", num_steps=5,
+        value_and_grad_fn=t.value_and_grad_fn, backend="pallas", mesh=mesh,
+        **short)
+
+    assert calls["sharded"] == 1, "mesh warmup must use the shard_map runner"
+    assert calls["fused"] >= 1, "mesh warmup must build the fused kernel"
+    assert step > 0 and np.isfinite(step)
+    assert pos.shape == (32, 4)
+    assert np.all(np.isfinite(np.asarray(inv_mass)))
+
+    # GSPMD path (no mesh arg, XLA stepper over the sharded positions):
+    # same estimator of the same posterior variance, so the learned metrics
+    # agree statistically (RNG streams differ -> not bitwise).
+    step_g, inv_mass_g, _, _ = run_adaptive_warmup(
+        "grahmc", t.log_prob_fn, None, init, random.PRNGKey(31),
+        num_warmup=425, schedule_type="constant", num_steps=5,
+        value_and_grad_fn=t.value_and_grad_fn, backend="xla", **short)
+    np.testing.assert_allclose(np.asarray(inv_mass), np.asarray(inv_mass_g),
+                               atol=0.3)
+
+
+def test_warmup_mesh_fused_nuts_windows(monkeypatch):
+    """Persistent-NUTS warmup under a mesh builds its fused VMEM window
+    kernel at the DEVICE-LOCAL chain width and runs it shard_mapped."""
+    import mcmc_tpu.ops.fused_nuts as fn
+    from mcmc_tpu.tuning import run_adaptive_warmup
+
+    widths = []
+    orig = fn.make_fused_nuts_window
+
+    def spy(vag, n_iters, max_depth, n_chains, dim, **k):
+        widths.append(n_chains)
+        return orig(vag, n_iters, max_depth, n_chains, dim, **k)
+
+    monkeypatch.setattr(fn, "make_fused_nuts_window", spy)
+
+    t = standard_normal(4)
+    mesh = make_mesh()
+    init = shard_chains(random.normal(random.PRNGKey(32), (32, 4)) * 0.1, mesh)
+
+    step, inv_mass, pos, info = run_adaptive_warmup(
+        "nuts", t.log_prob_fn, None, init, random.PRNGKey(33),
+        num_warmup=175, value_and_grad_fn=t.value_and_grad_fn,
+        backend="persistent", mesh=mesh, fused_warmup=True,
+        steps_per_warmup_step=8, exploration_steps=50,
+        adaptation_windows=[100], cooldown_steps=25)
+
+    assert 32 // 8 in widths, f"kernel widths built: {widths}"
+    assert step > 0 and np.isfinite(step)
+    assert pos.shape == (32, 4)
+    assert np.all(np.isfinite(np.asarray(inv_mass)))

@@ -109,3 +109,53 @@ def test_chunked_moments_accurate_for_uncentered_data():
         np.testing.assert_allclose(np.asarray(mcse_mean_chunked(h, 8, 1)),
                                    np.asarray(mcse_mean(h)), rtol=5e-2,
                                    err_msg=f"offset={offset}")
+
+
+def test_chunked_diagnostics_on_mesh_sharded_history(monkeypatch):
+    """A chain-sharded history routes through the per-dim-sharded path
+    (VERDICT r2 #4): each dim block is resharded so every device owns whole
+    columns — no z[:, a:b] host slice ever touches the sharded chain axis,
+    per-device peak memory is bounded by dims_per_device columns, and every
+    statistic equals the unsharded monolithic one EXACTLY (same per-column
+    code path)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import mcmc_tpu.diagnostics.streaming as st
+    from mcmc_tpu.parallel import make_mesh
+    from mcmc_tpu.diagnostics import (
+        compute_diagnostics, compute_diagnostics_chunked,
+        ess_bulk_chunked, split_rhat_chunked, ess_tail_chunked)
+
+    calls = []
+    orig = st._per_dim_sharded
+
+    def spy(samples, mesh, axis, column_fn, dims_per_device, **kw):
+        calls.append(dims_per_device)
+        return orig(samples, mesh, axis, column_fn, dims_per_device, **kw)
+
+    monkeypatch.setattr(st, "_per_dim_sharded", spy)
+
+    mesh = make_mesh(8)
+    h = _history(random.PRNGKey(7), S=120, C=32, D=5)
+    hs = jax.device_put(h, NamedSharding(mesh, P(None, "chains", None)))
+
+    a = compute_diagnostics(h)
+    b = compute_diagnostics_chunked(hs, dim_chunk=2)
+    assert calls and all(d == 1 for d in calls), \
+        "mesh history must dispatch per-dim-sharded with bounded block width"
+    for k in ("rhat_max", "rhat_mean", "ess_bulk_min", "ess_bulk_mean",
+              "ess_tail_min", "ess_tail_mean"):
+        np.testing.assert_allclose(b[k], a[k], rtol=1e-10, err_msg=k)
+    for k in ("mean", "sd", "mcse_mean", "ess_bulk", "ess_tail", "r_hat"):
+        np.testing.assert_allclose(np.asarray(b["summary"][k]),
+                                   np.asarray(a["summary"][k]),
+                                   rtol=1e-10, err_msg=k)
+
+    # individual estimators agree bitwise-close with their monolithic twins
+    from mcmc_tpu.diagnostics import ess_bulk, split_rhat, ess_tail
+    np.testing.assert_allclose(np.asarray(ess_bulk_chunked(hs)),
+                               np.asarray(ess_bulk(h)), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(split_rhat_chunked(hs)),
+                               np.asarray(split_rhat(h)), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(ess_tail_chunked(hs)),
+                               np.asarray(ess_tail(h)), rtol=1e-12)

@@ -146,6 +146,22 @@ def _neals_funnel(dim, d_pad, params, ax):
     return vag
 
 
+def _neals_funnel_noncentered(dim, d_pad, params, ax):
+    """Non-centered funnel: diagonal Gaussian, var 9 on the neck coordinate
+    and 1 elsewhere (the funnel curvature lives in the post-hoc transform,
+    not the sampled density — targets/__init__.py neals_funnel_noncentered)."""
+    const = math.log(9.0) + dim * LOG_2PI
+
+    def vag(q):
+        mask = _mask_row(dim, d_pad, ax)
+        coord0 = _ids(d_pad, ax) == 0
+        inv_var = jnp.where(coord0, 1.0 / 9.0, 1.0) * mask
+        siv = q * inv_var
+        lp = -0.5 * (jnp.sum(siv * q, axis=ax, keepdims=True) + const)
+        return lp, -siv
+    return vag
+
+
 def _student_t(dim, d_pad, params, ax):
     df = params["df"]
     log_norm = float(gammaln((df + 1.0) / 2.0) - gammaln(df / 2.0)) \
@@ -402,6 +418,7 @@ _BUILDERS = {
     "ill_conditioned_gaussian": _ill_conditioned,
     "correlated_gaussian": _correlated,
     "neals_funnel": _neals_funnel,
+    "neals_funnel_noncentered": _neals_funnel_noncentered,
     "student_t": _student_t,
     "log_gamma": _log_gamma,
     "rosenbrock": _rosenbrock,

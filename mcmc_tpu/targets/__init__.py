@@ -42,6 +42,10 @@ class TargetDistribution(NamedTuple):
     value_and_grad_fn: Optional[Callable] = None  # x:(..., dim) -> (lp:(...,), grad:(..., dim))
     family: str = ""
     params: Dict[str, Any] = {}
+    # Optional deterministic map from the SAMPLED coordinates to the
+    # coordinates of interest (non-centered parameterizations); None for
+    # targets sampled directly in their natural coordinates.
+    transform: Optional[Callable] = None
 
 
 def _batched(x):
@@ -211,6 +215,62 @@ def neals_funnel(dim: int = 10) -> TargetDistribution:
         value_and_grad_fn=value_and_grad_fn,
         family="neals_funnel",
         params={},
+    )
+
+
+def funnel_transform(y: jnp.ndarray) -> jnp.ndarray:
+    """Map non-centered funnel draws y = (v, z) to centered funnel
+    coordinates x = (v, z * exp(v/2)); batched over leading axes."""
+    v = y[..., :1]
+    return jnp.concatenate([v, y[..., 1:] * jnp.exp(v / 2.0)], axis=-1)
+
+
+def neals_funnel_noncentered(dim: int = 10) -> TargetDistribution:
+    """Neal's funnel, non-centered parameterization (the standard remedy).
+
+    The centered funnel (reference targets.py:149-213) defeats every sampler
+    at gate grade — the three-way parity experiment (BASELINE.md "Funnel
+    apples-to-apples") shows reference CPU, rebuild CPU and rebuild TPU all
+    fail identically on the neck's varying curvature. The textbook fix is to
+    SAMPLE auxiliary coordinates y = (v, z) with v ~ N(0, 9) and
+    z_i ~ N(0, 1) i.i.d. — a well-conditioned diagonal Gaussian — and
+    recover funnel draws deterministically via `funnel_transform`
+    (x0 = v, x_i = z_i * exp(v/2)), which reproduces the funnel's exact
+    moments (Var[x0] = 9, Var[x_i] = e^{4.5}).
+
+    Diagnostics and gates are evaluated in the sampled coordinates (Stan
+    practice: diagnose the parameterization you sample); `transform` carries
+    the map for funnel-coordinate summaries/W2.
+    Gradients: d/dv = -v/9; d/dz_i = -z_i.
+    """
+    D_rest = dim - 1
+
+    def value_and_grad_fn(y):
+        v = y[..., 0]
+        z = y[..., 1:]
+        lp = (-0.5 * (v**2 / 9.0 + jnp.log(2.0 * jnp.pi * 9.0))
+              - 0.5 * (jnp.sum(z**2, axis=-1) + D_rest * jnp.log(2.0 * jnp.pi)))
+        grad = jnp.concatenate([(-v / 9.0)[..., None], -z], axis=-1)
+        return lp, grad
+
+    def log_prob_fn(y):
+        return value_and_grad_fn(y)[0]
+
+    true_cov_diag = jnp.concatenate([jnp.array([9.0]), jnp.ones(dim - 1)])
+
+    _tag(value_and_grad_fn, "neals_funnel_noncentered", dim)
+    return TargetDistribution(
+        log_prob_fn=log_prob_fn,
+        dim=dim,
+        true_mean=jnp.zeros(dim),
+        true_cov=jnp.diag(true_cov_diag),
+        name=f"NealsFunnelNonCentered{dim}D",
+        description=(f"{dim}D Neal's funnel, non-centered parameterization - "
+                     f"same funnel moments via funnel_transform"),
+        value_and_grad_fn=value_and_grad_fn,
+        family="neals_funnel_noncentered",
+        params={},
+        transform=funnel_transform,
     )
 
 
@@ -421,6 +481,7 @@ def get_target(name: str, dim: int = 10, **kwargs) -> TargetDistribution:
         'log_gamma': log_gamma,
         'rosenbrock': rosenbrock,
         'neals_funnel': neals_funnel,
+        'neals_funnel_noncentered': neals_funnel_noncentered,
         'gaussian_mixture': gaussian_mixture,
         # RAHMC paper targets (low-dimensional; fixed parameters per reference
         # targets.py:520-524)
@@ -496,6 +557,14 @@ def get_reference_sampler(target_name: str, dim: int = 10, **kwargs):
             return jnp.concatenate([v[:, None], x_rest], axis=1)
         return sampler
 
+    if target_name == 'neals_funnel_noncentered':
+        def sampler(key, n):
+            k1, k2 = random.split(key)
+            v = random.normal(k1, (n, 1)) * 3.0
+            return jnp.concatenate([v, random.normal(k2, (n, dim - 1))],
+                                   axis=1)
+        return sampler
+
     if target_name == 'gaussian_mixture':
         n_modes = kwargs.get('n_modes', 2)
         separation = kwargs.get('separation', 5.0)
@@ -542,6 +611,7 @@ def has_reference_sampler(target_name: str) -> bool:
         'student_t',
         'log_gamma',
         'neals_funnel',
+        'neals_funnel_noncentered',
         'gaussian_mixture',
         'rosenbrock',
         'multimodal_funnel_2d',

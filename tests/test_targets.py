@@ -14,7 +14,8 @@ from mcmc_tpu.targets import (
 
 ALL_NAMES = [
     "standard_normal", "correlated_gaussian", "ill_conditioned_gaussian",
-    "student_t", "log_gamma", "rosenbrock", "neals_funnel", "gaussian_mixture",
+    "student_t", "log_gamma", "rosenbrock", "neals_funnel",
+    "neals_funnel_noncentered", "gaussian_mixture",
     "multimodal_funnel_2d", "concentric_l1_2d", "concentric_l1_3d",
     "nested_l1_2d", "nested_l1_3d", "hierarchical_logistic",
 ]
@@ -119,3 +120,32 @@ def test_value_and_grad_works_unbatched():
     x = jnp.arange(5.0)
     lp, g = t.value_and_grad_fn(x)
     assert lp.shape == () and g.shape == (5,)
+
+
+def test_noncentered_funnel_transform_recovers_funnel_moments():
+    """funnel_transform maps exact non-centered draws to draws with the
+    centered funnel's moments (Var[x0]=9, Var[x_i]=e^{4.5}; reference
+    targets.py:199-203) — the green-gate funnel remedy (VERDICT r2 #5)."""
+    from mcmc_tpu.targets import funnel_transform, neals_funnel_noncentered
+
+    t = neals_funnel_noncentered(6)
+    assert t.transform is funnel_transform
+    sampler = get_reference_sampler("neals_funnel_noncentered", dim=6)
+    y = sampler(random.PRNGKey(3), 400_000)
+    x = funnel_transform(y)
+
+    # x0 is v itself
+    np.testing.assert_allclose(np.asarray(x[:, 0]), np.asarray(y[:, 0]))
+    var = np.var(np.asarray(x), axis=0)
+    assert abs(var[0] - 9.0) / 9.0 < 0.05
+    v_rest = float(np.exp(4.5))
+    # heavy-tailed (log-normal-scaled) coordinates: generous MC tolerance
+    assert np.all(np.abs(var[1:] - v_rest) / v_rest < 0.5)
+
+    # funnel log-density of transformed draws equals non-centered density
+    # minus the log-Jacobian (d-1)/2 * v of the transform
+    f = get_target("neals_funnel", dim=6)
+    lp_f = np.asarray(f.log_prob_fn(x[:100]))
+    lp_nc = np.asarray(t.log_prob_fn(y[:100]))
+    jac = 2.5 * np.asarray(y[:100, 0])      # (dim-1)/2 * v
+    np.testing.assert_allclose(lp_f, lp_nc - jac, rtol=1e-8, atol=1e-8)

@@ -228,10 +228,14 @@ def test_warmup_nuts_persistent_backend():
     sensible step and the mass matrix learns the target scales."""
     t = ill_conditioned_gaussian(6)
     init = random.normal(random.PRNGKey(0), (16, 6)) * 0.1
+    # short explicit schedule (425 steps instead of the reference 2500):
+    # enough for the metric-ordering assertion at 6x less CPU time
     step, inv_mass, pos, info = run_adaptive_warmup(
         "nuts", t.log_prob_fn, None, init, random.PRNGKey(1),
-        num_warmup=400, value_and_grad_fn=t.value_and_grad_fn,
-        backend="persistent", steps_per_warmup_step=12)
+        num_warmup=425, value_and_grad_fn=t.value_and_grad_fn,
+        backend="persistent", steps_per_warmup_step=12,
+        exploration_steps=100, adaptation_windows=[100, 200],
+        cooldown_steps=25)
     assert step > 0
     assert pos.shape == (16, 6)
     assert np.all(np.isfinite(np.asarray(pos)))

@@ -46,6 +46,9 @@ _GRID_SUMMARY_FIELDS = [
     "rhat_max", "rhat_mean", "accept_rate", "step_size", "total_samples",
     "n_gradients", "warmup_time", "sample_time", "usable", "quality_pass",
     "divergence_rate", "sliced_w2", "z_score_max", "gamma", "steepness",
+    # learned-metric stats: a failed grid arm is usually a warmup artifact
+    # (bad mass matrix at that L), so post-mortems need these per L
+    "mass_matrix_min", "mass_matrix_max", "mass_matrix_mean",
 ]
 
 

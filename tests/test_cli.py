@@ -293,3 +293,15 @@ def test_nuts_backend_auto_resolution(monkeypatch):
     # explicit values are honored as given (the opt-out)
     assert runner_mod._resolve_nuts_backend("classic", t) == "classic"
     assert runner_mod._resolve_nuts_backend("persistent", t_plain) == "persistent"
+
+
+def test_grid_summary_carries_mass_matrix_stats():
+    """Grid all_results entries keep the learned-metric stats so failed
+    arms (usually a bad per-L warmup metric) can be post-mortemed."""
+    from mcmc_tpu.benchmark.runner import _grid_summary
+    r = {"num_steps": 16, "ess_per_gradient": 0.1, "mass_matrix_min": 0.5,
+         "mass_matrix_max": 9.1, "mass_matrix_mean": 1.2, "rhat_max": 1.01}
+    s = _grid_summary(r)
+    assert s["mass_matrix_min"] == 0.5
+    assert s["mass_matrix_max"] == 9.1
+    assert s["mass_matrix_mean"] == 1.2

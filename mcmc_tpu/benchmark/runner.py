@@ -258,8 +258,16 @@ def run_single_benchmark_with_L(
     convergence_base: float = 1.5,
     mesh_devices="auto",
     nuts_backend: str = "auto",
+    warmup_cache_dir: Optional[str] = None,
 ) -> Dict:
-    """One warmup+sample+diagnose+gate pipeline at a fixed trajectory length."""
+    """One warmup+sample+diagnose+gate pipeline at a fixed trajectory length.
+
+    warmup_cache_dir: when set, Phase-1 products (tuned step, learned
+    metric, warmed positions, friction params) are checkpointed per run
+    signature and restored on re-entry — a crashed grid re-run skips the
+    2500-step warmups it already paid for (the reference resumes only
+    COMPLETED configurations; its chain state is never persisted,
+    SURVEY.md §5)."""
     is_grahmc = sampler in ("grahmc", "rahmc")
     header = f"BENCHMARK: {sampler.upper()} on {target.name}"
     if is_grahmc:
@@ -288,13 +296,35 @@ def run_single_benchmark_with_L(
         # shard_mapped so the fused kernels execute per device on their
         # local chain shard (tuning/adaptation.py mesh path; the
         # backend="xla" GSPMD fallback of rounds 1-2 is gone — VERDICT r2 #3).
-        print("[Phase 1] Adaptive warmup...")
+        warmup_sig = cached = None
+        if warmup_cache_dir is not None:
+            from mcmc_tpu.utils.checkpoint import (load_warmup,
+                                                   warmup_signature)
+            warmup_sig = warmup_signature(
+                sampler, target_name, schedule_type if is_grahmc else None,
+                num_steps, learn_mass_matrix, n_chains, target.dim)
+            cached = load_warmup(warmup_cache_dir, warmup_sig)
         warmup_start = time.time()
-        key, warm_key = random.split(key)
-        step_size, inv_mass, position, warmup_info = _warmup(
-            sampler, target, target_name, warm_key, init_pos, num_warmup,
-            schedule_type, num_steps, learn_mass_matrix,
-            backend="auto", nuts_backend=nuts_backend, mesh=mesh)
+        if cached is not None:
+            step_size, inv_mass, position, warmup_info = cached
+            if mesh is not None:
+                from mcmc_tpu.parallel import shard_chains
+                position = shard_chains(position, mesh)
+            warmup_restored = True
+            print(f"[Phase 1] Warmup restored from checkpoint "
+                  f"({warmup_sig}): step_size={step_size:.4f}")
+        else:
+            print("[Phase 1] Adaptive warmup...")
+            key, warm_key = random.split(key)
+            step_size, inv_mass, position, warmup_info = _warmup(
+                sampler, target, target_name, warm_key, init_pos, num_warmup,
+                schedule_type, num_steps, learn_mass_matrix,
+                backend="auto", nuts_backend=nuts_backend, mesh=mesh)
+            warmup_restored = False
+            if warmup_cache_dir is not None:
+                from mcmc_tpu.utils.checkpoint import save_warmup
+                save_warmup(warmup_cache_dir, warmup_sig, step_size,
+                            inv_mass, position, warmup_info)
         warmup_time = time.time() - warmup_start
         print(f"  warmup {warmup_time:.1f}s, step_size={step_size:.4f}")
 
@@ -450,6 +480,7 @@ def run_single_benchmark_with_L(
             "convergence_trace": convergence_trace if track_convergence else None,
         }
         results.update(sampler_metadata)
+        results["warmup_restored"] = warmup_restored
         results["mass_matrix_learned"] = learn_mass_matrix
         if learn_mass_matrix and inv_mass is not None:
             results["mass_matrix_min"] = float(jnp.min(inv_mass))
@@ -499,6 +530,7 @@ def run_trajectory_length_grid_search(
     track_convergence: bool = False,
     convergence_base: float = 1.5,
     mesh_devices="auto",
+    warmup_cache_dir: Optional[str] = None,
 ) -> Dict:
     """Grid-search L; select max ESS/gradient preferring quality_pass runs;
     explicit failure record (with least-bad diagnostics) when nothing is
@@ -511,7 +543,8 @@ def run_trajectory_length_grid_search(
         r = run_single_benchmark_with_L(
             sampler, target, target_name, subkey, n_chains, num_warmup,
             num_samples, schedule_type, L, learn_mass_matrix,
-            track_convergence, convergence_base, mesh_devices=mesh_devices)
+            track_convergence, convergence_base, mesh_devices=mesh_devices,
+            warmup_cache_dir=warmup_cache_dir)
         if r.get("error") is None:
             n_grad = r.get("n_gradients", r["total_samples"] * L)
             r["n_gradients"] = n_grad
@@ -681,9 +714,14 @@ def run_all_benchmarks(
     convergence_base: float = 1.5,
     mesh_devices="auto",
     nuts_backend: str = "auto",
+    warmup_cache: bool = True,
 ):
     """Iterate target x sampler x mass-mode (x schedule for GRAHMC) with
-    resume-by-signature and incremental saving. Returns a DataFrame."""
+    resume-by-signature and incremental saving. Returns a DataFrame.
+
+    warmup_cache: checkpoint Phase-1 warmup products per configuration
+    under `<output_dir>/.warmup_cache_seed<seed>/` so an interrupted grid
+    re-run (same seed) skips warmups it already completed."""
     import jax
     import pandas as pd
 
@@ -698,6 +736,9 @@ def run_all_benchmarks(
         num_steps_grid = DEFAULT_L_GRID
     if mass_matrix_modes is None:
         mass_matrix_modes = [True]
+
+    warmup_cache_dir = (str(Path(output_dir) / f".warmup_cache_seed{seed}")
+                        if warmup_cache else None)
 
     json_path = Path(output_dir) / "benchmark_results.json"
     if json_path.exists():
@@ -731,13 +772,15 @@ def run_all_benchmarks(
                             num_warmup, num_samples,
                             schedule or "constant", num_steps_grid,
                             learn_mass, track_convergence, convergence_base,
-                            mesh_devices=mesh_devices)
+                            mesh_devices=mesh_devices,
+                            warmup_cache_dir=warmup_cache_dir)
                     else:
                         result = run_single_benchmark_with_L(
                             sampler, target, target_name, subkey, n_chains,
                             num_warmup, num_samples, schedule or "constant",
                             20, learn_mass, mesh_devices=mesh_devices,
-                            nuts_backend=nuts_backend)
+                            nuts_backend=nuts_backend,
+                            warmup_cache_dir=warmup_cache_dir)
                     all_results.append(result)
                     save_result_incremental(result, output_dir, is_first=is_first)
                     is_first = False

@@ -532,5 +532,6 @@ def run_adaptive_warmup(
         info["gamma"] = float(gamma) if gamma is not None else 1.0
         info["steepness"] = float(steepness) if steepness is not None else 5.0
 
-    inv_mass_out = inv_mass if learn_mass_matrix else inv_mass  # identity when not learned
-    return final_step_size, inv_mass_out, position, info
+    # inv_mass is still the identity when learning was disabled (adaptation
+    # windows never accumulate in that case).
+    return final_step_size, inv_mass, position, info

@@ -1,0 +1,132 @@
+"""Chain-state / warmup checkpointing.
+
+The reference checkpoints only RESULTS (incremental CSV/JSON append +
+resume-by-signature, reference run_benchmarks.py:938-1023,1063-1090); the
+sampler state itself is never persisted (SURVEY.md §5), so a crash mid-grid
+repays every 2500-step warmup. Here warmup products (tuned step size,
+learned inverse mass matrix, warmed positions, GRAHMC friction parameters)
+are persisted per run signature, making the benchmark pipeline resumable
+WITHIN a configuration, and arbitrary chain-state pytrees can be saved and
+restored across processes.
+
+Format: one .npz per checkpoint (arrays keyed by flattened pytree paths,
+host-gathered — fine at checkpoint cadence; sharded training states re-shard
+on load via the caller's device_put) plus a JSON sidecar for scalar
+metadata. No orbax dependency: MCMC state is a handful of dense arrays, not
+a parameter tree with layout metadata.
+"""
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _flatten_with_names(tree) -> Dict[str, Any]:
+    """Flatten a pytree to {path-string: leaf} with stable, readable keys."""
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    out = {}
+    for path, leaf in flat:
+        key = "/".join(
+            str(getattr(p, "name", getattr(p, "key", getattr(p, "idx", p))))
+            for p in path) or "_root"
+        out[key] = leaf
+    return out
+
+
+def save_state_tree(path: str, tree, meta: Optional[Dict] = None) -> None:
+    """Save a pytree of arrays to `<path>.npz` (+ `<path>.json` metadata).
+
+    Leaves are host-gathered with np.asarray; scalar/None metadata goes to
+    the JSON sidecar. Atomic: written to a temp file then renamed, so a
+    crash mid-write never leaves a truncated checkpoint behind.
+    """
+    arrays = {k: np.asarray(v) for k, v in _flatten_with_names(tree).items()}
+    tmp = path + ".tmp.npz"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path + ".npz")
+    if meta is not None:
+        tmp_j = path + ".tmp.json"
+        with open(tmp_j, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp_j, path + ".json")
+
+
+def load_state_tree(path: str, like=None) -> Tuple[Any, Optional[Dict]]:
+    """Load `<path>.npz` back.
+
+    With `like` (a pytree of the same structure, e.g. a freshly initialized
+    state), the arrays are reassembled into that structure with each leaf's
+    dtype preserved from disk; without it, the raw {path: array} dict is
+    returned. Returns (state_or_dict, metadata_or_None).
+    """
+    with np.load(path + ".npz") as z:
+        arrays = {k: z[k] for k in z.files}
+    meta = None
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            meta = json.load(f)
+    if like is None:
+        return arrays, meta
+    names = list(_flatten_with_names(like).keys())
+    missing = [n for n in names if n not in arrays]
+    if missing:
+        raise ValueError(f"checkpoint {path} missing leaves: {missing}")
+    leaves = [jnp.asarray(arrays[n]) for n in names]
+    treedef = jax.tree_util.tree_structure(like)
+    return jax.tree_util.tree_unflatten(treedef, leaves), meta
+
+
+# ---------------------------------------------------------------------------
+# Warmup checkpoints (benchmark runner integration)
+# ---------------------------------------------------------------------------
+
+def warmup_signature(sampler: str, target_name: str, schedule, num_steps,
+                     learn_mass: bool, n_chains: int, dim: int) -> str:
+    """Filesystem-safe key for one warmup configuration (mirrors the
+    runner's resume-by-signature tuple, plus the shape facts that make a
+    warmed state reusable)."""
+    sched = schedule if schedule else "none"
+    return (f"{sampler}_{target_name}_{sched}_L{num_steps}_"
+            f"mass{int(bool(learn_mass))}_c{n_chains}_d{dim}")
+
+
+def save_warmup(cache_dir: str, signature: str, step_size: float, inv_mass,
+                position, warmup_info: Dict) -> None:
+    """Persist one warmup's products under `cache_dir/<signature>`."""
+    os.makedirs(cache_dir, exist_ok=True)
+    tree = {"position": position}
+    if inv_mass is not None:
+        tree["inv_mass"] = inv_mass
+    meta = {
+        "step_size": float(step_size),
+        "has_inv_mass": inv_mass is not None,
+        "gamma": float(warmup_info["gamma"]) if "gamma" in warmup_info else None,
+        "steepness": (float(warmup_info["steepness"])
+                      if "steepness" in warmup_info else None),
+        "scale": float(warmup_info["scale"]) if "scale" in warmup_info else None,
+    }
+    save_state_tree(os.path.join(cache_dir, signature), tree, meta)
+
+
+def load_warmup(cache_dir: str, signature: str):
+    """Load a warmup checkpoint: (step_size, inv_mass, position, info) or
+    None when absent/corrupt (callers fall back to re-running warmup)."""
+    path = os.path.join(cache_dir, signature)
+    if not os.path.exists(path + ".npz"):
+        return None
+    try:
+        arrays, meta = load_state_tree(path)
+    except Exception:
+        return None
+    if meta is None:
+        return None
+    inv_mass = jnp.asarray(arrays["inv_mass"]) if meta["has_inv_mass"] else None
+    info = {k: meta[k] for k in ("gamma", "steepness", "scale")
+            if meta.get(k) is not None}
+    return meta["step_size"], inv_mass, jnp.asarray(arrays["position"]), info

@@ -66,6 +66,12 @@ def main():
                         "(force the asynchronous fixed-interval-snapshot path)")
     parser.add_argument("--mesh", type=str, default="auto",
                         help="Chain-shard over devices: 'auto' (all local devices when >1), an integer device count, or 'off'")
+    parser.add_argument("--no-warmup-cache", action="store_true",
+                        help="Disable per-configuration warmup checkpoints "
+                        "(<output-dir>/.warmup_cache_seed<seed>/); with the "
+                        "cache on, an interrupted run re-executed with the "
+                        "same seed restores tuned step/metric/positions "
+                        "instead of re-paying each 2500-step warmup")
 
     args = parser.parse_args()
 
@@ -107,6 +113,7 @@ def main():
         convergence_base=args.convergence_base,
         mesh_devices=(args.mesh if args.mesh in ('auto', 'off')
                       else int(args.mesh)),
+        warmup_cache=not args.no_warmup_cache,
         nuts_backend=args.nuts_backend,
     )
     print_summary(df)

@@ -1,0 +1,86 @@
+"""Chain-state / warmup checkpointing (beyond the reference: its chain state
+is never persisted, SURVEY.md §5 — only result rows resume)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import jax.random as random
+
+from mcmc_tpu.utils.checkpoint import (
+    save_state_tree, load_state_tree, save_warmup, load_warmup,
+    warmup_signature,
+)
+
+
+def test_state_tree_roundtrip_chainstate(tmp_path):
+    from mcmc_tpu.samplers.base import init_chain_state
+    from mcmc_tpu.targets import standard_normal
+
+    t = standard_normal(5)
+    state = init_chain_state(
+        random.normal(random.PRNGKey(0), (8, 5)), t.log_prob_fn,
+        t.value_and_grad_fn)
+    path = str(tmp_path / "cs")
+    save_state_tree(path, state, meta={"draws": 42})
+    restored, meta = load_state_tree(path, like=state)
+    assert meta == {"draws": 42}
+    import jax
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_state_tree_missing_leaf_raises(tmp_path):
+    path = str(tmp_path / "t")
+    save_state_tree(path, {"a": jnp.ones(3)})
+    with pytest.raises(ValueError, match="missing leaves"):
+        load_state_tree(path, like={"a": jnp.ones(3), "b": jnp.ones(2)})
+
+
+def test_warmup_roundtrip(tmp_path):
+    sig = warmup_signature("grahmc", "neals_funnel", "tanh", 16, True, 32, 10)
+    pos = random.normal(random.PRNGKey(1), (32, 10))
+    inv_mass = jnp.linspace(0.5, 2.0, 10)
+    save_warmup(str(tmp_path), sig, 0.123, inv_mass, pos,
+                {"gamma": 0.5, "steepness": 2.0, "accept_trace": [0.6]})
+    step, im, p, info = load_warmup(str(tmp_path), sig)
+    assert step == pytest.approx(0.123)
+    np.testing.assert_allclose(np.asarray(im), np.asarray(inv_mass))
+    np.testing.assert_allclose(np.asarray(p), np.asarray(pos))
+    assert info == {"gamma": 0.5, "steepness": 2.0}
+    # absent signature -> None (caller re-runs warmup)
+    assert load_warmup(str(tmp_path), "nope") is None
+
+
+def test_warmup_roundtrip_no_mass_matrix(tmp_path):
+    sig = warmup_signature("rwmh", "standard_normal", None, 20, False, 4, 5)
+    save_warmup(str(tmp_path), sig, 0.75, None,
+                jnp.zeros((4, 5)), {"scale": 0.75})
+    step, im, p, info = load_warmup(str(tmp_path), sig)
+    assert step == pytest.approx(0.75) and im is None
+    assert info == {"scale": 0.75}
+
+
+@pytest.mark.slow
+def test_runner_restores_warmup_from_cache(tmp_path):
+    """Second invocation of the same configuration restores Phase 1 from the
+    checkpoint (warmup_restored flag + identical tuned step) instead of
+    re-running warmup."""
+    from mcmc_tpu.benchmark import run_single_benchmark_with_L
+    from mcmc_tpu.targets import get_target
+
+    t = get_target("standard_normal", dim=4)
+    kw = dict(n_chains=4, num_warmup=100, num_samples=200,
+              schedule_type="constant", num_steps=20,
+              warmup_cache_dir=str(tmp_path))
+    r1 = run_single_benchmark_with_L(
+        "rwmh", t, "standard_normal", random.PRNGKey(0), **kw)
+    assert r1.get("error") is None
+    assert r1["warmup_restored"] is False
+
+    r2 = run_single_benchmark_with_L(
+        "rwmh", t, "standard_normal", random.PRNGKey(99), **kw)
+    assert r2.get("error") is None
+    assert r2["warmup_restored"] is True
+    assert r2["scale"] == pytest.approx(r1["scale"])
+    assert r2["warmup_time"] < r1["warmup_time"]

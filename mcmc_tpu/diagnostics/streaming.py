@@ -217,6 +217,23 @@ def _moments_over_chunks(get_chunk, S, C, chain_chunk):
     }
 
 
+def _dim_blocks(samples, dim_chunk):
+    """Yield (block, dd) with every block padded to exactly `dim_chunk` wide
+    (a ragged trailing block repeats its last column, results sliced back to
+    `dd`). All statistics here are per-dim independent, so padding cannot
+    perturb real columns — and it keeps every chunked program at ONE
+    compiled shape: cold-start XLA compiles through the remote-TPU tunnel
+    cost ~40-100s per shape, so the ragged tail would double them."""
+    S, C, D = samples.shape
+    for d0 in range(0, D, dim_chunk):
+        block = samples[:, :, d0:d0 + dim_chunk]
+        dd = block.shape[2]
+        if dd < dim_chunk:
+            pad = jnp.broadcast_to(block[:, :, -1:], (S, C, dim_chunk - dd))
+            block = jnp.concatenate([block, pad], axis=2)
+        yield block, dd
+
+
 def _accumulate_block(block, chain_chunk):
     """Rank-normalize one dim block, then accumulate moments per chain chunk."""
     S, C, dd = block.shape
@@ -245,9 +262,8 @@ def ess_bulk_chunked(samples, chain_chunk: int = DEFAULT_CHAIN_CHUNK,
         return _per_dim_sharded(samples, mesh, axis, _col_ess_bulk,
                                 max(1, dim_chunk // 2))
     out = []
-    for d0 in range(0, D, dim_chunk):
-        block = samples[:, :, d0:d0 + dim_chunk]
-        out.append(_ess_of_moments(_accumulate_block(block, chain_chunk)))
+    for block, dd in _dim_blocks(samples, dim_chunk):
+        out.append(_ess_of_moments(_accumulate_block(block, chain_chunk))[:dd])
     return jnp.concatenate(out)
 
 
@@ -266,8 +282,7 @@ def split_rhat_chunked(samples, chain_chunk: int = DEFAULT_CHAIN_CHUNK,
         return _per_dim_sharded(samples, mesh, axis, _col_split_rhat,
                                 max(1, dim_chunk // 2))
     out = []
-    for d0 in range(0, D, dim_chunk):
-        block = samples[:, :, d0:d0 + dim_chunk]
+    for block, dd in _dim_blocks(samples, dim_chunk):
         rhats = []
         for folded in (False, True):
             b = block
@@ -280,7 +295,7 @@ def split_rhat_chunked(samples, chain_chunk: int = DEFAULT_CHAIN_CHUNK,
             B = n * mo["var_means"]
             var_plus = (n - 1) / n * W + B / n
             rhats.append(jnp.sqrt(var_plus / W))
-        out.append(jnp.maximum(*rhats))
+        out.append(jnp.maximum(*rhats)[:dd])
     return jnp.concatenate(out)
 
 
@@ -311,8 +326,7 @@ def ess_tail_chunked(samples, chain_chunk: int = DEFAULT_CHAIN_CHUNK,
         return _per_dim_sharded(samples, mesh, axis, _col_ess_tail,
                                 max(1, dim_chunk // 2))
     out = []
-    for d0 in range(0, D, dim_chunk):
-        block = samples[:, :, d0:d0 + dim_chunk]
+    for block, dd in _dim_blocks(samples, dim_chunk):
         q05, q95 = _tail_quantiles(block)
         esss = []
         for q in (q05, q95):
@@ -320,7 +334,7 @@ def ess_tail_chunked(samples, chain_chunk: int = DEFAULT_CHAIN_CHUNK,
                 lambda a, b, q=q: (block[:, a:b] <= q).astype(block.dtype),
                 S, C, chain_chunk)
             esss.append(_ess_of_moments(mo))
-        out.append(jnp.minimum(*esss))
+        out.append(jnp.minimum(*esss)[:dd])
     return jnp.concatenate(out)
 
 
@@ -339,11 +353,10 @@ def ess_mean_chunked(samples, chain_chunk: int = DEFAULT_CHAIN_CHUNK,
         return _per_dim_sharded(samples, mesh, axis, _col_ess_mean,
                                 max(1, dim_chunk // 2))
     out = []
-    for d0 in range(0, D, dim_chunk):
-        block = samples[:, :, d0:d0 + dim_chunk]
+    for block, dd in _dim_blocks(samples, dim_chunk):
         mo = _moments_over_chunks(lambda a, b: block[:, a:b], S, C,
                                   chain_chunk)
-        out.append(_ess_of_moments(mo))
+        out.append(_ess_of_moments(mo)[:dd])
     return jnp.concatenate(out)
 
 
@@ -372,8 +385,7 @@ def _pooled_mean_sq_chunked(samples, chain_chunk, dim_chunk):
         return ms[0], ms[1], S * C
     means, sqs = [], []
     count = 0
-    for d0 in range(0, D, dim_chunk):
-        block = samples[:, :, d0:d0 + dim_chunk]
+    for block, dd in _dim_blocks(samples, dim_chunk):
         total, count = None, 0
         for c0 in range(0, C, chain_chunk):
             s, m = _sum_count(block[:, c0:c0 + chain_chunk])
@@ -384,8 +396,8 @@ def _pooled_mean_sq_chunked(samples, chain_chunk, dim_chunk):
         for c0 in range(0, C, chain_chunk):
             d = _sq_dev_sum(block[:, c0:c0 + chain_chunk], mean)
             sq = d if sq is None else sq + d
-        means.append(mean)
-        sqs.append(sq)
+        means.append(mean[:dd])
+        sqs.append(sq[:dd])
     return jnp.concatenate(means), jnp.concatenate(sqs), count
 
 

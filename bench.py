@@ -36,7 +36,7 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
-CACHE_VERSION = 3  # v3: baselines also report measured min bulk-ESS/sec
+CACHE_VERSION = 4  # v4: CPU NUTS rate uses matched per-rep pairs (median)
 
 DIM = 50
 NUM_STEPS = 16          # leapfrog substeps per GRAHMC transition
@@ -138,27 +138,34 @@ init = random.normal(key, (%(chains)d, DIM)) * 0.5
 out = nuts_run(random.PRNGKey(1), log_prob_fn, init, step_size=%(step)0.8f,
                num_samples=%(samples)d, burn_in=0)
 jax.block_until_ready(out[0])
-dts, outs = [], None
+# Matched per-rep pairs (tree depths vary per key, so each rep's gradient
+# count is divided by its OWN wall time; the reported rate is the median of
+# per-rep rates — same convention as the TPU arm).
+reps, outs = [], None
 for rep in range(3):
     t0 = time.time()
     outs = nuts_run(random.PRNGKey(2 + rep), log_prob_fn, init,
                     step_size=%(step)0.8f, num_samples=%(samples)d, burn_in=0)
     jax.block_until_ready(outs[0])
-    dts.append(time.time() - t0)
-dt = min(dts)
+    dt_rep = time.time() - t0
+    depths_rep = np.asarray(outs[4])
+    reps.append((float((2.0 ** (depths_rep + 1) - 1).sum()),
+                 float(depths_rep.size), dt_rep))
+rates = sorted(g / d for g, _t, d in reps)
+trans_rates = sorted(t / d for _g, t, d in reps)
 depths = np.asarray(outs[4])
-useful_grads = float((2.0 ** (depths + 1) - 1).sum())
 # Measured min bulk-ESS/sec via the same streaming estimator as the TPU arm
 # (matched pair: last rep's history over last rep's wall time).
 sys.path.insert(0, %(repo)r)
 from mcmc_tpu.diagnostics import ess_bulk_chunked
 ess_min = float(ess_bulk_chunked(outs[0], chain_chunk=%(chains)d,
                                  dim_chunk=8).min())
-print(json.dumps({"useful_grads_per_sec": useful_grads / dt,
-                  "transitions_per_sec": depths.size / dt,
-                  "seconds": dt, "chains": %(chains)d,
+print(json.dumps({"useful_grads_per_sec": rates[len(rates) // 2],
+                  "transitions_per_sec": trans_rates[len(trans_rates) // 2],
+                  "seconds": reps[-1][2], "chains": %(chains)d,
                   "samples": %(samples)d,
-                  "ess_bulk_min": ess_min, "ess_per_sec": ess_min / dts[-1],
+                  "ess_bulk_min": ess_min,
+                  "ess_per_sec": ess_min / reps[-1][2],
                   "mean_depth": float(depths.mean())}))
 """
 
@@ -216,6 +223,12 @@ def _load_cache():
         with open(BASELINE_CACHE) as f:
             cache = json.load(f)
         if cache.get("version") == CACHE_VERSION:
+            return cache
+        if cache.get("version") == 3:
+            # v3 -> v4 changed only the NUTS-baseline pairing; keep the
+            # validated idle-machine GRAHMC/RWMH baselines and tuned steps.
+            cache.pop("nuts_cpu", None)
+            cache["version"] = CACHE_VERSION
             return cache
     return {"version": CACHE_VERSION}
 

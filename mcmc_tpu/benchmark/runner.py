@@ -302,9 +302,14 @@ def run_single_benchmark_with_L(
                                                    warmup_signature)
             warmup_sig = warmup_signature(
                 sampler, target_name, schedule_type if is_grahmc else None,
-                num_steps, learn_mass_matrix, n_chains, target.dim)
+                num_steps, learn_mass_matrix, n_chains, target.dim,
+                num_warmup=num_warmup,
+                backend=nuts_backend if sampler == "nuts" else "")
             cached = load_warmup(warmup_cache_dir, warmup_sig)
         warmup_start = time.time()
+        # consume the warmup key unconditionally so a cache-hit run draws
+        # the SAME sampling keys as an uninterrupted run of this seed
+        key, warm_key = random.split(key)
         if cached is not None:
             step_size, inv_mass, position, warmup_info = cached
             if mesh is not None:
@@ -315,7 +320,6 @@ def run_single_benchmark_with_L(
                   f"({warmup_sig}): step_size={step_size:.4f}")
         else:
             print("[Phase 1] Adaptive warmup...")
-            key, warm_key = random.split(key)
             step_size, inv_mass, position, warmup_info = _warmup(
                 sampler, target, target_name, warm_key, init_pos, num_warmup,
                 schedule_type, num_steps, learn_mass_matrix,
@@ -440,6 +444,19 @@ def run_single_benchmark_with_L(
         else:
             sliced_w2 = None
 
+        # Reparameterized targets: also measure W2 in the TRANSFORMED
+        # coordinates against the transform target's own ground truth
+        # (e.g. non-centered funnel draws mapped to centered-funnel
+        # coordinates vs the centered funnel's exact sampler).
+        sliced_w2_transformed = None
+        if (target.transform is not None
+                and target.transform_target is not None):
+            key, w2t_key = random.split(key)
+            sliced_w2_transformed = compute_sliced_w2(
+                target.transform(samples), target.transform_target,
+                target.dim, n_reference=50000, n_projections=500,
+                key=w2t_key)
+
         results = {
             "sampler": sampler,
             "target": target.name,
@@ -477,6 +494,7 @@ def run_single_benchmark_with_L(
             "is_inefficient": gates["is_inefficient"],
             "is_high_efficiency": gates["is_high_efficiency"],
             "sliced_w2": sliced_w2,
+            "sliced_w2_transformed": sliced_w2_transformed,
             "convergence_trace": convergence_trace if track_convergence else None,
         }
         results.update(sampler_metadata)

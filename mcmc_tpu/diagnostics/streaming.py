@@ -25,13 +25,14 @@ Nothing ever leaves the device: inputs can be (and should be) committed device
 arrays; only the final (dim,) statistics are returned.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from mcmc_tpu.diagnostics.rhat_ess import (
-    _autocovariance_fft, _ess_combine, _ess_core, _rank_normalize,
-    _rhat_classic, _split_chains,
+    _autocovariance_fft, _ess_combine, _rank_normalize, _split_chains,
 )
 
 DEFAULT_CHAIN_CHUNK = 8192
@@ -67,6 +68,25 @@ def _mesh_axis_of_chains(samples):
     return None, None
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_stat_fn(mesh, axes, column_fn, out_rank):
+    """Build (and cache) the jitted shard_map wrapper for one column
+    statistic on one mesh. Caching matters: each distinct program costs
+    ~40-100s of cold XLA compile through the remote-TPU tunnel, and a grid
+    search calls the same estimators once per L at identical shapes."""
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:                                # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from functools import partial
+
+    return jax.jit(partial(
+        shard_map, mesh=mesh, in_specs=P(None, None, axes),
+        out_specs=P(*([None] * (out_rank - 1)), axes),
+        check_vma=False)(column_fn))
+
+
 def _per_dim_sharded(samples, mesh, axis, column_fn, dims_per_device: int,
                      out_rank: int = 1):
     """Apply a per-column statistic ((S, C, dd_local) -> (..., dd_local))
@@ -75,60 +95,28 @@ def _per_dim_sharded(samples, mesh, axis, column_fn, dims_per_device: int,
 
     Returns the concatenated (..., D) statistic (tiny; safe to gather).
     """
-    from jax.sharding import PartitionSpec as P
-    try:
-        from jax import shard_map
-    except ImportError:                                # pragma: no cover
-        from jax.experimental.shard_map import shard_map
-    from functools import partial
-
     axes = axis if isinstance(axis, tuple) else (axis,)
     n_dev = 1
     for a in axes:
         n_dev *= mesh.shape[a]
-    S, C, D = samples.shape
-    block_d = dims_per_device * n_dev
-
-    stat = jax.jit(partial(
-        shard_map, mesh=mesh, in_specs=P(None, None, axes),
-        out_specs=P(*([None] * (out_rank - 1)), axes),
-        check_vma=False)(column_fn))
+    stat = _sharded_stat_fn(mesh, axes, column_fn, out_rank)
 
     out = []
-    for d0 in range(0, D, block_d):
-        block = samples[:, :, d0:d0 + block_d]   # dim slice: shard-local
-        dd = block.shape[2]
-        if dd < block_d:                          # pad to a full device tile
-            pad = jnp.broadcast_to(block[:, :, -1:],
-                                   (S, C, block_d - dd))
-            block = jnp.concatenate([block, pad], axis=2)
-        out.append(stat(block)[..., :dd])
+    for block, dd in _dim_blocks(samples, dims_per_device * n_dev):
+        out.append(stat(block)[..., :dd])       # dim slice: shard-local
     return jnp.concatenate(out, axis=-1)
 
 
-def _col_ess_bulk(block):
-    return _ess_core(_rank_normalize(_split_chains(block)))
+# Per-column statistics ARE the canonical monolithic estimators from
+# rhat_ess.py — used by reference inside shard_map, so the "sharded ==
+# unsharded exactly" invariant cannot drift (a fix to ess_bulk is
+# automatically a fix to the mesh path).
+from mcmc_tpu.diagnostics import rhat_ess as _rhat_ess      # noqa: E402
 
-
-def _col_split_rhat(block):
-    x = _split_chains(block)
-    z_bulk = _rank_normalize(x)
-    folded = jnp.abs(x - jnp.median(x.reshape(-1, x.shape[-1]), axis=0))
-    z_tail = _rank_normalize(folded)
-    return jnp.maximum(_rhat_classic(z_bulk), _rhat_classic(z_tail))
-
-
-def _col_ess_tail(block):
-    x = _split_chains(block)
-    flat = x.reshape(-1, x.shape[-1])
-    q05 = jnp.quantile(flat, 0.05, axis=0)
-    q95 = jnp.quantile(flat, 0.95, axis=0)
-    return jnp.minimum(_ess_core((x <= q05).astype(flat.dtype)),
-                       _ess_core((x <= q95).astype(flat.dtype)))
-
-
-def _col_ess_mean(block):
-    return _ess_core(_split_chains(block))
+_col_ess_bulk = _rhat_ess.ess_bulk
+_col_split_rhat = _rhat_ess.split_rhat
+_col_ess_tail = _rhat_ess.ess_tail
+_col_ess_mean = _rhat_ess.ess_mean
 
 
 def _col_mean_sq(block):

@@ -17,12 +17,26 @@ slice is present, so chain shards land slice-major and the diagnostics
 collectives ride ICI within a slice before crossing DCN once.
 """
 
+import os
 from typing import Optional
 
 import jax
 from jax.sharding import Mesh
 
 from mcmc_tpu.parallel import CHAIN_AXIS
+
+# Environment evidence that this process is part of a multi-host job. When
+# any of these are set, a failed argument-free initialize() must NOT fall
+# back to single-process: each host would silently run an independent
+# duplicate job (process_count() is still 1 after a FAILED initialize, so
+# it cannot distinguish 'single machine' from 'coordinator unreachable').
+# Only explicit coordinator addresses qualify — TPU_WORKER_HOSTNAMES is
+# also set by single-host TPU plugins (this rig's tunnel sets it), so it is
+# not evidence of a multi-host job.
+_DIST_ENV_HINTS = (
+    "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+)
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -42,20 +56,19 @@ def initialize(coordinator_address: Optional[str] = None,
                                    process_id=process_id)
     except (ValueError, RuntimeError) as e:
         # Only two cases may proceed: the runtime is already initialized, or
-        # this is an argument-free call in a genuinely single-process
-        # environment (no coordinator configured anywhere, process_count()
-        # still 1 after the failed attempt). The no-args structural check is
-        # primary — it does not depend on JAX's exception wording; the
-        # message match is kept only as a secondary already-initialized
-        # signal. Explicit-argument failures always re-raise: swallowing a
-        # real coordinator/network error would silently leave every host
-        # running as an independent single-process job.
+        # this is an argument-free call on a machine with NO environment
+        # evidence of a multi-host job (no coordinator address configured
+        # anywhere). Both checks are structural — neither depends on JAX's
+        # exception wording except the secondary already-initialized match.
+        # Explicit-argument failures, and no-args failures under a
+        # configured coordinator environment (e.g. a transient DCN error on
+        # a GKE pod), always re-raise: swallowing them would leave every
+        # host silently running an independent single-process job.
         already = "already" in str(e).lower()
-        no_args_single = (coordinator_address is None
-                          and num_processes is None
-                          and process_id is None
-                          and jax.process_count() == 1)
-        if not (already or no_args_single):
+        no_args = (coordinator_address is None and num_processes is None
+                   and process_id is None)
+        dist_env = any(os.environ.get(v) for v in _DIST_ENV_HINTS)
+        if not (already or (no_args and not dist_env)):
             raise
     return jax.process_index()
 

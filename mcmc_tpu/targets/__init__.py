@@ -44,8 +44,12 @@ class TargetDistribution(NamedTuple):
     params: Dict[str, Any] = {}
     # Optional deterministic map from the SAMPLED coordinates to the
     # coordinates of interest (non-centered parameterizations); None for
-    # targets sampled directly in their natural coordinates.
+    # targets sampled directly in their natural coordinates. When set,
+    # `transform_target` names the registered target whose ground-truth
+    # sampler lives in the TRANSFORMED coordinates — the benchmark runner
+    # then also reports `sliced_w2_transformed` against it.
     transform: Optional[Callable] = None
+    transform_target: Optional[str] = None
 
 
 def _batched(x):
@@ -239,8 +243,10 @@ def neals_funnel_noncentered(dim: int = 10) -> TargetDistribution:
     moments (Var[x0] = 9, Var[x_i] = e^{4.5}).
 
     Diagnostics and gates are evaluated in the sampled coordinates (Stan
-    practice: diagnose the parameterization you sample); `transform` carries
-    the map for funnel-coordinate summaries/W2.
+    practice: diagnose the parameterization you sample); the benchmark
+    runner additionally reports `sliced_w2_transformed` — W2 of the
+    transformed draws against the CENTERED funnel's exact sampler (via
+    `transform`/`transform_target`).
     Gradients: d/dv = -v/9; d/dz_i = -z_i.
     """
     D_rest = dim - 1
@@ -271,6 +277,7 @@ def neals_funnel_noncentered(dim: int = 10) -> TargetDistribution:
         family="neals_funnel_noncentered",
         params={},
         transform=funnel_transform,
+        transform_target="neals_funnel",
     )
 
 

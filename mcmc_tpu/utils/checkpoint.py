@@ -87,13 +87,19 @@ def load_state_tree(path: str, like=None) -> Tuple[Any, Optional[Dict]]:
 # ---------------------------------------------------------------------------
 
 def warmup_signature(sampler: str, target_name: str, schedule, num_steps,
-                     learn_mass: bool, n_chains: int, dim: int) -> str:
+                     learn_mass: bool, n_chains: int, dim: int,
+                     num_warmup: int = 0, backend: str = "") -> str:
     """Filesystem-safe key for one warmup configuration (mirrors the
-    runner's resume-by-signature tuple, plus the shape facts that make a
-    warmed state reusable)."""
+    runner's resume-by-signature tuple, plus every setting that changes what
+    the warmup produces: shape facts, the warmup budget, and the stepping
+    backend — a 200-step quick-test checkpoint must never satisfy a
+    2500-step production re-run, nor a classic-NUTS one a persistent run)."""
     sched = schedule if schedule else "none"
+    tail = f"_w{num_warmup}" if num_warmup else ""
+    if backend:
+        tail += f"_{backend}"
     return (f"{sampler}_{target_name}_{sched}_L{num_steps}_"
-            f"mass{int(bool(learn_mass))}_c{n_chains}_d{dim}")
+            f"mass{int(bool(learn_mass))}_c{n_chains}_d{dim}{tail}")
 
 
 def save_warmup(cache_dir: str, signature: str, step_size: float, inv_mass,

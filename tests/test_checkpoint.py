@@ -79,8 +79,28 @@ def test_runner_restores_warmup_from_cache(tmp_path):
     assert r1["warmup_restored"] is False
 
     r2 = run_single_benchmark_with_L(
-        "rwmh", t, "standard_normal", random.PRNGKey(99), **kw)
+        "rwmh", t, "standard_normal", random.PRNGKey(0), **kw)
     assert r2.get("error") is None
     assert r2["warmup_restored"] is True
     assert r2["scale"] == pytest.approx(r1["scale"])
     assert r2["warmup_time"] < r1["warmup_time"]
+    # seed-reproducibility across crash-resume (review r3 finding): the
+    # warmup key is consumed unconditionally, so the cache-hit run draws
+    # the same sampling keys and reproduces the uninterrupted run exactly
+    assert r2["accept_rate"] == pytest.approx(r1["accept_rate"])
+    assert r2["rhat_max"] == pytest.approx(r1["rhat_max"])
+    assert r2["ess_bulk_min"] == pytest.approx(r1["ess_bulk_min"], rel=1e-6)
+
+
+def test_warmup_signature_distinguishes_budget_and_backend():
+    """A 200-step quick-test checkpoint must not satisfy a 2500-step re-run,
+    nor a classic-NUTS warmup a persistent one (review r3 finding)."""
+    base = dict(sampler="nuts", target_name="standard_normal", schedule=None,
+                num_steps=20, learn_mass=True, n_chains=8, dim=4)
+    sigs = {
+        warmup_signature(**base, num_warmup=200, backend="classic"),
+        warmup_signature(**base, num_warmup=2500, backend="classic"),
+        warmup_signature(**base, num_warmup=2500, backend="persistent"),
+        warmup_signature(**base),
+    }
+    assert len(sigs) == 4

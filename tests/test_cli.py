@@ -305,3 +305,26 @@ def test_grid_summary_carries_mass_matrix_stats():
     assert s["mass_matrix_min"] == 0.5
     assert s["mass_matrix_max"] == 9.1
     assert s["mass_matrix_mean"] == 1.2
+
+
+@pytest.mark.slow
+def test_reparameterized_target_reports_transformed_w2():
+    """Targets with transform/transform_target also report W2 of the
+    TRANSFORMED draws against the transform target's ground truth
+    (non-centered funnel -> centered-funnel coordinates)."""
+    t = get_target("neals_funnel_noncentered", dim=4)
+    r = run_single_benchmark_with_L(
+        "rwmh", t, "neals_funnel_noncentered", random.PRNGKey(21),
+        n_chains=4, num_warmup=100, num_samples=300,
+        schedule_type="constant", num_steps=20)
+    assert r.get("error") is None
+    assert r["sliced_w2"] is not None
+    assert r["sliced_w2_transformed"] is not None
+    assert np.isfinite(r["sliced_w2_transformed"])
+    # targets without a transform leave the field None
+    t2 = get_target("standard_normal", dim=4)
+    r2 = run_single_benchmark_with_L(
+        "rwmh", t2, "standard_normal", random.PRNGKey(22), n_chains=4,
+        num_warmup=100, num_samples=300, schedule_type="constant",
+        num_steps=20)
+    assert r2["sliced_w2_transformed"] is None

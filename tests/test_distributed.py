@@ -98,3 +98,35 @@ def test_initialize_single_process_noop():
     from mcmc_tpu.parallel.distributed import initialize
     assert initialize() == 0
     assert initialize(num_processes=1) == 0
+
+
+def test_initialize_reraises_under_distributed_env(monkeypatch):
+    """A no-args initialize failure must NOT fall back to single-process
+    when the environment shows a configured coordinator — each host would
+    silently run an independent duplicate job (review r3 finding)."""
+    import jax
+    from mcmc_tpu.parallel.distributed import initialize
+
+    def boom(**kw):
+        raise RuntimeError("DEADLINE_EXCEEDED connecting to 10.0.0.2:8476")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+
+    # no coordinator evidence: structural single-process fallback
+    # (TPU_WORKER_HOSTNAMES deliberately NOT a hint: single-host TPU
+    # plugins set it — this rig's tunnel does)
+    for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+              "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(v, raising=False)
+    assert initialize() == 0
+
+    # coordinator configured in the environment: the failure is real
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.2:8476")
+    with pytest.raises(RuntimeError, match="DEADLINE_EXCEEDED"):
+        initialize()
+
+    # explicit arguments always re-raise
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS")
+    with pytest.raises(RuntimeError):
+        initialize(coordinator_address="10.0.0.2:8476", num_processes=2,
+                   process_id=0)

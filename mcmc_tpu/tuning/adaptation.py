@@ -511,10 +511,11 @@ def run_adaptive_warmup(
             gamma_samples_per_eval=kwargs.get("gamma_samples_per_eval", 150),
             value_and_grad_fn=value_and_grad_fn,
             verbose=verbose,
-            # Under a mesh the sequential tuner runs the GSPMD XLA path on
-            # the (already sharded) positions: its short ESJD probes are not
-            # worth a second family of shard_mapped kernels.
-            backend=backend if mesh is None else "xla",
+            # Under a mesh the tuner's DA/ESJD probes run shard_mapped with
+            # the same backend as the windows (fused kernel per device,
+            # pmean'd feedback) — no XLA fallback anywhere in mesh warmup.
+            backend=backend,
+            mesh=mesh,
         )
         gamma, steepness, final_step_size = tuned_gamma, tuned_steepness, tuned_step
         if verbose:

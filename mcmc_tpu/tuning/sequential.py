@@ -55,12 +55,31 @@ def sequential_tune_grahmc(
     da_batch: int = 25,
     verbose: bool = False,
     backend: str = "xla",
+    mesh=None,
 ) -> Tuple[float, float, float, Dict]:
-    """Returns (step_size, gamma, steepness, history)."""
+    """Returns (step_size, gamma, steepness, history).
+
+    mesh: run every DA/ESJD probe shard_mapped over the chain mesh — the
+    fused kernel executes per device on its local shard and the DA/ESJD
+    feedback uses pmean'd global statistics, so the tuned values are
+    identical on every device (completes the mesh story: warmup windows,
+    sampling AND friction tuning all run the fused paths multi-chip)."""
     if gamma_coarse_values is None:
         gamma_coarse_values = DEFAULT_GAMMA_GRID
     if steepness is None:
         steepness = default_steepness(schedule_type)
+
+    if mesh is not None:
+        from mcmc_tpu.parallel import CHAIN_AXIS
+        axis = CHAIN_AXIS
+    else:
+        axis = None
+
+    def _gmean(x):
+        """Global mean over all chains (pmean over the mesh axis when
+        sharded; shards are equal-sized so the mean of means is exact)."""
+        m = jnp.mean(x)
+        return lax.pmean(m, axis) if axis is not None else m
 
     schedule_fn = get_friction_schedule(schedule_type)
     vag = make_value_and_grad(log_prob_fn, value_and_grad_fn)
@@ -92,8 +111,11 @@ def sequential_tune_grahmc(
     # the step size at the given gamma, then measure ESJD at the tuned step.
     n_da_updates = max(1, max_iter_step // da_batch)
 
-    @jax.jit
-    def tune_and_measure(key, chain_state, gamma, start_step):
+    def _tune_and_measure_body(key, chain_state, gamma, start_step):
+        if axis is not None:
+            # distinct per-device stream; DA state stays replicated because
+            # its feedback statistics are pmean'd globals
+            key = random.fold_in(key, lax.axis_index(axis))
         da = da_init(start_step)
 
         def da_iter(carry, _):
@@ -106,8 +128,9 @@ def sequential_tune_grahmc(
                 return (k, s), accept
 
             (key, cs), accepts = lax.scan(step_body, (key, cs), length=da_batch)
-            da = da_update(da, jnp.mean(accepts), target_accept)
-            return (key, cs, da), jnp.mean(accepts)
+            stat = _gmean(accepts)
+            da = da_update(da, stat, target_accept)
+            return (key, cs, da), stat
 
         (key, chain_state, da), accepts = lax.scan(
             da_iter, (key, chain_state, da), length=n_da_updates)
@@ -124,8 +147,29 @@ def sequential_tune_grahmc(
 
         (key, chain_state), (esjd_steps, esjd_accepts) = lax.scan(
             esjd_body, (key, chain_state), length=gamma_samples_per_eval)
-        return (chain_state, tuned_step, jnp.mean(esjd_steps),
-                jnp.mean(esjd_accepts), accepts)
+        return (chain_state, tuned_step, _gmean(esjd_steps),
+                _gmean(esjd_accepts), accepts)
+
+    if mesh is None:
+        tune_and_measure = jax.jit(_tune_and_measure_body)
+    else:
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:                            # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+        from functools import partial
+        from mcmc_tpu.tuning.adaptation import _state_pspec
+
+        @jax.jit
+        def tune_and_measure(key, chain_state, gamma, start_step):
+            specs = _state_pspec(chain_state, "leading")
+            return partial(
+                shard_map, mesh=mesh,
+                in_specs=(P(), specs, P(), P()),
+                out_specs=(specs, P(), P(), P(), P()),
+                check_vma=False)(_tune_and_measure_body)(
+                    key, chain_state, gamma, start_step)
 
     # Phase 1: conservative-gamma step tune (gives each gamma's DA warm start)
     key, p1_key = random.split(key)

@@ -291,3 +291,32 @@ def test_warmup_mesh_fused_nuts_windows(monkeypatch):
     assert step > 0 and np.isfinite(step)
     assert pos.shape == (32, 4)
     assert np.all(np.isfinite(np.asarray(inv_mass)))
+
+
+def test_sequential_tuner_sharded_fused_matches_unsharded():
+    """GRAHMC friction tuning under a mesh runs its DA/ESJD probes
+    shard_mapped through the fused kernel with pmean'd feedback, and lands
+    on the same operating point as the unsharded XLA tuner (round 3: no
+    XLA fallback remains anywhere in mesh warmup)."""
+    from mcmc_tpu.tuning.sequential import sequential_tune_grahmc
+
+    t = standard_normal(4)
+    mesh = make_mesh()
+    pos = random.normal(random.PRNGKey(40), (32, 4))
+    kw = dict(num_steps=5, schedule_type="tanh", max_iter_step=50,
+              gamma_samples_per_eval=20, gamma_coarse_values=(0.1, 1.0),
+              value_and_grad_fn=t.value_and_grad_fn)
+
+    step_s, gamma_s, steep_s, hist_s = sequential_tune_grahmc(
+        random.PRNGKey(41), t.log_prob_fn, None, shard_chains(pos, mesh),
+        backend="pallas", mesh=mesh, **kw)
+    step_u, gamma_u, _, _ = sequential_tune_grahmc(
+        random.PRNGKey(41), t.log_prob_fn, None, pos, backend="xla", **kw)
+
+    assert np.isfinite(step_s) and step_s > 0
+    assert gamma_s in (0.1, 1.0)
+    # same selected gamma and a step within statistical agreement of the
+    # unsharded tuner (RNG streams differ)
+    assert gamma_s == gamma_u
+    assert abs(np.log(step_s / step_u)) < 1.0
+    assert len(hist_s["per_gamma_step"]) == 2

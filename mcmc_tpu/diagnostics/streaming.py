@@ -75,16 +75,11 @@ def _sharded_stat_fn(mesh, axes, column_fn, out_rank):
     ~40-100s of cold XLA compile through the remote-TPU tunnel, and a grid
     search calls the same estimators once per L at identical shapes."""
     from jax.sharding import PartitionSpec as P
-    try:
-        from jax import shard_map
-    except ImportError:                                # pragma: no cover
-        from jax.experimental.shard_map import shard_map
-    from functools import partial
+    from mcmc_tpu.parallel import shard_map_fn
 
-    return jax.jit(partial(
-        shard_map, mesh=mesh, in_specs=P(None, None, axes),
-        out_specs=P(*([None] * (out_rank - 1)), axes),
-        check_vma=False)(column_fn))
+    return jax.jit(shard_map_fn(
+        column_fn, mesh, in_specs=P(None, None, axes),
+        out_specs=P(*([None] * (out_rank - 1)), axes)))
 
 
 def _per_dim_sharded(samples, mesh, axis, column_fn, dims_per_device: int,

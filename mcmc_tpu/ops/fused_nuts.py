@@ -33,6 +33,7 @@ Subtree sizes are tracked incrementally (doubling a row) rather than via
 exp2(depth), which need not be exact in f32.
 """
 
+import functools
 import math
 from typing import Callable, NamedTuple, Optional
 
@@ -367,6 +368,7 @@ def _build_call(padded_vag, n_iters, max_tree_depth, n_chains, d_pad,
     )
 
 
+@functools.lru_cache(maxsize=32)
 def make_fused_nuts_window(
     value_and_grad_fn,
     n_iters: int,

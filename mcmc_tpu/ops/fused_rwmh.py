@@ -26,6 +26,8 @@ the XLA path (and the reference, which tracks none for RWMH).
 
 from typing import Callable, Optional
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax, random
@@ -98,6 +100,7 @@ def _make_rwmh_kernel(padded_vag: Callable, transitions: int,
     return kernel
 
 
+@functools.lru_cache(maxsize=32)
 def make_fused_rwmh_multistep(
     log_prob_fn,
     value_and_grad_fn,

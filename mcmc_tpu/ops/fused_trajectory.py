@@ -27,6 +27,7 @@ with injectable randomness (``make_debug_trajectory``) exists for
 bitwise-level trajectory comparison in tests.
 """
 
+import functools
 import math
 from typing import Callable, Optional
 
@@ -314,6 +315,7 @@ def _build_call(padded_vag, num_steps, friction_schedule, n_chains, d_pad,
     )
 
 
+@functools.lru_cache(maxsize=32)
 def make_fused_grahmc_step(
     log_prob_fn,
     value_and_grad_fn,
@@ -521,6 +523,7 @@ def _make_multistep_kernel(padded_vag: Callable, num_steps: int,
     return kernel
 
 
+@functools.lru_cache(maxsize=32)
 def make_fused_grahmc_multistep(
     log_prob_fn,
     value_and_grad_fn,

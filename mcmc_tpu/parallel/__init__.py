@@ -67,3 +67,20 @@ def replicate(tree, mesh: Mesh):
     """device_put a pytree fully replicated on the mesh."""
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(jnp.asarray(x), NamedSharding(mesh, P())), tree)
+
+
+def shard_map_fn(f, mesh: Mesh, in_specs, out_specs):
+    """`shard_map` across JAX versions, with replication checking disabled
+    (pallas_call outputs carry no vma/rep annotations). The stable API
+    (jax >= 0.6) takes `check_vma`; the older experimental one takes
+    `check_rep`. Centralized here so every shard_map site in the package
+    (fused samplers, mesh warmup, sequential tuner, sharded diagnostics)
+    shares one compat shim."""
+    try:
+        from jax import shard_map
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except ImportError:                                # pragma: no cover
+        from jax.experimental.shard_map import shard_map as legacy
+        return legacy(f, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, check_rep=False)

@@ -24,12 +24,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax, random
 from jax.sharding import PartitionSpec as P
-try:
-    from jax import shard_map                      # jax >= 0.6
-except ImportError:                                # pragma: no cover
-    from jax.experimental.shard_map import shard_map
 
-from mcmc_tpu.parallel import CHAIN_AXIS, shard_chains
+from mcmc_tpu.parallel import CHAIN_AXIS, shard_chains, shard_map_fn
 from mcmc_tpu.samplers.base import RunResult, init_chain_state, reset_counters
 from mcmc_tpu.samplers.grahmc import constant_schedule
 
@@ -79,7 +75,7 @@ def grahmc_run_sharded(
                jnp.asarray(steepness, jnp.float32))
 
     @partial(
-        shard_map, mesh=mesh,
+        shard_map_fn, mesh=mesh,
         in_specs=(P(), P(CHAIN_AXIS, None), P(), P(), P(), P()),
         out_specs=(P(None, CHAIN_AXIS, None),   # samples prefix
                    P(None, CHAIN_AXIS),          # log_probs prefix
@@ -88,8 +84,7 @@ def grahmc_run_sharded(
                    P(CHAIN_AXIS, None),          # final positions
                    P(CHAIN_AXIS),                # final log-probs
                    P(CHAIN_AXIS, None),          # final grads
-                   P()),                         # global divergence total
-        check_vma=False)  # pallas_call out_shapes carry no vma annotations
+                   P()))                         # global divergence total
     def run_shard(key, local_pos, eps, gam, steep, inv_mass):
         key = random.fold_in(key, lax.axis_index(CHAIN_AXIS))
         state = init_chain_state(local_pos, target.log_prob_fn,
@@ -209,10 +204,9 @@ def nuts_persistent_run_sharded(
             "n_devices": P(),
         })
 
-    @partial(shard_map, mesh=mesh,
+    @partial(shard_map_fn, mesh=mesh,
              in_specs=(P(), P(CHAIN_AXIS, None), P(), P()),
-             out_specs=out_specs,
-             check_vma=False)  # pallas_call outputs carry no vma annotations
+             out_specs=out_specs)
     def run_shard(key, local_pos, eps, inv_mass):
         key = random.fold_in(key, lax.axis_index(CHAIN_AXIS))
         res = _run_persistent_pallas(

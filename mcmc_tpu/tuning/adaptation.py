@@ -311,11 +311,7 @@ def _make_sharded_window_runner(mesh, window_body, state_chain_axis):
     GSPMD); the DA state is replicated and stays bit-identical everywhere
     because the accept statistics inside `window_body` are psum'd globally."""
     from jax.sharding import PartitionSpec as P
-    try:
-        from jax import shard_map
-    except ImportError:                                # pragma: no cover
-        from jax.experimental.shard_map import shard_map
-    from mcmc_tpu.parallel import CHAIN_AXIS
+    from mcmc_tpu.parallel import CHAIN_AXIS, shard_map_fn
 
     @partial(jax.jit, static_argnames=("num_batches", "samples_per_batch",
                                        "accumulate"))
@@ -330,15 +326,15 @@ def _make_sharded_window_runner(mesh, window_body, state_chain_axis):
         in_specs = common + (P(),)
         out_specs = common + (P(),)      # batch_accepts: global, replicated
 
-        @partial(shard_map, mesh=mesh, in_specs=in_specs,
-                 out_specs=out_specs, check_vma=False)
         def inner(keys, cs, da, wf, im):
             key, cs, da, wf, batch_accepts = window_body(
                 keys[0], cs, da, wf, im, num_batches, samples_per_batch,
                 accumulate)
             return key[None], cs, da, wf, batch_accepts
 
-        return inner(keys, chain_state, da_state, welford, inv_mass)
+        return shard_map_fn(inner, mesh, in_specs=in_specs,
+                            out_specs=out_specs)(
+            keys, chain_state, da_state, welford, inv_mass)
     return run_window
 
 

@@ -154,21 +154,16 @@ def sequential_tune_grahmc(
         tune_and_measure = jax.jit(_tune_and_measure_body)
     else:
         from jax.sharding import PartitionSpec as P
-        try:
-            from jax import shard_map
-        except ImportError:                            # pragma: no cover
-            from jax.experimental.shard_map import shard_map
-        from functools import partial
+        from mcmc_tpu.parallel import shard_map_fn
         from mcmc_tpu.tuning.adaptation import _state_pspec
 
         @jax.jit
         def tune_and_measure(key, chain_state, gamma, start_step):
             specs = _state_pspec(chain_state, "leading")
-            return partial(
-                shard_map, mesh=mesh,
+            return shard_map_fn(
+                _tune_and_measure_body, mesh,
                 in_specs=(P(), specs, P(), P()),
-                out_specs=(specs, P(), P(), P(), P()),
-                check_vma=False)(_tune_and_measure_body)(
+                out_specs=(specs, P(), P(), P(), P()))(
                     key, chain_state, gamma, start_step)
 
     # Phase 1: conservative-gamma step tune (gives each gamma's DA warm start)

@@ -259,6 +259,7 @@ def run_single_benchmark_with_L(
     mesh_devices="auto",
     nuts_backend: str = "auto",
     warmup_cache_dir: Optional[str] = None,
+    nuts_steps_per_sample: int = 64,
 ) -> Dict:
     """One warmup+sample+diagnose+gate pipeline at a fixed trajectory length.
 
@@ -348,7 +349,8 @@ def run_single_benchmark_with_L(
                 key, s_key = random.split(key)
                 res = _sample(sampler, target, s_key, position, step_size,
                               num_steps, batch, inv_mass, schedule_type,
-                              warmup_info, mesh=mesh, nuts_backend=nuts_backend)
+                              warmup_info, mesh=mesh, nuts_backend=nuts_backend,
+                      nuts_steps_per_sample=nuts_steps_per_sample)
                 position = res.final_state.position
                 pieces.append(res)
                 cumulative = jnp.concatenate([p.samples for p in pieces], axis=0)
@@ -376,7 +378,8 @@ def run_single_benchmark_with_L(
             key, s_key = random.split(key)
             res = _sample(sampler, target, s_key, position, step_size,
                           num_steps, num_samples, inv_mass, schedule_type,
-                          warmup_info, mesh=mesh, nuts_backend=nuts_backend)
+                          warmup_info, mesh=mesh, nuts_backend=nuts_backend,
+                          nuts_steps_per_sample=nuts_steps_per_sample)
             samples = res.samples
             accept_rate = float(res.accept_rate.mean())
             total_div = int(res.info["total_divergences"])
@@ -412,6 +415,8 @@ def run_single_benchmark_with_L(
             sampler_metadata = {"step_size": step_size, "max_tree_depth": 10,
                                 "avg_tree_depth": avg_tree_depth,
                                 "nuts_backend": nuts_backend}
+            if nuts_backend == "persistent":
+                sampler_metadata["nuts_steps_per_sample"] = nuts_steps_per_sample
         else:
             sampler_metadata = {"step_size": step_size, "num_steps": num_steps,
                                 "gamma": warmup_info.get("gamma", 1.0),
@@ -733,6 +738,7 @@ def run_all_benchmarks(
     mesh_devices="auto",
     nuts_backend: str = "auto",
     warmup_cache: bool = True,
+    nuts_steps_per_sample: int = 64,
 ):
     """Iterate target x sampler x mass-mode (x schedule for GRAHMC) with
     resume-by-signature and incremental saving. Returns a DataFrame.
@@ -798,7 +804,8 @@ def run_all_benchmarks(
                             num_warmup, num_samples, schedule or "constant",
                             20, learn_mass, mesh_devices=mesh_devices,
                             nuts_backend=nuts_backend,
-                            warmup_cache_dir=warmup_cache_dir)
+                            warmup_cache_dir=warmup_cache_dir,
+                            nuts_steps_per_sample=nuts_steps_per_sample)
                     all_results.append(result)
                     save_result_incremental(result, output_dir, is_first=is_first)
                     is_first = False

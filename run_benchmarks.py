@@ -66,6 +66,11 @@ def main():
                         "(force the asynchronous fixed-interval-snapshot path)")
     parser.add_argument("--mesh", type=str, default="auto",
                         help="Chain-shard over devices: 'auto' (all local devices when >1), an integer device count, or 'off'")
+    parser.add_argument("--nuts-steps-per-sample", type=int, default=64,
+                        help="Persistent-NUTS snapshot interval: global "
+                        "leapfrog iterations of the asynchronous machine "
+                        "between collected draws (ignored by the classic "
+                        "backend)")
     parser.add_argument("--no-warmup-cache", action="store_true",
                         help="Disable per-configuration warmup checkpoints "
                         "(<output-dir>/.warmup_cache_seed<seed>/); with the "
@@ -114,6 +119,7 @@ def main():
         mesh_devices=(args.mesh if args.mesh in ('auto', 'off')
                       else int(args.mesh)),
         warmup_cache=not args.no_warmup_cache,
+        nuts_steps_per_sample=args.nuts_steps_per_sample,
         nuts_backend=args.nuts_backend,
     )
     print_summary(df)

@@ -328,3 +328,18 @@ def test_reparameterized_target_reports_transformed_w2():
         num_warmup=100, num_samples=300, schedule_type="constant",
         num_steps=20)
     assert r2["sliced_w2_transformed"] is None
+
+
+@pytest.mark.slow
+def test_nuts_steps_per_sample_flag_threads_to_persistent_path():
+    """--nuts-steps-per-sample controls the persistent snapshot interval;
+    the result row records it and executed leapfrogs stay within the slot
+    budget implied by the interval."""
+    t = get_target("standard_normal", dim=4)
+    r = run_single_benchmark_with_L(
+        "nuts", t, "standard_normal", random.PRNGKey(31), n_chains=8,
+        num_warmup=200, num_samples=200, schedule_type="constant",
+        num_steps=20, nuts_backend="persistent", nuts_steps_per_sample=16)
+    assert r.get("error") is None
+    assert r["nuts_steps_per_sample"] == 16
+    assert 0 < r["n_gradients"] <= 200 * 16 * 8

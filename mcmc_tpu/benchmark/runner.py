@@ -349,8 +349,9 @@ def run_single_benchmark_with_L(
                 key, s_key = random.split(key)
                 res = _sample(sampler, target, s_key, position, step_size,
                               num_steps, batch, inv_mass, schedule_type,
-                              warmup_info, mesh=mesh, nuts_backend=nuts_backend,
-                      nuts_steps_per_sample=nuts_steps_per_sample)
+                              warmup_info, mesh=mesh,
+                              nuts_backend=nuts_backend,
+                              nuts_steps_per_sample=nuts_steps_per_sample)
                 position = res.final_state.position
                 pieces.append(res)
                 cumulative = jnp.concatenate([p.samples for p in pieces], axis=0)
@@ -721,6 +722,24 @@ def save_result_incremental(result: Dict, output_dir: str, is_first: bool = Fals
         json.dump(all_results, f, indent=2)
 
 
+def _resume_signature(sampler, target_name, schedule, learn_mass,
+                      nuts_backend=None, nuts_steps_per_sample=None):
+    """Completed-set key for resume-by-signature.
+
+    NUTS rows additionally key on the resolved backend and (for the
+    persistent backend) the snapshot interval, so re-running a grid with a
+    different --nuts-backend / --nuts-steps-per-sample re-measures instead
+    of silently skipping and keeping rows from the old settings. Rows saved
+    before these fields existed resolve to (None, None) and re-run.
+    """
+    sig = (sampler, target_name, schedule, learn_mass)
+    if sampler == "nuts":
+        sig += (nuts_backend,
+                nuts_steps_per_sample if nuts_backend == "persistent"
+                else None)
+    return sig
+
+
 def run_all_benchmarks(
     samplers: List[str],
     targets: List[str],
@@ -768,8 +787,12 @@ def run_all_benchmarks(
     if json_path.exists():
         with open(json_path) as f:
             all_results = json.load(f)
-        completed = {(r.get("sampler"), r.get("target"), r.get("schedule"),
-                      r.get("mass_matrix_learned")) for r in all_results}
+        completed = {
+            _resume_signature(r.get("sampler"), r.get("target"),
+                              r.get("schedule"), r.get("mass_matrix_learned"),
+                              r.get("nuts_backend"),
+                              r.get("nuts_steps_per_sample"))
+            for r in all_results}
         print(f"RESUMING: {len(all_results)} existing results, skipping "
               f"{len(completed)} completed configurations")
         is_first = False
@@ -785,7 +808,15 @@ def run_all_benchmarks(
                 schedules = (grahmc_schedules if sampler in ("grahmc", "rahmc")
                              else [None])
                 for schedule in schedules:
-                    sig = (sampler, target.name, schedule, learn_mass)
+                    if sampler == "nuts":
+                        resolved_nuts = _resolve_nuts_backend(nuts_backend,
+                                                              target)
+                        sig = _resume_signature(
+                            sampler, target.name, schedule, learn_mass,
+                            resolved_nuts, nuts_steps_per_sample)
+                    else:
+                        sig = _resume_signature(sampler, target.name,
+                                                schedule, learn_mass)
                     if sig in completed:
                         print(f"  [SKIP] {sig} (already completed)")
                         continue

@@ -33,7 +33,6 @@ Subtree sizes are tracked incrementally (doubling a row) rather than via
 exp2(depth), which need not be exact in f32.
 """
 
-import functools
 import math
 from typing import Callable, NamedTuple, Optional
 
@@ -45,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mcmc_tpu.ops.fused_trajectory import (_bits_to_uniform, _gaussian,
                                            seed_words_from_key)
+from mcmc_tpu.ops.memo import memoize_on_target
 from mcmc_tpu.ops.padded_targets import make_padded_vag, _mask_row
 
 SUBLANE = 8
@@ -368,7 +368,7 @@ def _build_call(padded_vag, n_iters, max_tree_depth, n_chains, d_pad,
     )
 
 
-@functools.lru_cache(maxsize=32)
+@memoize_on_target
 def make_fused_nuts_window(
     value_and_grad_fn,
     n_iters: int,

@@ -26,7 +26,6 @@ the XLA path (and the reference, which tracks none for RWMH).
 
 from typing import Callable, Optional
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +37,7 @@ from mcmc_tpu.ops.fused_trajectory import (
     SUBLANE, _bits_to_uniform, _gaussian, _round_up, select_chain_tile,
     seed_words_from_key,
 )
+from mcmc_tpu.ops.memo import memoize_on_target
 from mcmc_tpu.ops.padded_targets import _mask_row, make_padded_vag
 
 
@@ -100,7 +100,7 @@ def _make_rwmh_kernel(padded_vag: Callable, transitions: int,
     return kernel
 
 
-@functools.lru_cache(maxsize=32)
+@memoize_on_target
 def make_fused_rwmh_multistep(
     log_prob_fn,
     value_and_grad_fn,

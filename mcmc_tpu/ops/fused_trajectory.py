@@ -27,7 +27,6 @@ with injectable randomness (``make_debug_trajectory``) exists for
 bitwise-level trajectory comparison in tests.
 """
 
-import functools
 import math
 from typing import Callable, Optional
 
@@ -37,6 +36,7 @@ from jax import lax, random
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mcmc_tpu.ops.memo import memoize_on_target
 from mcmc_tpu.ops.padded_targets import make_padded_vag, _mask_row
 
 ENERGY_OVERFLOW = 1e10
@@ -315,7 +315,7 @@ def _build_call(padded_vag, num_steps, friction_schedule, n_chains, d_pad,
     )
 
 
-@functools.lru_cache(maxsize=32)
+@memoize_on_target
 def make_fused_grahmc_step(
     log_prob_fn,
     value_and_grad_fn,
@@ -523,7 +523,7 @@ def _make_multistep_kernel(padded_vag: Callable, num_steps: int,
     return kernel
 
 
-@functools.lru_cache(maxsize=32)
+@memoize_on_target
 def make_fused_grahmc_multistep(
     log_prob_fn,
     value_and_grad_fn,

@@ -17,6 +17,13 @@ from mcmc_tpu.benchmark import run_all_benchmarks, print_summary, ALL_TARGET_NAM
 from mcmc_tpu.utils import enable_compilation_cache
 
 
+def _positive_int(text):
+    value = int(text)
+    if value <= 0:
+        raise argparse.ArgumentTypeError(f"must be a positive integer, got {value}")
+    return value
+
+
 def main():
     # Persistent XLA compilation cache: the fused kernels and their window
     # scans compile once per (shape, program) — cache them across CLI
@@ -66,7 +73,7 @@ def main():
                         "(force the asynchronous fixed-interval-snapshot path)")
     parser.add_argument("--mesh", type=str, default="auto",
                         help="Chain-shard over devices: 'auto' (all local devices when >1), an integer device count, or 'off'")
-    parser.add_argument("--nuts-steps-per-sample", type=int, default=64,
+    parser.add_argument("--nuts-steps-per-sample", type=_positive_int, default=64,
                         help="Persistent-NUTS snapshot interval: global "
                         "leapfrog iterations of the asynchronous machine "
                         "between collected draws (ignored by the classic "

@@ -343,3 +343,46 @@ def test_nuts_steps_per_sample_flag_threads_to_persistent_path():
     assert r.get("error") is None
     assert r["nuts_steps_per_sample"] == 16
     assert 0 < r["n_gradients"] <= 200 * 16 * 8
+
+
+def test_resume_signature_keys_nuts_settings():
+    """Resume keys must distinguish NUTS backend/interval (review finding).
+
+    Re-running a grid with a different --nuts-steps-per-sample or
+    --nuts-backend must re-measure NUTS configs rather than print [SKIP]
+    and keep rows measured under the old settings; non-NUTS signatures are
+    unchanged by the extra fields.
+    """
+    from mcmc_tpu.benchmark.runner import _resume_signature
+
+    base = _resume_signature("nuts", "neals_funnel", None, True,
+                             "persistent", 64)
+    assert base != _resume_signature("nuts", "neals_funnel", None, True,
+                                     "persistent", 16)
+    assert base != _resume_signature("nuts", "neals_funnel", None, True,
+                                     "classic", None)
+    # classic ignores the interval: same key whatever the flag value
+    assert (_resume_signature("nuts", "T", None, True, "classic", 64)
+            == _resume_signature("nuts", "T", None, True, "classic", 16))
+    # pre-upgrade rows (fields missing) never collide with resolved runs
+    assert (_resume_signature("nuts", "T", None, True, None, None)
+            != _resume_signature("nuts", "T", None, True, "persistent", 64))
+    # non-NUTS rows: extra fields are ignored entirely
+    assert (_resume_signature("grahmc", "T", "tanh", True)
+            == _resume_signature("grahmc", "T", "tanh", True, "x", 1))
+
+
+def test_nuts_steps_per_sample_flag_rejects_nonpositive():
+    """--nuts-steps-per-sample 0 / negative must be an argparse error, not a
+    zero-iteration persistent window emitting identical draws."""
+    import subprocess
+    import sys
+
+    for bad in ("0", "-8"):
+        proc = subprocess.run(
+            [sys.executable, "run_benchmarks.py", "--nuts-steps-per-sample",
+             bad, "--targets", "standard_normal", "--samplers", "nuts"],
+            capture_output=True, text=True, timeout=120,
+            cwd=str(Path(__file__).resolve().parent.parent))
+        assert proc.returncode == 2, proc.stderr
+        assert "positive integer" in proc.stderr

@@ -565,3 +565,39 @@ def test_multistep_paths_handle_odd_chain_counts():
         burn_in=0, value_and_grad_fn=t.value_and_grad_fn, backend="pallas")
     moved2 = np.any(np.asarray(res2.final_state.position) != 5.0, axis=1)
     assert moved2.all(), f"{(~moved2).sum()} chains never updated (rwmh)"
+
+
+def test_kernel_factory_memoized_per_target_lifetime():
+    """Factories memoize per live target and free kernels when it dies.
+
+    Guards the memoize_on_target contract (ops/memo.py): repeat calls on the
+    same target instance return the identical compiled-kernel closure (no
+    re-trace per window), distinct instances never share (their closures
+    differ), and dropping the target releases the cache — a module-level
+    lru_cache would pin dead targets' datasets and executables until 32
+    newer entries evicted them.
+    """
+    import gc
+    import weakref
+
+    from mcmc_tpu.targets import get_target
+
+    t1 = get_target("standard_normal", dim=4)
+    f1 = make_fused_grahmc_step(t1.log_prob_fn, t1.value_and_grad_fn,
+                                num_steps=4, friction_schedule=None,
+                                interpret=True)
+    f2 = make_fused_grahmc_step(t1.log_prob_fn, t1.value_and_grad_fn,
+                                num_steps=4, friction_schedule=None,
+                                interpret=True)
+    assert f1 is f2
+
+    t2 = get_target("standard_normal", dim=4)
+    f3 = make_fused_grahmc_step(t2.log_prob_fn, t2.value_and_grad_fn,
+                                num_steps=4, friction_schedule=None,
+                                interpret=True)
+    assert f3 is not f1
+
+    ref = weakref.ref(f1)
+    del f1, f2, t1
+    gc.collect()
+    assert ref() is None, "kernel cache outlived its target"

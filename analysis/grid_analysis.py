@@ -5,28 +5,19 @@ per sampler-target pair, a winner histogram + heatmap, and a boundary-coverage
 report with grid recommendations.
 """
 
-import os
 from collections import Counter
 from typing import Dict, List, Optional
 
 import numpy as np
-import matplotlib
-matplotlib.use("Agg")
-import matplotlib.pyplot as plt
 
-from analysis.utils import filter_with_grid_search, get_unique_samplers, get_unique_targets
+from analysis.utils import (
+    PLOT_DPI, filter_with_grid_search, get_unique_targets,
+    get_unique_sampler_labels, sampler_label,
+    save_figure as _save, setup_headless_backend,
+)
 
-PLOT_DPI = 120
-
-
-def _save(fig, output_dir: str, stem: str, save_format: str):
-    os.makedirs(output_dir, exist_ok=True)
-    formats = ["png", "pdf"] if save_format == "both" else [save_format]
-    for fmt in formats:
-        path = os.path.join(output_dir, f"{stem}.{fmt}")
-        fig.savefig(path, bbox_inches="tight")
-        print(f"  saved {path}")
-    plt.close(fig)
+setup_headless_backend()
+import matplotlib.pyplot as plt  # noqa: E402
 
 
 def plot_L_selection_analysis(
@@ -51,7 +42,7 @@ def plot_L_selection_analysis(
             continue
         Ls = [g.get("num_steps") for g in rows]
         sel = run.get("selected_L")
-        name = run["sampler"] + (f"-{run['schedule']}" if run.get("schedule") else "")
+        name = sampler_label(run)
 
         fig, axes = plt.subplots(2, 3, figsize=(15, 10), dpi=PLOT_DPI)
         fig.suptitle(f"Trajectory Length Analysis: {name.upper()} on {run['target']}",
@@ -110,20 +101,22 @@ def plot_L_winner_distribution(
     ax.set_title("Distribution of Winning L Values Across All Benchmarks")
     _save(fig, output_dir, "L_winner_distribution", save_format)
 
-    # Heatmap of winning L per (target, sampler)
-    samplers = get_unique_samplers(grid_runs)
+    # Heatmap of winning L per (target, sampler-schedule). Keyed by the
+    # schedule-qualified label: grahmc-tanh and grahmc-sine select their
+    # own L and must not overwrite each other's cell.
+    samplers = get_unique_sampler_labels(grid_runs)
     targets = get_unique_targets(grid_runs)
     mat = np.full((len(targets), len(samplers)), np.nan)
     for r in grid_runs:
         i = targets.index(r["target"])
-        j = samplers.index(r["sampler"])
+        j = samplers.index(sampler_label(r))
         mat[i, j] = r["selected_L"]
 
     fig, ax = plt.subplots(
         1, 1, figsize=(max(8, len(samplers) * 1.5), max(6, len(targets) * 0.8)),
         dpi=PLOT_DPI)
     im = ax.imshow(mat, cmap="viridis", aspect="auto")
-    ax.set_xticks(range(len(samplers)), samplers)
+    ax.set_xticks(range(len(samplers)), samplers, rotation=45, ha="right")
     ax.set_yticks(range(len(targets)), targets)
     for i in range(len(targets)):
         for j in range(len(samplers)):
@@ -163,7 +156,7 @@ def analyze_L_grid_coverage(results: List[Dict]) -> Dict:
         on_boundary = r["selected_L"] in (tested[0], tested[-1])
         boundary_hits.append(on_boundary)
         if on_boundary:
-            name = r["sampler"] + (f"-{r['schedule']}" if r.get("schedule") else "")
+            name = sampler_label(r)
             print(f"  boundary winner: {name} on {r['target']}: "
                   f"L={r['selected_L']} (grid {tested[0]}..{tested[-1]})")
 

@@ -7,29 +7,16 @@ from collections import defaultdict
 from typing import Dict, List
 
 import numpy as np
-import matplotlib
-matplotlib.use("Agg")
-import matplotlib.pyplot as plt
 
 from analysis.utils import (
-    filter_usable_only, filter_quality_only, get_unique_samplers,
+    PLOT_DPI, filter_usable_only, filter_quality_only,
     get_unique_targets, get_unique_schedules,
+    sampler_label as _sampler_label, save_figure as _save,
+    setup_headless_backend,
 )
 
-PLOT_DPI = 120
-
-
-def _save(fig, output_dir: str, stem: str, save_format: str):
-    os.makedirs(output_dir, exist_ok=True)
-    for fmt in (["png", "pdf"] if save_format == "both" else [save_format]):
-        path = os.path.join(output_dir, f"{stem}.{fmt}")
-        fig.savefig(path, bbox_inches="tight")
-        print(f"  saved {path}")
-    plt.close(fig)
-
-
-def _sampler_label(r: Dict) -> str:
-    return r["sampler"] + (f"-{r['schedule']}" if r.get("schedule") else "")
+setup_headless_backend()
+import matplotlib.pyplot as plt  # noqa: E402
 
 
 def plot_sampler_comparison(
@@ -41,8 +28,12 @@ def plot_sampler_comparison(
 ):
     """Box plots of per-sampler metric distributions across targets."""
     pool = filter_quality_only(results) if quality_only else filter_usable_only(results)
+    pool_label = " (quality runs)" if quality_only else ""
     if not pool:
         pool = filter_usable_only(results)
+        if pool and quality_only:
+            print("  no quality runs; falling back to usable runs")
+            pool_label = " (usable runs — none passed quality gates)"
     if not pool:
         print("  no usable runs to compare")
         return
@@ -59,8 +50,7 @@ def plot_sampler_comparison(
     fig, axes = plt.subplots(1, n, figsize=(5 * n, 6), dpi=PLOT_DPI)
     if n == 1:
         axes = [axes]
-    fig.suptitle("Cross-Sampler Comparison"
-                 + (" (quality runs)" if quality_only else ""),
+    fig.suptitle("Cross-Sampler Comparison" + pool_label,
                  fontsize=15, fontweight="bold")
     for ax, m in zip(axes, metrics):
         labels = sorted(groups[m])
@@ -109,10 +99,13 @@ def plot_schedule_comparison(
     ax.set_title("Efficiency: ESS/Gradient")
 
     ax = axes[0, 1]
-    d = by_schedule(filter_quality_only(gr) or usable, "sliced_w2")
+    quality = filter_quality_only(gr)
+    d = by_schedule(quality or usable, "sliced_w2")
     if any(d.values()):
         ax.boxplot([d[s] for s in schedules], tick_labels=schedules)
-        ax.set_title("Quality: W2 Distance (Quality Runs)")
+        ax.set_title("Quality: W2 Distance (Quality Runs)" if quality
+                     else "Quality: W2 Distance (Usable Runs — "
+                          "none passed quality gates)")
     else:
         ax.set_title("Quality: W2 Distance (No Data)")
 
@@ -261,5 +254,26 @@ def generate_summary_table(
     print(f"  saved {csv_path}")
     md_path = os.path.join(output_dir, "summary_table.md")
     with open(md_path, "w") as f:
-        f.write(df.to_markdown(index=False))
+        f.write(_to_markdown(df))
     print(f"  saved {md_path}")
+
+
+def _to_markdown(df) -> str:
+    """GitHub-flavored markdown table (df.to_markdown needs the optional
+    'tabulate' package, which is not in the declared dependencies)."""
+    def fmt(v):
+        if v is None or v != v:          # None / NaN
+            return ""
+        if isinstance(v, float):
+            return f"{v:.6g}"
+        return str(v)
+
+    cols = list(df.columns)
+    body = [[fmt(v) for v in row] for row in df.itertuples(index=False)]
+    widths = [max(len(c), *(len(r[j]) for r in body)) if body else len(c)
+              for j, c in enumerate(cols)]
+    def line(cells):
+        return "| " + " | ".join(c.ljust(w) for c, w in zip(cells, widths)) + " |"
+    out = [line(cols), line(["-" * w for w in widths])]
+    out += [line(r) for r in body]
+    return "\n".join(out) + "\n"

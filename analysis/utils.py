@@ -5,6 +5,31 @@ import json
 import os
 from typing import Dict, List
 
+from mcmc_tpu.utils import setup_headless_backend  # noqa: F401 (re-export)
+
+PLOT_DPI = 120
+
+
+def sampler_label(r: Dict) -> str:
+    """'grahmc-tanh'-style label distinguishing GRAHMC schedule variants."""
+    return r["sampler"] + (f"-{r['schedule']}" if r.get("schedule") else "")
+
+
+def get_unique_sampler_labels(results: List[Dict]) -> List[str]:
+    return sorted({sampler_label(r) for r in results if r.get("sampler")})
+
+
+def save_figure(fig, output_dir: str, stem: str, save_format: str):
+    """Save a figure as png/pdf/both under output_dir and close it."""
+    import matplotlib.pyplot as plt
+
+    os.makedirs(output_dir, exist_ok=True)
+    for fmt in (["png", "pdf"] if save_format == "both" else [save_format]):
+        path = os.path.join(output_dir, f"{stem}.{fmt}")
+        fig.savefig(path, bbox_inches="tight")
+        print(f"  saved {path}")
+    plt.close(fig)
+
 
 def load_benchmark_results(results_path: str) -> List[Dict]:
     """Load benchmark_results.json and expand grid_search_info into

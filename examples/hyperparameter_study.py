@@ -35,7 +35,9 @@ def rwmh_scale_sweep(target, key, n_chains=16, num_samples=2000, out_dir="."):
         res = rwmh_run(k2, target.log_prob_fn, init, num_samples=num_samples,
                        scale=float(scale), burn_in=500)
         ess = float(jnp.min(ess_bulk(res.samples)))
-        rows.append((float(scale), ess / num_samples,
+        # ess_bulk pools all chains; normalize per chain-draw so the axis
+        # is comparable with the HMC map's per-gradient normalization.
+        rows.append((float(scale), ess / (num_samples * n_chains),
                      float(res.accept_rate.mean())))
         print(f"  scale={scale:.3f}: ESS/sample={rows[-1][1]:.4f} "
               f"accept={rows[-1][2]:.3f}")

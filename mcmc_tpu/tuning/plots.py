@@ -6,9 +6,11 @@ plot_w2_convergence). Host-side matplotlib; leaf module."""
 from typing import Dict, List, Optional
 
 import numpy as np
-import matplotlib
-matplotlib.use("Agg")
-import matplotlib.pyplot as plt
+
+from mcmc_tpu.utils import setup_headless_backend
+
+setup_headless_backend()
+import matplotlib.pyplot as plt  # noqa: E402
 
 
 def _finish(fig, output_file: Optional[str]):
@@ -27,7 +29,17 @@ def plot_tuning_history(history: Dict, sampler_name: str = "RWMH",
     (scale_history/step_size_history, accept_history, optional
     tree_depth_history)."""
     param = history.get("scale_history") or history.get("step_size_history")
-    param_name = "scale" if "scale_history" in history else "step size"
+    if param is None:
+        raise ValueError(
+            "history has neither 'scale_history' nor 'step_size_history'; "
+            f"keys: {sorted(history)}")
+    # DA histories carry the same trace under BOTH keys (dual_averaging.py),
+    # so key presence cannot distinguish the parameter — the sampler can:
+    # RWMH tunes a proposal scale, gradient samplers tune a step size.
+    if "scale_history" in history and "step_size_history" in history:
+        param_name = "scale" if "rwmh" in sampler_name.lower() else "step size"
+    else:
+        param_name = "scale" if "scale_history" in history else "step size"
     has_depth = "tree_depth_history" in history
     n_plots = 3 if has_depth else 2
 
@@ -126,13 +138,20 @@ def plot_grahmc_grid_comparison(grid_results: List[Dict],
 
 def plot_coordinate_tuning_history(history: Dict,
                                    output_file: Optional[str] = None):
-    """Per-coordinate traces (e.g. joint [step, gamma] DA tuning)."""
-    fig, axes = plt.subplots(len(history), 1,
-                             figsize=(10, 3 * max(len(history), 1)),
+    """Per-coordinate traces (e.g. joint [step, gamma] DA tuning).
+
+    Scalar entries (converged_iter, target_accept, ...) are skipped when
+    sizing the grid — only sequence-valued entries get a panel."""
+    traces = [(name, values) for name, values in history.items()
+              if isinstance(values, (list, tuple, np.ndarray))]
+    if not traces:
+        raise ValueError(
+            "history has no sequence-valued entries to plot; "
+            f"keys: {sorted(history)}")
+    fig, axes = plt.subplots(len(traces), 1,
+                             figsize=(10, 3 * len(traces)),
                              squeeze=False)
-    for ax, (name, values) in zip(axes[:, 0], history.items()):
-        if not isinstance(values, (list, np.ndarray)):
-            continue
+    for ax, (name, values) in zip(axes[:, 0], traces):
         ax.plot(np.arange(1, len(values) + 1), values, lw=1.5)
         ax.set_ylabel(name)
         ax.grid(alpha=0.3)

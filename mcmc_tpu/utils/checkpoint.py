@@ -61,9 +61,13 @@ def load_state_tree(path: str, like=None) -> Tuple[Any, Optional[Dict]]:
     """Load `<path>.npz` back.
 
     With `like` (a pytree of the same structure, e.g. a freshly initialized
-    state), the arrays are reassembled into that structure with each leaf's
-    dtype preserved from disk; without it, the raw {path: array} dict is
-    returned. Returns (state_or_dict, metadata_or_None).
+    state), the arrays are reassembled into that structure with each leaf
+    cast to the corresponding `like` leaf's dtype, so the restored state is
+    interchangeable with a fresh one (a leaf of `like` without a dtype —
+    e.g. a Python scalar — gets jnp's canonical dtype instead: float64 on
+    disk becomes float32 when x64 is off). Without `like`, the raw
+    {path: numpy array} dict is returned with on-disk dtypes untouched.
+    Returns (state_or_dict, metadata_or_None).
     """
     with np.load(path + ".npz") as z:
         arrays = {k: z[k] for k in z.files}
@@ -73,11 +77,12 @@ def load_state_tree(path: str, like=None) -> Tuple[Any, Optional[Dict]]:
             meta = json.load(f)
     if like is None:
         return arrays, meta
-    names = list(_flatten_with_names(like).keys())
-    missing = [n for n in names if n not in arrays]
+    named_like = _flatten_with_names(like)
+    missing = [n for n in named_like if n not in arrays]
     if missing:
         raise ValueError(f"checkpoint {path} missing leaves: {missing}")
-    leaves = [jnp.asarray(arrays[n]) for n in names]
+    leaves = [jnp.asarray(arrays[n], dtype=getattr(ref, "dtype", None))
+              for n, ref in named_like.items()]
     treedef = jax.tree_util.tree_structure(like)
     return jax.tree_util.tree_unflatten(treedef, leaves), meta
 
@@ -128,11 +133,15 @@ def load_warmup(cache_dir: str, signature: str):
         return None
     try:
         arrays, meta = load_state_tree(path)
+        if meta is None:
+            return None
+        # Key lookups stay inside the try: a sidecar/npz written by an
+        # older format (or another save_state_tree caller under the same
+        # path) must degrade to "re-run warmup", not fail the whole run.
+        inv_mass = (jnp.asarray(arrays["inv_mass"])
+                    if meta["has_inv_mass"] else None)
+        info = {k: meta[k] for k in ("gamma", "steepness", "scale")
+                if meta.get(k) is not None}
+        return meta["step_size"], inv_mass, jnp.asarray(arrays["position"]), info
     except Exception:
         return None
-    if meta is None:
-        return None
-    inv_mass = jnp.asarray(arrays["inv_mass"]) if meta["has_inv_mass"] else None
-    info = {k: meta[k] for k in ("gamma", "steepness", "scale")
-            if meta.get(k) is not None}
-    return meta["step_size"], inv_mass, jnp.asarray(arrays["position"]), info

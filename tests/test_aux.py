@@ -174,3 +174,55 @@ def test_enable_compilation_cache_policy(monkeypatch):
         assert jax.config.jax_compilation_cache_dir == "/tmp/mcmc_default"
     finally:
         jax.config.update("jax_compilation_cache_dir", orig)
+
+
+def test_tuning_plot_param_label_and_errors(tmp_path):
+    """DA histories carry the trace under BOTH scale_history and
+    step_size_history; the label must follow the sampler, and missing /
+    scalar-only histories raise ValueError, not TypeError (review findings)."""
+    from mcmc_tpu.tuning import plots as tplots
+
+    h = {"scale_history": [0.1, 0.2], "step_size_history": [0.1, 0.2],
+         "accept_history": [0.5, 0.6], "converged_iter": 2,
+         "target_accept": 0.65}
+    tplots.plot_tuning_history(h, "HMC", output_file=str(tmp_path / "a.png"))
+    tplots.plot_tuning_history(h, "RWMH", output_file=str(tmp_path / "b.png"))
+    tplots.plot_coordinate_tuning_history(h, output_file=str(tmp_path / "c.png"))
+    assert (tmp_path / "c.png").exists()
+    with pytest.raises(ValueError):
+        tplots.plot_tuning_history({"accept_history": [1]},
+                                   output_file=str(tmp_path / "d.png"))
+    with pytest.raises(ValueError):
+        tplots.plot_coordinate_tuning_history({"converged_iter": 3},
+                                              output_file=str(tmp_path / "e.png"))
+
+
+def test_winner_heatmap_distinguishes_schedules(tmp_path):
+    """grahmc-tanh and grahmc-sine select different L on the same target;
+    the heatmap must key cells by the schedule-qualified label instead of
+    silently overwriting (review finding)."""
+    from analysis.grid_analysis import plot_L_winner_distribution
+    from analysis.utils import get_unique_sampler_labels
+
+    runs = [{"sampler": "grahmc", "schedule": s, "target": "rosenbrock",
+             "selected_L": L, "has_grid_search": True,
+             "grid_results": [{"num_steps": 8}, {"num_steps": L}]}
+            for s, L in [("tanh", 16), ("sine", 64)]]
+    assert get_unique_sampler_labels(runs) == ["grahmc-sine", "grahmc-tanh"]
+    plot_L_winner_distribution(runs, output_dir=str(tmp_path))
+    assert (tmp_path / "L_winner_heatmap.png").exists()
+
+
+def test_summary_table_markdown_without_tabulate(tmp_path):
+    """summary_table.md is written by a tabulate-free formatter (the
+    optional dependency is declared nowhere; review finding)."""
+    from analysis.research_plots import generate_summary_table
+    rows = [{"sampler": "hmc", "target": "t", "num_steps": 8,
+             "ess_bulk_min": 100.0, "ess_per_gradient": None,
+             "rhat_max": 1.001, "sliced_w2": float("nan"),
+             "accept_rate": 0.8, "divergence_rate": 0.0, "usable": True,
+             "quality_pass": True, "total_time": 1.0}]
+    generate_summary_table(rows, str(tmp_path))
+    md = (tmp_path / "summary_table.md").read_text()
+    assert md.startswith("| sampler")
+    assert "hmc" in md and "1.001" in md

@@ -104,3 +104,28 @@ def test_warmup_signature_distinguishes_budget_and_backend():
         warmup_signature(**base),
     }
     assert len(sigs) == 4
+
+
+def test_load_warmup_foreign_sidecar_returns_none(tmp_path):
+    """A sidecar/npz written by another save_state_tree caller (or an
+    older format) under the same path must degrade to None = re-run
+    warmup, not raise KeyError into the benchmark loop (review finding)."""
+    import json
+    save_warmup(str(tmp_path), "sig", 0.3, None, np.zeros((4, 2)), {})
+    (tmp_path / "sig.json").write_text(json.dumps({"foreign": True}))
+    assert load_warmup(str(tmp_path), "sig") is None
+
+    # npz missing the 'position' leaf
+    save_state_tree(str(tmp_path / "sig2"), {"other": np.zeros(3)},
+                    meta={"step_size": 0.1, "has_inv_mass": False})
+    assert load_warmup(str(tmp_path), "sig2") is None
+
+
+def test_load_state_tree_casts_to_like_dtype(tmp_path):
+    """With `like`, restored leaves take like's dtypes so the state is
+    interchangeable with a fresh one (x64 checkpoints restore cleanly in
+    x64-off processes; review finding on the dtype contract)."""
+    save_state_tree(str(tmp_path / "st"), {"x": np.arange(3, dtype=np.float64)})
+    tree, _ = load_state_tree(str(tmp_path / "st"),
+                              like={"x": jnp.zeros(3, dtype=jnp.bfloat16)})
+    assert tree["x"].dtype == jnp.bfloat16

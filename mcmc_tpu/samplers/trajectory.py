@@ -78,3 +78,60 @@ def integrate_trajectory(
     (q, p, lp, grad), _ = lax.scan(substep, (q, p, lp, grad),
                                    jnp.arange(num_steps))
     return q, p, lp, grad
+
+
+def integrate_trajectory_dynamic(
+    q: Array,
+    p: Array,
+    lp: Array,
+    grad: Array,
+    value_and_grad: Callable,
+    step_size,
+    num_steps,
+    inv_mass_matrix: Array,
+    friction_schedule: Optional[Callable] = None,
+    gamma_max=None,
+    steepness=None,
+) -> Tuple[Array, Array, Array, Array]:
+    """Same substep structure as `integrate_trajectory`, but `num_steps` may
+    be a TRACED scalar (lowers to `lax.while_loop`) — the trip count is
+    decided at run time, shared by all chains.
+
+    This exists for jittered-trajectory samplers (ChEES tuning, tuning/
+    chees.py): each iteration integrates t = h * T time which quantizes to a
+    different leapfrog count, while the per-substep work stays a dense
+    (n_chains, n_dim) block. A scan cannot express this (static length);
+    padding to a max length and masking would waste the masked substeps'
+    gradient evaluations — the dominant cost.
+
+    The friction schedule (GRAHMC) is evaluated against the traced total
+    time T = num_steps * eps, so the repel->attract switch stays centered
+    on the realized trajectory.
+    """
+    pos_dtype = q.dtype
+    e_dtype = lp.dtype
+    eps = jnp.asarray(step_size, pos_dtype)
+    half_eps = 0.5 * eps
+    n = jnp.asarray(num_steps, jnp.int32)
+    total_time = eps * n.astype(pos_dtype)
+
+    def body(i, carry):
+        q, p, lp, grad = carry
+        if friction_schedule is not None:
+            gamma_t = friction_schedule(i.astype(pos_dtype) * eps, total_time,
+                                        jnp.asarray(gamma_max, pos_dtype),
+                                        jnp.asarray(steepness, pos_dtype))
+            scale = jnp.exp(-gamma_t * half_eps)
+            p = p * scale
+        p = p + half_eps * grad
+        q = q + eps * (p * inv_mass_matrix)
+        new_lp, new_grad = value_and_grad(q)
+        new_lp = new_lp.astype(e_dtype)
+        new_grad = new_grad.astype(pos_dtype)
+        p = p + half_eps * new_grad
+        if friction_schedule is not None:
+            p = p * scale
+        return (q, p, new_lp, new_grad)
+
+    q, p, lp, grad = lax.fori_loop(0, n, body, (q, p, lp, grad))
+    return q, p, lp, grad

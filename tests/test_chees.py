@@ -1,0 +1,210 @@
+"""ChEES trajectory-length adaptation (tuning/chees.py).
+
+The reference has no counterpart (its trajectory length comes from a 7-run
+L grid search, reference run_benchmarks.py:1055-1056); these tests pin the
+tuner's own contracts: quasirandom jitter, Adam ascent, dynamic-trajectory
+== static-trajectory parity, and convergence to the known quarter-period
+optimum on Gaussian targets.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import random
+
+from mcmc_tpu import get_target
+from mcmc_tpu.samplers.trajectory import (
+    integrate_trajectory, integrate_trajectory_dynamic)
+from mcmc_tpu.samplers.base import make_value_and_grad
+from mcmc_tpu.tuning.chees import (
+    halton_sequence, chees_init, chees_update, num_leapfrog_steps,
+    run_chees_warmup)
+
+
+def test_halton_sequence_values_and_offset():
+    h = halton_sequence(8)
+    np.testing.assert_allclose(
+        h, [0.5, 0.25, 0.75, 0.125, 0.625, 0.375, 0.875, 0.0625])
+    assert (h > 0).all() and (h < 1).all()
+    # offset continues the same stream (no repeated prefix)
+    np.testing.assert_allclose(halton_sequence(4, offset=4),
+                               halton_sequence(8)[4:])
+
+
+def test_halton_low_discrepancy():
+    h = halton_sequence(256)
+    # each dyadic cell of width 1/16 contains exactly 16 of 256 points
+    counts, _ = np.histogram(h, bins=16, range=(0.0, 1.0))
+    assert (counts == 16).all()
+
+
+def test_chees_adam_ascends_to_known_optimum():
+    """Feed gradients of f(logT) = -(logT - c)^2; Adam must converge to c."""
+    c = 1.7
+    st = chees_init(1.0)
+    for _ in range(600):
+        g = -2.0 * (st.log_t - c)
+        st = chees_update(st, g, lr=0.05)
+    assert abs(float(st.log_t) - c) < 0.05
+
+
+def test_num_leapfrog_steps_quantization():
+    n = num_leapfrog_steps(jnp.asarray(0.95), 0.1, 256)
+    assert int(n) == 10
+    assert int(num_leapfrog_steps(jnp.asarray(0.0), 0.1, 256)) == 1
+    assert int(num_leapfrog_steps(jnp.asarray(1e9), 0.1, 256)) == 256
+
+
+@pytest.mark.parametrize("friction", [False, True])
+def test_dynamic_trajectory_matches_static(friction):
+    """integrate_trajectory_dynamic with a traced count must reproduce the
+    static-scan integrator bit-for-bit (same substep structure)."""
+    from mcmc_tpu.samplers.grahmc import tanh_schedule
+    t = get_target("ill_conditioned_gaussian", dim=6)
+    vag = make_value_and_grad(t.log_prob_fn, t.value_and_grad_fn)
+    q = random.normal(random.PRNGKey(0), (32, 6))
+    p = random.normal(random.PRNGKey(1), (32, 6))
+    lp, grad = vag(q)
+    inv_mass = jnp.linspace(0.5, 2.0, 6)
+    kw = dict(friction_schedule=tanh_schedule, gamma_max=0.8,
+              steepness=0.5) if friction else {}
+    # both sides jitted: XLA's elementwise fusion differs between traced
+    # and op-by-op execution at the 1-ulp level, which would mask a real
+    # structural mismatch with a loose tolerance
+    ref = jax.jit(lambda: integrate_trajectory(
+        q, p, lp, grad, vag, 0.05, 13, inv_mass, **kw))()
+
+    @jax.jit
+    def dyn(n):
+        return integrate_trajectory_dynamic(q, p, lp, grad, vag, 0.05, n,
+                                            inv_mass, **kw)
+    out = dyn(jnp.asarray(13))  # traced trip count
+    for a, b in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_chees_converges_to_quarter_period_on_gaussian():
+    """On N(0, I) the jittered-HMC ChEES optimum is the quarter period
+    pi/2 ~ 1.57; the tuned T must land near it and the step near the
+    0.651-acceptance point."""
+    t = get_target("standard_normal", dim=16)
+    init = random.normal(random.PRNGKey(1), (256, 16)) * 0.5
+    step, inv_mass, pos, info = run_chees_warmup(
+        "hmc", t.log_prob_fn, None, init, random.PRNGKey(0),
+        num_warmup=1000, value_and_grad_fn=t.value_and_grad_fn,
+        exploration_steps=200, adaptation_windows=[25, 50, 100, 200, 300],
+        cooldown_steps=125)
+    assert 1.0 < info["trajectory_length"] < 2.3
+    assert info["num_steps"] >= 1
+    assert not info["max_steps_cap_hit"]
+    assert np.mean(info["accept_history"][-3:]) == pytest.approx(0.651, abs=0.08)
+    assert pos.shape == init.shape and np.isfinite(np.asarray(pos)).all()
+    # mass matrix learned ~identity here
+    assert np.allclose(np.asarray(inv_mass), 1.0, atol=0.15)
+
+
+def test_chees_trajectory_scales_with_target_scale():
+    """With mass learning OFF, a sigma=2.5 isotropic Gaussian needs ~2.5x
+    the unit-Gaussian trajectory time (period scales with sigma) — the
+    criterion must track the target's scale."""
+    t = get_target("standard_normal", dim=8)
+
+    def scaled_lp(x):
+        return t.log_prob_fn(x / 2.5) - 8 * jnp.log(2.5)
+
+    init = random.normal(random.PRNGKey(1), (256, 8)) * 0.5
+    kw = dict(num_warmup=700, exploration_steps=200,
+              adaptation_windows=[50, 100, 200], cooldown_steps=150,
+              learn_mass_matrix=False)
+    _, _, _, info_unit = run_chees_warmup(
+        "hmc", t.log_prob_fn, None, init, random.PRNGKey(0),
+        value_and_grad_fn=t.value_and_grad_fn, **kw)
+    _, _, _, info_scaled = run_chees_warmup(
+        "hmc", scaled_lp, None, init * 2.5, random.PRNGKey(0), **kw)
+    ratio = info_scaled["trajectory_length"] / info_unit["trajectory_length"]
+    # nominal ratio 2.5; the band excludes "not tracking" (~1) and runaway
+    # (>>sigma) but leaves room for stochastic-ascent variance
+    assert 1.7 < ratio < 4.5, (info_unit, info_scaled)
+
+
+def test_chees_grahmc_runs_and_converges():
+    """GRAHMC (tanh friction) through the same tuner: finite products, a
+    sane trajectory, acceptance on target."""
+    t = get_target("standard_normal", dim=8)
+    init = random.normal(random.PRNGKey(2), (128, 8)) * 0.5
+    step, inv_mass, pos, info = run_chees_warmup(
+        "grahmc", t.log_prob_fn, None, init, random.PRNGKey(0),
+        num_warmup=600, schedule_type="tanh", gamma=0.5,
+        value_and_grad_fn=t.value_and_grad_fn,
+        exploration_steps=150, adaptation_windows=[50, 100, 200],
+        cooldown_steps=100)
+    assert step > 0 and np.isfinite(info["trajectory_length"])
+    assert 0.4 < np.mean(info["accept_history"][-2:]) < 0.95
+    assert np.isfinite(np.asarray(pos)).all()
+
+
+def test_chees_rejects_unknown_sampler():
+    with pytest.raises(ValueError):
+        run_chees_warmup("nuts", lambda x: -jnp.sum(x * x, -1), None,
+                         jnp.zeros((4, 2)), random.PRNGKey(0))
+
+
+@pytest.mark.slow
+def test_chees_selected_L_is_competitive_with_grid():
+    """End-to-end: fixed-L HMC at the ChEES-selected (step, L) must deliver
+    bulk-ESS/gradient within 2x of the best grid (step-retuned) arm on the
+    10D Rosenbrock — the tuner replaces the grid search. (Gaussian targets
+    are unusable for this comparison: a fixed-L arm can hit leapfrog
+    resonance and go antithetic — super-efficient ESS > N — or dead, purely
+    by where eps*L lands relative to the period; jitter exists to kill
+    exactly that, and Rosenbrock's curved geometry has no such phase.)"""
+    from mcmc_tpu.samplers.hmc import hmc_run
+    from mcmc_tpu.diagnostics import ess_bulk
+    from mcmc_tpu.tuning.adaptation import run_adaptive_warmup
+
+    t = get_target("rosenbrock", dim=10)
+    init = random.normal(random.PRNGKey(1), (64, 10)) * 0.1
+    warm_kw = dict(num_warmup=800, exploration_steps=200,
+                   adaptation_windows=[50, 100, 200, 150], cooldown_steps=100,
+                   value_and_grad_fn=t.value_and_grad_fn)
+
+    def measure(step_size, L, inv_mass, pos):
+        res = hmc_run(random.PRNGKey(9), t.log_prob_fn, pos, step_size, L,
+                      num_samples=600, burn_in=100, inv_mass_matrix=inv_mass,
+                      value_and_grad_fn=t.value_and_grad_fn)
+        ess = float(jnp.min(ess_bulk(res.samples)))
+        return ess / (600 * L)
+
+    step, inv_mass, pos, info = run_chees_warmup(
+        "hmc", t.log_prob_fn, None, init, random.PRNGKey(0), **warm_kw)
+    chees_eff = measure(step, info["num_steps"], inv_mass, pos)
+
+    grid_effs = []
+    for L in (2, 8, 32):
+        s_g, m_g, p_g, _ = run_adaptive_warmup(
+            "hmc", t.log_prob_fn, None, init, random.PRNGKey(0),
+            num_steps=L, **warm_kw)
+        grid_effs.append(measure(s_g, L, m_g, p_g))
+    assert chees_eff > 0.5 * max(grid_effs), (
+        chees_eff, info["num_steps"], grid_effs)
+
+
+@pytest.mark.slow
+def test_chees_flags_runaway_on_flat_tailed_target():
+    """log_gamma's near-linear left tail makes the ChEES criterion grow
+    monotonically in T (leapfrog is exact on linear potentials, so the
+    runaway costs no acceptance); the tuner must hit the trajectory cap
+    AND report it via max_steps_cap_hit so callers can fall back to the
+    grid search."""
+    t = get_target("log_gamma", dim=10)
+    init = random.normal(random.PRNGKey(1), (64, 10)) * 0.1
+    step, _, pos, info = run_chees_warmup(
+        "hmc", t.log_prob_fn, None, init, random.PRNGKey(0),
+        num_warmup=600, exploration_steps=150,
+        adaptation_windows=[50, 100, 200], cooldown_steps=100,
+        value_and_grad_fn=t.value_and_grad_fn, max_steps=64)
+    assert info["max_steps_cap_hit"] is True
+    assert info["num_steps"] == 64
+    assert np.isfinite(np.asarray(pos)).all() and step > 0

@@ -71,14 +71,39 @@ def _grid_summary(r: Dict) -> Dict:
 
 def _warmup(sampler, target, target_name, key, init_pos, num_warmup,
             schedule_type, num_steps, learn_mass_matrix, verbose=True,
-            backend="auto", nuts_backend="auto", mesh=None):
-    """Phase 1 dispatch. Returns (step_size, inv_mass, position, warmup_info)."""
+            backend="auto", nuts_backend="auto", mesh=None,
+            trajectory_tuner="grid"):
+    """Phase 1 dispatch. Returns (step_size, inv_mass, position, warmup_info).
+
+    trajectory_tuner='chees' (hmc/grahmc) replaces the fixed-L windowed
+    warmup with the ChEES joint (step, mass, trajectory-length) adaptation
+    (tuning/chees.py) — warmup_info then carries the tuned
+    trajectory_length and the equivalent num_steps, and `num_steps` from
+    the caller is ignored."""
     if sampler == "nuts" and nuts_backend == "persistent":
         backend = "persistent"
     if sampler == "rwmh":
         scale, _hist = dual_averaging_tune_rwmh(
             key, target.log_prob_fn, init_pos, max_iter=1000)
         return scale, None, init_pos, {"scale": scale}
+
+    if trajectory_tuner == "chees" and sampler in ("hmc", "grahmc", "rahmc"):
+        from mcmc_tpu.tuning.chees import run_chees_warmup
+        if mesh is not None:
+            raise ValueError(
+                "--trajectory-tuner chees does not support --mesh yet; "
+                "use the grid tuner for multi-chip runs")
+        return run_chees_warmup(
+            "grahmc" if sampler == "rahmc" else sampler,
+            target.log_prob_fn, None, init_pos, key,
+            num_warmup=num_warmup,
+            schedule_type=schedule_type if sampler in ("grahmc", "rahmc") else None,
+            learn_mass_matrix=learn_mass_matrix,
+            value_and_grad_fn=target.value_and_grad_fn,
+            verbose=verbose,
+            gamma=1.0,
+            steepness=(default_steepness(schedule_type)
+                       if sampler in ("grahmc", "rahmc") else None))
 
     kwargs = {}
     if sampler == "hmc":
@@ -260,6 +285,7 @@ def run_single_benchmark_with_L(
     nuts_backend: str = "auto",
     warmup_cache_dir: Optional[str] = None,
     nuts_steps_per_sample: int = 64,
+    trajectory_tuner: str = "grid",
 ) -> Dict:
     """One warmup+sample+diagnose+gate pipeline at a fixed trajectory length.
 
@@ -268,7 +294,13 @@ def run_single_benchmark_with_L(
     signature and restored on re-entry — a crashed grid re-run skips the
     2500-step warmups it already paid for (the reference resumes only
     COMPLETED configurations; its chain state is never persisted,
-    SURVEY.md §5)."""
+    SURVEY.md §5).
+
+    trajectory_tuner='chees' (hmc/grahmc only): the caller's num_steps is
+    ignored; warmup tunes the trajectory length jointly (tuning/chees.py)
+    and Phase 2 samples with QUANTIZED-JITTERED trajectories around the
+    tuned T (chees_run) — n_gradients then counts the realized leapfrogs,
+    not num_samples * L."""
     is_grahmc = sampler in ("grahmc", "rahmc")
     header = f"BENCHMARK: {sampler.upper()} on {target.name}"
     if is_grahmc:
@@ -303,10 +335,16 @@ def run_single_benchmark_with_L(
                                                    warmup_signature)
             warmup_sig = warmup_signature(
                 sampler, target_name, schedule_type if is_grahmc else None,
-                num_steps, learn_mass_matrix, n_chains, target.dim,
+                # chees ignores the caller's L: key the cache on the tuner
+                0 if trajectory_tuner == "chees" else num_steps,
+                learn_mass_matrix, n_chains, target.dim,
                 num_warmup=num_warmup,
-                backend=nuts_backend if sampler == "nuts" else "")
+                backend=(nuts_backend if sampler == "nuts" else
+                         "chees" if trajectory_tuner == "chees" else ""))
             cached = load_warmup(warmup_cache_dir, warmup_sig)
+            if (cached is not None and trajectory_tuner == "chees"
+                    and "trajectory_length" not in cached[3]):
+                cached = None   # stale pre-chees checkpoint: re-run warmup
         warmup_start = time.time()
         # consume the warmup key unconditionally so a cache-hit run draws
         # the SAME sampling keys as an uninterrupted run of this seed
@@ -324,7 +362,8 @@ def run_single_benchmark_with_L(
             step_size, inv_mass, position, warmup_info = _warmup(
                 sampler, target, target_name, warm_key, init_pos, num_warmup,
                 schedule_type, num_steps, learn_mass_matrix,
-                backend="auto", nuts_backend=nuts_backend, mesh=mesh)
+                backend="auto", nuts_backend=nuts_backend, mesh=mesh,
+                trajectory_tuner=trajectory_tuner)
             warmup_restored = False
             if warmup_cache_dir is not None:
                 from mcmc_tpu.utils.checkpoint import save_warmup
@@ -333,8 +372,29 @@ def run_single_benchmark_with_L(
         warmup_time = time.time() - warmup_start
         print(f"  warmup {warmup_time:.1f}s, step_size={step_size:.4f}")
 
+        use_chees = (trajectory_tuner == "chees"
+                     and sampler in ("hmc", "grahmc", "rahmc"))
+        if use_chees:
+            num_steps = warmup_info["num_steps"]
+            chees_T = warmup_info["trajectory_length"]
+            print(f"  [chees] trajectory tuned: T={chees_T:.4f} "
+                  f"-> L={num_steps} (jittered sampling)")
+
+        def _chees_sample(s_key, pos, n_draws, offset):
+            from mcmc_tpu.tuning.chees import chees_run
+            return chees_run(
+                s_key, target.log_prob_fn, pos, step_size, chees_T,
+                n_draws, inv_mass_matrix=inv_mass,
+                value_and_grad_fn=target.value_and_grad_fn,
+                schedule_type=(schedule_type if is_grahmc else None),
+                gamma=warmup_info.get("gamma", 0.0),
+                steepness=warmup_info.get("steepness", 1.0),
+                halton_offset=offset)
+
         # Phase 2: sampling (optionally with convergence checkpoints)
         convergence_trace = None
+        chees_leapfrogs = 0
+        halton_cursor = warmup_info.get("halton_offset", 0) if use_chees else 0
         sample_start = time.time()
         if track_convergence and sampler in ("hmc", "grahmc", "rahmc"):
             checkpoints = get_log_checkpoints(num_samples, base=convergence_base)
@@ -347,11 +407,16 @@ def run_single_benchmark_with_L(
                 batch = cp - prev
                 prev = cp
                 key, s_key = random.split(key)
-                res = _sample(sampler, target, s_key, position, step_size,
-                              num_steps, batch, inv_mass, schedule_type,
-                              warmup_info, mesh=mesh,
-                              nuts_backend=nuts_backend,
-                              nuts_steps_per_sample=nuts_steps_per_sample)
+                if use_chees:
+                    res = _chees_sample(s_key, position, batch, halton_cursor)
+                    halton_cursor += batch
+                    chees_leapfrogs += res.info["total_leapfrogs"]
+                else:
+                    res = _sample(sampler, target, s_key, position, step_size,
+                                  num_steps, batch, inv_mass, schedule_type,
+                                  warmup_info, mesh=mesh,
+                                  nuts_backend=nuts_backend,
+                                  nuts_steps_per_sample=nuts_steps_per_sample)
                 position = res.final_state.position
                 pieces.append(res)
                 cumulative = jnp.concatenate([p.samples for p in pieces], axis=0)
@@ -360,7 +425,8 @@ def run_single_benchmark_with_L(
                                        n_reference=50000, n_projections=500,
                                        key=w2_key)
                 cp_diag = compute_diagnostics(cumulative)
-                n_grad_cp = cp * num_steps * n_chains
+                n_grad_cp = (chees_leapfrogs if use_chees
+                             else cp * num_steps) * n_chains
                 convergence_trace.append({
                     "checkpoint": int(cp),
                     "n_gradients": int(n_grad_cp),
@@ -377,10 +443,16 @@ def run_single_benchmark_with_L(
         else:
             print(f"[Phase 2] Sampling {num_samples} draws...")
             key, s_key = random.split(key)
-            res = _sample(sampler, target, s_key, position, step_size,
-                          num_steps, num_samples, inv_mass, schedule_type,
-                          warmup_info, mesh=mesh, nuts_backend=nuts_backend,
-                          nuts_steps_per_sample=nuts_steps_per_sample)
+            if use_chees:
+                res = _chees_sample(s_key, position, num_samples,
+                                    halton_cursor)
+                chees_leapfrogs += res.info["total_leapfrogs"]
+            else:
+                res = _sample(sampler, target, s_key, position, step_size,
+                              num_steps, num_samples, inv_mass, schedule_type,
+                              warmup_info, mesh=mesh,
+                              nuts_backend=nuts_backend,
+                              nuts_steps_per_sample=nuts_steps_per_sample)
             samples = res.samples
             accept_rate = float(res.accept_rate.mean())
             total_div = int(res.info["total_divergences"])
@@ -403,6 +475,11 @@ def run_single_benchmark_with_L(
             avg_tree_depth = float(np.asarray(tree_depths).mean())
         elif sampler == "rwmh":
             n_gradients, avg_tree_depth = 0, None
+        elif use_chees:
+            # jittered draws are cheaper than num_samples * L_max: count
+            # the leapfrogs that actually executed
+            n_gradients = chees_leapfrogs * n_chains
+            avg_tree_depth = None
         else:
             n_gradients = num_samples * num_steps * n_chains
             avg_tree_depth = None
@@ -423,6 +500,14 @@ def run_single_benchmark_with_L(
                                 "gamma": warmup_info.get("gamma", 1.0),
                                 "steepness": warmup_info.get("steepness", 5.0),
                                 "schedule": schedule_type}
+        if use_chees:
+            sampler_metadata.update(
+                trajectory_tuner="chees",
+                chees_trajectory_length=chees_T,
+                chees_cap_hit=bool(warmup_info.get("max_steps_cap_hit")),
+                mean_num_steps=(float(res.info["mean_num_steps"])
+                                if res is not None and
+                                "mean_num_steps" in res.info else None))
 
         # Phase 3: diagnostics + gates
         print("[Phase 3] Diagnostics...")
@@ -723,7 +808,8 @@ def save_result_incremental(result: Dict, output_dir: str, is_first: bool = Fals
 
 
 def _resume_signature(sampler, target_name, schedule, learn_mass,
-                      nuts_backend=None, nuts_steps_per_sample=None):
+                      nuts_backend=None, nuts_steps_per_sample=None,
+                      trajectory_tuner=None):
     """Completed-set key for resume-by-signature.
 
     NUTS rows additionally key on the resolved backend and (for the
@@ -731,12 +817,21 @@ def _resume_signature(sampler, target_name, schedule, learn_mass,
     different --nuts-backend / --nuts-steps-per-sample re-measures instead
     of silently skipping and keeping rows from the old settings. Rows saved
     before these fields existed resolve to (None, None) and re-run.
+
+    HMC/GRAHMC rows key on the trajectory tuner for the same reason:
+    switching --trajectory-tuner between grid and chees must re-measure.
+    Grid rows (and all pre-chees rows, which were grid by construction)
+    resolve to None; a chees run that FELL BACK to the grid is saved with
+    trajectory_tuner='chees' so the resumed chees grid doesn't re-pay the
+    failed tuning attempt.
     """
     sig = (sampler, target_name, schedule, learn_mass)
     if sampler == "nuts":
         sig += (nuts_backend,
                 nuts_steps_per_sample if nuts_backend == "persistent"
                 else None)
+    elif sampler in ("hmc", "grahmc", "rahmc"):
+        sig += ("chees" if trajectory_tuner == "chees" else None,)
     return sig
 
 
@@ -758,13 +853,19 @@ def run_all_benchmarks(
     nuts_backend: str = "auto",
     warmup_cache: bool = True,
     nuts_steps_per_sample: int = 64,
+    trajectory_tuner: str = "grid",
 ):
     """Iterate target x sampler x mass-mode (x schedule for GRAHMC) with
     resume-by-signature and incremental saving. Returns a DataFrame.
 
     warmup_cache: checkpoint Phase-1 warmup products per configuration
     under `<output_dir>/.warmup_cache_seed<seed>/` so an interrupted grid
-    re-run (same seed) skips warmups it already completed."""
+    re-run (same seed) skips warmups it already completed.
+
+    trajectory_tuner: 'grid' (reference parity: one full pipeline per L in
+    num_steps_grid) or 'chees' (ONE warmup adapts the trajectory length
+    cross-chain, then jittered sampling; falls back to the grid when the
+    tuner reports a trajectory-cap runaway — flat-tailed targets)."""
     import jax
     import pandas as pd
 
@@ -791,7 +892,8 @@ def run_all_benchmarks(
             _resume_signature(r.get("sampler"), r.get("target"),
                               r.get("schedule"), r.get("mass_matrix_learned"),
                               r.get("nuts_backend"),
-                              r.get("nuts_steps_per_sample"))
+                              r.get("nuts_steps_per_sample"),
+                              r.get("trajectory_tuner"))
             for r in all_results}
         print(f"RESUMING: {len(all_results)} existing results, skipping "
               f"{len(completed)} completed configurations")
@@ -808,6 +910,19 @@ def run_all_benchmarks(
                 schedules = (grahmc_schedules if sampler in ("grahmc", "rahmc")
                              else [None])
                 for schedule in schedules:
+                    # Effective trajectory tuner for THIS configuration —
+                    # decided before the resume signature so a chees run's
+                    # completed-set key matches what its rows were saved
+                    # under (fallback rows included, see _resume_signature).
+                    use_chees_tuner = (trajectory_tuner == "chees"
+                                       and sampler in ("grahmc", "rahmc",
+                                                       "hmc"))
+                    if (use_chees_tuner
+                            and _resolve_mesh(n_chains, mesh_devices)
+                            is not None):
+                        print("  [chees] mesh runs are not chees-enabled "
+                              "yet — using the L grid search")
+                        use_chees_tuner = False
                     if sampler == "nuts":
                         resolved_nuts = _resolve_nuts_backend(nuts_backend,
                                                               target)
@@ -815,20 +930,47 @@ def run_all_benchmarks(
                             sampler, target.name, schedule, learn_mass,
                             resolved_nuts, nuts_steps_per_sample)
                     else:
-                        sig = _resume_signature(sampler, target.name,
-                                                schedule, learn_mass)
+                        sig = _resume_signature(
+                            sampler, target.name, schedule, learn_mass,
+                            trajectory_tuner=("chees" if use_chees_tuner
+                                              else None))
                     if sig in completed:
                         print(f"  [SKIP] {sig} (already completed)")
                         continue
                     key, subkey = random.split(key)
                     if sampler in ("grahmc", "rahmc", "hmc"):
-                        result = run_trajectory_length_grid_search(
-                            sampler, target, target_name, subkey, n_chains,
-                            num_warmup, num_samples,
-                            schedule or "constant", num_steps_grid,
-                            learn_mass, track_convergence, convergence_base,
-                            mesh_devices=mesh_devices,
-                            warmup_cache_dir=warmup_cache_dir)
+                        result = None
+                        chees_fell_back = False
+                        if use_chees_tuner:
+                            key, chees_key = random.split(key)
+                            result = run_single_benchmark_with_L(
+                                sampler, target, target_name, chees_key,
+                                n_chains, num_warmup, num_samples,
+                                schedule or "constant", 0, learn_mass,
+                                track_convergence, convergence_base,
+                                mesh_devices=mesh_devices,
+                                warmup_cache_dir=warmup_cache_dir,
+                                trajectory_tuner="chees")
+                            if result.get("chees_cap_hit"):
+                                print("  [chees] trajectory cap hit "
+                                      "(criterion runaway on this target) "
+                                      "— falling back to the L grid search")
+                                result = None
+                                chees_fell_back = True
+                        if result is None:
+                            result = run_trajectory_length_grid_search(
+                                sampler, target, target_name, subkey,
+                                n_chains, num_warmup, num_samples,
+                                schedule or "constant", num_steps_grid,
+                                learn_mass, track_convergence,
+                                convergence_base, mesh_devices=mesh_devices,
+                                warmup_cache_dir=warmup_cache_dir)
+                            if chees_fell_back:
+                                # resume key parity: a chees run that fell
+                                # back must be found under the chees
+                                # signature, not re-pay the failed tuning
+                                result["trajectory_tuner"] = "chees"
+                                result["chees_fell_back"] = True
                     else:
                         result = run_single_benchmark_with_L(
                             sampler, target, target_name, subkey, n_chains,

@@ -99,6 +99,7 @@ def chees_update(state: ChEESState, grad, lr=CHEES_ADAM_LR,
     problem-dependent; Adam's second-moment normalization makes the update
     scale-free, so no explicit gradient normalization is needed."""
     count = state.count + 1.0
+    grad = jnp.where(jnp.isfinite(grad), grad, 0.0)  # belt-and-braces
     m = beta1 * state.m + (1.0 - beta1) * grad
     v = beta2 * state.v + (1.0 - beta2) * grad * grad
     mhat = m / (1.0 - beta1 ** count)
@@ -157,7 +158,11 @@ def chees_log_t_grad(q0: Array, q1: Array, p1: Array, h, trajectory_length,
     d1 = z1 - mu1
     c = jnp.sum(d1 * d1, axis=-1) - jnp.sum((z0 - mu0) ** 2, axis=-1)
     dc_dt = fmask * c * jnp.sum(d1 * vz1, axis=-1)
-    alpha = alpha * fmask
+    # second-stage guard: a finite-but-huge q1 can overflow c to inf, and
+    # inf * 0 = nan (measured on 6D rosenbrock exploration windows)
+    ok = jnp.isfinite(dc_dt)
+    dc_dt = jnp.where(ok, dc_dt, 0.0)
+    alpha = alpha * fmask * ok
     if winsorize:
         med = jnp.median(jnp.abs(dc_dt))
         if axis_name is not None:
@@ -179,6 +184,195 @@ def num_leapfrog_steps(t, step_size, max_steps: int) -> Array:
     """Quantize trajectory time t to a leapfrog count (>=1, capped)."""
     n = jnp.ceil(t / step_size).astype(jnp.int32)
     return jnp.clip(n, 1, max_steps)
+
+
+def scale_default_schedule(num_warmup: int) -> Tuple[int, list, int]:
+    """Proportionally scale the Stan-style default warmup schedule
+    (500 exploration + [25,50,100,200,500,1000] doubling windows + 125
+    cooldown = 2500) to an arbitrary budget.
+
+    The reference-parity windowed warmup pins its schedule to the window
+    sum (build_schedule warns and ignores a mismatched num_warmup —
+    reference behavior). ChEES has no parity constraint, so it honors the
+    requested budget: same 20/75/5 phase proportions, same doubling window
+    structure, total exactly num_warmup (small windows are dropped first
+    when the budget cannot fit all six)."""
+    f = num_warmup / 2500.0
+    exploration = max(1, int(round(500 * f)))
+    windows = [max(1, int(round(w * f)))
+               for w in (25, 50, 100, 200, 500, 1000)]
+    while exploration + sum(windows) + 1 > num_warmup and len(windows) > 1:
+        windows.pop(0)           # drop the smallest windows first
+    while exploration + sum(windows) + 1 > num_warmup and exploration > 1:
+        exploration -= 1
+    cooldown = max(1, num_warmup - exploration - sum(windows))
+    return exploration, windows, cooldown
+
+
+def chees_run(
+    key,
+    log_prob_fn,
+    init_position: Array,
+    step_size: float,
+    trajectory_length: float,
+    num_samples: int,
+    burn_in: int = 0,
+    inv_mass_matrix: Optional[Array] = None,
+    value_and_grad_fn=None,
+    collect_chains: Optional[int] = None,
+    backend: str = "auto",
+    max_steps: int = DEFAULT_MAX_STEPS,
+    jitter_levels: int = 4,
+    schedule_type: Optional[str] = None,
+    gamma: float = 0.0,
+    steepness: float = 1.0,
+    halton_offset: int = 8192,
+):
+    """Jittered-trajectory sampling at the ChEES-tuned operating point.
+
+    Each draw integrates t_i = h_i * trajectory_length (h_i quasirandom,
+    shared by all chains) — the sampling-phase counterpart of the warmup's
+    jitter. Running WITH jitter is the point of the tuned T: a fixed L on a
+    near-Gaussian target sits at the mercy of leapfrog resonance (eps*L
+    landing on a multiple of a period makes proposals return to their
+    start), which jitter averages away.
+
+    backend:
+      'xla'    — continuous jitter; each draw's leapfrog count is a traced
+                 while_loop trip count (integrate_trajectory_dynamic).
+      'pallas' — TPU fast path. pallas kernels have static trip counts, so
+                 the jitter is QUANTIZED: h is binned into `jitter_levels`
+                 levels, one fused VMEM trajectory kernel is compiled per
+                 distinct level length, and each draw `lax.switch`es to its
+                 level's kernel. <=4 kernels amortize over the run.
+      'auto'   — pallas on TPU when the target carries pallas_info.
+
+    Returns the uniform RunResult; info carries total_leapfrogs (the REAL
+    gradient count — jittered draws are cheaper than num_samples * L_max)
+    and the realized per-draw leapfrog counts.
+    """
+    from mcmc_tpu.samplers.base import (
+        finalize_run, reset_counters)
+    if trajectory_length <= 0 or step_size <= 0:
+        raise ValueError("step_size and trajectory_length must be positive")
+    friction_schedule = None
+    if schedule_type is not None:
+        from mcmc_tpu.samplers.grahmc import get_friction_schedule
+        friction_schedule = get_friction_schedule(schedule_type)
+
+    cs = init_chain_state(init_position, log_prob_fn, value_and_grad_fn,
+                          needs_grad=True)
+    n_chains, n_dim = cs.position.shape
+    pos_dtype = cs.position.dtype
+    if inv_mass_matrix is None:
+        inv_mass_matrix = jnp.ones(n_dim, dtype=pos_dtype)
+    inv_mass = jnp.asarray(inv_mass_matrix, pos_dtype)
+    n_collect = n_chains if collect_chains is None else collect_chains
+
+    if backend == "auto":
+        backend = "xla"
+        if jax.default_backend() == "tpu":
+            info_tag = getattr(value_and_grad_fn, "pallas_info", None)
+            if info_tag is not None:
+                from mcmc_tpu.ops.padded_targets import PALLAS_FAMILIES
+                if info_tag["family"] in PALLAS_FAMILIES:
+                    backend = "pallas"
+
+    total = burn_in + num_samples
+    h = halton_sequence(total, halton_offset)
+
+    if backend == "pallas":
+        from mcmc_tpu.ops.fused_trajectory import make_fused_grahmc_step
+        levels = max(1, int(jitter_levels))
+        level_L = [int(np.clip(round((k + 0.5) / levels
+                                     * trajectory_length / step_size),
+                               1, max_steps)) for k in range(levels)]
+        Ls = sorted(set(level_L))
+        branch_of_level = [Ls.index(L) for L in level_L]
+        fused = [make_fused_grahmc_step(log_prob_fn, value_and_grad_fn, L,
+                                        friction_schedule) for L in Ls]
+        idx = jnp.asarray(
+            [branch_of_level[min(levels - 1, int(x * levels))] for x in h],
+            jnp.int32)
+        ns = np.asarray([Ls[i] for i in np.asarray(idx)], np.int64)
+
+        def _branch(f):
+            def call(op):
+                k, s, extras = f(*op)
+                return k, s, extras[0]        # keep accept, drop proposals
+            return call
+
+        branches = [_branch(f) for f in fused]
+
+        def one_step(k, s, i):
+            return lax.switch(i, branches,
+                              (k, s, jnp.asarray(step_size, pos_dtype),
+                               jnp.asarray(gamma, pos_dtype),
+                               jnp.asarray(steepness, pos_dtype), inv_mass))
+    else:
+        vag = make_value_and_grad(log_prob_fn, value_and_grad_fn)
+        ns_f = np.ceil(h * trajectory_length / step_size)
+        ns = np.clip(ns_f, 1, max_steps).astype(np.int64)
+        idx = jnp.asarray(ns, jnp.int32)   # xs: the leapfrog counts
+        eps = jnp.asarray(step_size, pos_dtype)
+
+        def one_step(k, s, n):
+            e_dtype = s.log_prob.dtype
+            k, k_mom, k_acc = random.split(k, 3)
+            p0 = (random.normal(k_mom, s.position.shape, dtype=pos_dtype)
+                  / jnp.sqrt(inv_mass))
+            h0 = -s.log_prob + kinetic_energy(p0, inv_mass).astype(e_dtype)
+            q1, p1, lp1, grad1 = integrate_trajectory_dynamic(
+                s.position, p0, s.log_prob, s.grad_log_prob, vag, eps, n,
+                inv_mass, friction_schedule=friction_schedule,
+                gamma_max=gamma, steepness=steepness)
+            h1 = precision.guard_energy(
+                -lp1 + kinetic_energy(p1, inv_mass).astype(e_dtype))
+            log_alpha = jnp.minimum(jnp.asarray(0.0, e_dtype), h0 - h1)
+            divergent = jnp.abs(h1 - h0) > DIVERGENCE_DELTA_H
+            u = random.uniform(k_acc, (s.position.shape[0],), dtype=e_dtype)
+            accept = jnp.log(u) < log_alpha
+            s = s._replace(
+                position=jnp.where(accept[:, None], q1, s.position),
+                log_prob=jnp.where(accept, lp1, s.log_prob),
+                grad_log_prob=jnp.where(accept[:, None], grad1,
+                                        s.grad_log_prob),
+                accept_count=s.accept_count + accept.astype(jnp.int32),
+                divergence_count=(s.divergence_count
+                                  + divergent.astype(jnp.int32)),
+            )
+            return k, s, accept
+
+    @jax.jit
+    def run(key, cs):
+        if burn_in > 0:
+            def burn_body(carry, x):
+                k, s = carry
+                k, s, _ = one_step(k, s, x)
+                return (k, s), None
+            (key, cs), _ = lax.scan(burn_body, (key, cs), idx[:burn_in])
+            cs = reset_counters(cs)
+
+        def sample_body(carry, x):
+            k, s = carry
+            k, s, accept = one_step(k, s, x)
+            return (k, s), (s.position[:n_collect], s.log_prob[:n_collect])
+        (key, cs), (samples, log_probs) = lax.scan(
+            sample_body, (key, cs), idx[burn_in:])
+        return cs, samples, log_probs
+
+    cs, samples, log_probs = run(key, cs)
+    sample_ns = ns[burn_in:]
+    extra = {
+        "total_leapfrogs": int(sample_ns.sum()),
+        "mean_num_steps": float(sample_ns.mean()),
+        "num_steps_per_draw": np.asarray(sample_ns, np.int32),
+        "trajectory_length": float(trajectory_length),
+        "jitter_backend": backend,
+    }
+    if backend == "pallas":
+        extra["jitter_level_steps"] = Ls
+    return finalize_run(cs, samples, log_probs, num_samples, extra)
 
 
 def run_chees_warmup(
@@ -315,11 +509,21 @@ def run_chees_warmup(
     wf = _WF(inv_mass=jnp.ones(n_dim, dtype=pos_dtype),
              state=welford_init((n_chains, n_dim)))
 
+    if ("exploration_steps" in kwargs or "adaptation_windows" in kwargs
+            or "cooldown_steps" in kwargs):
+        exploration_steps = kwargs.get("exploration_steps", 500)
+        adaptation_windows = kwargs.get("adaptation_windows")
+        cooldown_steps = kwargs.get("cooldown_steps", 125)
+    else:
+        # honor num_warmup exactly (see scale_default_schedule; the
+        # reference-parity grid warmup instead pins 2500 and warns)
+        exploration_steps, adaptation_windows, cooldown_steps = (
+            scale_default_schedule(num_warmup))
     schedule = build_schedule(
         num_warmup,
-        exploration_steps=kwargs.get("exploration_steps", 500),
-        adaptation_windows=kwargs.get("adaptation_windows"),
-        cooldown_steps=kwargs.get("cooldown_steps", 125))
+        exploration_steps=exploration_steps,
+        adaptation_windows=adaptation_windows,
+        cooldown_steps=cooldown_steps)
     if verbose:
         print(f"ChEES adaptation schedule "
               f"({sum(e - s for s, e, _ in schedule)} steps), "
@@ -369,6 +573,33 @@ def run_chees_warmup(
                                       step_size, max_steps * step_size))
     num_steps = int(max(1, round(trajectory_length / step_size)))
     inv_mass = wf.inv_mass if learn_mass_matrix else None
+    position = cs.position
+
+    # GRAHMC phase 3 (parity with run_adaptive_warmup): tune the friction
+    # on the sphered geometry at the ChEES-selected L, then re-derive L
+    # from the re-tuned step so T stays the tuned quantity.
+    tuned_gamma = gamma if friction_schedule is not None else None
+    if friction_schedule is not None and kwargs.get("tune_gamma", True):
+        from mcmc_tpu.tuning.sequential import sequential_tune_grahmc
+        step_size, tuned_gamma, steepness, _hist = sequential_tune_grahmc(
+            key=random.fold_in(key, 999),
+            log_prob_fn=target_log_prob,
+            grad_log_prob_fn=target_grad_log_prob,
+            init_position=position,
+            num_steps=num_steps,
+            schedule_type=schedule_type or "constant",
+            target_accept=target_accept,
+            inv_mass_matrix=inv_mass,
+            init_step_size=step_size,
+            gamma_coarse_values=kwargs.get("gamma_coarse_values"),
+            gamma_samples_per_eval=kwargs.get("gamma_samples_per_eval", 150),
+            value_and_grad_fn=value_and_grad_fn,
+            steepness=steepness,
+            verbose=verbose,
+        )
+        step_size = float(step_size)
+        num_steps = int(max(1, round(trajectory_length / step_size)))
+
     info = {
         "trajectory_length": trajectory_length,
         "num_steps": num_steps,
@@ -380,7 +611,10 @@ def run_chees_warmup(
         "max_steps_cap_hit": num_steps >= max_steps,
         "target_accept": target_accept,
     }
+    if friction_schedule is not None:
+        info["gamma"] = float(tuned_gamma)
+        info["steepness"] = float(steepness)
     if verbose:
         print(f"ChEES complete: T={trajectory_length:.4f} "
               f"step={step_size:.5f} -> L={num_steps}")
-    return step_size, inv_mass, cs.position, info
+    return step_size, inv_mass, position, info

@@ -121,6 +121,15 @@ def save_warmup(cache_dir: str, signature: str, step_size: float, inv_mass,
         "steepness": (float(warmup_info["steepness"])
                       if "steepness" in warmup_info else None),
         "scale": float(warmup_info["scale"]) if "scale" in warmup_info else None,
+        # ChEES tuner products (absent for grid warmups)
+        "trajectory_length": (float(warmup_info["trajectory_length"])
+                              if "trajectory_length" in warmup_info else None),
+        "num_steps": (int(warmup_info["num_steps"])
+                      if "num_steps" in warmup_info else None),
+        "halton_offset": (int(warmup_info["halton_offset"])
+                          if "halton_offset" in warmup_info else None),
+        "max_steps_cap_hit": (bool(warmup_info["max_steps_cap_hit"])
+                              if "max_steps_cap_hit" in warmup_info else None),
     }
     save_state_tree(os.path.join(cache_dir, signature), tree, meta)
 
@@ -140,7 +149,9 @@ def load_warmup(cache_dir: str, signature: str):
         # path) must degrade to "re-run warmup", not fail the whole run.
         inv_mass = (jnp.asarray(arrays["inv_mass"])
                     if meta["has_inv_mass"] else None)
-        info = {k: meta[k] for k in ("gamma", "steepness", "scale")
+        info = {k: meta[k]
+                for k in ("gamma", "steepness", "scale", "trajectory_length",
+                          "num_steps", "halton_offset", "max_steps_cap_hit")
                 if meta.get(k) is not None}
         return meta["step_size"], inv_mass, jnp.asarray(arrays["position"]), info
     except Exception:

@@ -78,6 +78,15 @@ def main():
                         "leapfrog iterations of the asynchronous machine "
                         "between collected draws (ignored by the classic "
                         "backend)")
+    parser.add_argument("--trajectory-tuner", type=str, default="grid",
+                        choices=["grid", "chees"],
+                        help="Trajectory-length selection for HMC/GRAHMC: "
+                        "'grid' (reference parity — one full pipeline per L "
+                        "in --num-steps-grid) or 'chees' (cross-chain ChEES "
+                        "adaptation: ONE warmup tunes T jointly with step/"
+                        "mass, then jittered-trajectory sampling; "
+                        "automatically falls back to the grid when the "
+                        "criterion runs away on flat-tailed targets)")
     parser.add_argument("--no-warmup-cache", action="store_true",
                         help="Disable per-configuration warmup checkpoints "
                         "(<output-dir>/.warmup_cache_seed<seed>/); with the "
@@ -128,6 +137,7 @@ def main():
         warmup_cache=not args.no_warmup_cache,
         nuts_steps_per_sample=args.nuts_steps_per_sample,
         nuts_backend=args.nuts_backend,
+        trajectory_tuner=args.trajectory_tuner,
     )
     print_summary(df)
 

@@ -208,3 +208,102 @@ def test_chees_flags_runaway_on_flat_tailed_target():
     assert info["max_steps_cap_hit"] is True
     assert info["num_steps"] == 64
     assert np.isfinite(np.asarray(pos)).all() and step > 0
+
+
+# ----------------------------------------------------------------------------
+# chees_run: jittered-trajectory sampling at the tuned operating point
+# ----------------------------------------------------------------------------
+
+def test_chees_run_validates_inputs():
+    from mcmc_tpu.tuning.chees import chees_run
+    t = get_target("standard_normal", dim=2)
+    with pytest.raises(ValueError):
+        chees_run(random.PRNGKey(0), t.log_prob_fn, jnp.zeros((4, 2)),
+                  step_size=0.0, trajectory_length=1.0, num_samples=10)
+    with pytest.raises(ValueError):
+        chees_run(random.PRNGKey(0), t.log_prob_fn, jnp.zeros((4, 2)),
+                  step_size=0.3, trajectory_length=-1.0, num_samples=10)
+
+
+@pytest.mark.slow
+def test_chees_run_xla_moments_and_gradient_accounting():
+    """Jittered sampling on a standard normal: correct posterior moments,
+    and the reported leapfrog accounting matches the realized per-draw
+    counts (the REAL gradient count — jittered draws are cheaper than
+    num_samples * L_max)."""
+    from mcmc_tpu.tuning.chees import chees_run
+    dim = 6
+    t = get_target("standard_normal", dim=dim)
+    init = random.normal(random.PRNGKey(0), (64, dim))
+    T = float(np.pi / 2)      # quarter period: the ChEES optimum here
+    res = chees_run(random.PRNGKey(1), t.log_prob_fn, init, step_size=0.45,
+                    trajectory_length=T, num_samples=500, burn_in=100,
+                    value_and_grad_fn=t.value_and_grad_fn, backend="xla")
+    ns = res.info["num_steps_per_draw"]
+    assert ns.shape == (500,) and ns.min() >= 1
+    assert res.info["total_leapfrogs"] == int(ns.sum())
+    # jitter quantizes t = h * T upward: every draw is at most ceil(T/eps)
+    assert ns.max() <= int(np.ceil(T / 0.45))
+    assert res.info["jitter_backend"] == "xla"
+    assert 0.6 < float(res.accept_rate.mean()) <= 1.0
+    assert int(res.info["total_divergences"]) == 0
+    s = np.asarray(res.samples).reshape(-1, dim)
+    assert abs(s.mean()) < 0.05
+    assert abs(s.var() - 1.0) < 0.12
+
+
+@pytest.mark.slow
+def test_chees_run_pallas_quantized_jitter_interpret():
+    """The Pallas backend bins the jitter into <= jitter_levels static
+    trajectory lengths (one fused kernel each); realized per-draw counts
+    must come from exactly that level set. Runs in interpreter mode on CPU
+    (same kernel body as TPU, injected randomness)."""
+    from mcmc_tpu.tuning.chees import chees_run
+    t = get_target("standard_normal", dim=4)
+    init = random.normal(random.PRNGKey(2), (8, 4)).astype(jnp.float32)
+    res = chees_run(random.PRNGKey(3), t.log_prob_fn, init, step_size=0.4,
+                    trajectory_length=2.0, num_samples=48,
+                    value_and_grad_fn=t.value_and_grad_fn,
+                    backend="pallas", jitter_levels=3)
+    Ls = res.info["jitter_level_steps"]
+    assert 1 <= len(Ls) <= 3
+    ns = res.info["num_steps_per_draw"]
+    assert set(np.unique(ns).tolist()) <= set(Ls)
+    assert res.info["total_leapfrogs"] == int(ns.sum())
+    assert np.isfinite(np.asarray(res.samples)).all()
+    assert 0.0 < float(res.accept_rate.mean()) <= 1.0
+
+
+@pytest.mark.slow
+def test_chees_run_grahmc_friction_moments():
+    """chees_run with a friction schedule (GRAHMC) keeps the posterior
+    exact — conformal leapfrog + MH is still in detailed balance at any
+    jittered length."""
+    from mcmc_tpu.tuning.chees import chees_run
+    dim = 4
+    t = get_target("standard_normal", dim=dim)
+    init = random.normal(random.PRNGKey(4), (64, dim))
+    res = chees_run(random.PRNGKey(5), t.log_prob_fn, init, step_size=0.4,
+                    trajectory_length=1.6, num_samples=500, burn_in=100,
+                    value_and_grad_fn=t.value_and_grad_fn, backend="xla",
+                    schedule_type="tanh", gamma=0.5, steepness=5.0)
+    s = np.asarray(res.samples).reshape(-1, dim)
+    assert abs(s.mean()) < 0.06
+    assert abs(s.var() - 1.0) < 0.15
+
+
+def test_scale_default_schedule_budgets():
+    from mcmc_tpu.tuning.chees import scale_default_schedule
+    from mcmc_tpu.tuning.adaptation import build_schedule
+
+    for n in (2500, 1000, 300, 100, 40, 10):
+        e, ws, c = scale_default_schedule(n)
+        total = e + sum(ws) + c
+        assert total == n, (n, e, ws, c)
+        assert e >= 1 and c >= 1 and all(w >= 1 for w in ws)
+        sched = build_schedule(n, exploration_steps=e,
+                               adaptation_windows=ws, cooldown_steps=c)
+        assert sched[-1][1] == n
+    # the 2500 budget reproduces the Stan-style default exactly
+    assert scale_default_schedule(2500) == (500, [25, 50, 100, 200, 500,
+                                                  1000], 125)

@@ -386,3 +386,103 @@ def test_nuts_steps_per_sample_flag_rejects_nonpositive():
             cwd=str(Path(__file__).resolve().parent.parent))
         assert proc.returncode == 2, proc.stderr
         assert "positive integer" in proc.stderr
+
+
+def test_resume_signature_keys_trajectory_tuner():
+    """Re-running a results dir with a different --trajectory-tuner must
+    re-measure HMC/GRAHMC configs rather than [SKIP]; grid rows (and all
+    pre-chees rows, which were grid by construction) share one key."""
+    from mcmc_tpu.benchmark.runner import _resume_signature
+
+    grid = _resume_signature("grahmc", "T", "tanh", True)
+    chees = _resume_signature("grahmc", "T", "tanh", True,
+                              trajectory_tuner="chees")
+    assert grid != chees
+    assert grid == _resume_signature("grahmc", "T", "tanh", True,
+                                     trajectory_tuner=None)
+    # rwmh/nuts signatures ignore the tuner entirely
+    assert (_resume_signature("rwmh", "T", None, False)
+            == _resume_signature("rwmh", "T", None, False,
+                                 trajectory_tuner="chees"))
+    assert (_resume_signature("nuts", "T", None, True, "classic", None)
+            == _resume_signature("nuts", "T", None, True, "classic", None,
+                                 trajectory_tuner="chees"))
+
+
+def test_chees_cap_fallback_annotates_and_resumes(tmp_path, monkeypatch):
+    """When the ChEES warmup hits the trajectory cap the runner falls back
+    to the L grid search; the fallback row must be saved under the CHEES
+    resume signature (trajectory_tuner='chees') so a resumed chees grid
+    does not re-pay the failed tuning attempt."""
+    from mcmc_tpu.benchmark import runner as runner_mod
+
+    calls = {"chees": 0, "grid": 0}
+
+    def fake_single(*args, **kwargs):
+        calls["chees"] += 1
+        assert kwargs.get("trajectory_tuner") == "chees"
+        return {"sampler": args[0], "target": args[1].name,
+                "schedule": "constant", "mass_matrix_learned": True,
+                "trajectory_tuner": "chees", "chees_cap_hit": True}
+
+    def fake_grid(*args, **kwargs):
+        calls["grid"] += 1
+        return {"sampler": args[0], "target": args[1].name,
+                "schedule": "constant", "mass_matrix_learned": True}
+
+    monkeypatch.setattr(runner_mod, "run_single_benchmark_with_L", fake_single)
+    monkeypatch.setattr(runner_mod, "run_trajectory_length_grid_search",
+                        fake_grid)
+
+    kw = dict(samplers=["grahmc"], targets=["log_gamma"],
+              grahmc_schedules=["constant"], dim=3, n_chains=4,
+              num_warmup=100, num_samples=100, seed=0,
+              output_dir=str(tmp_path), trajectory_tuner="chees",
+              warmup_cache=False)
+    df1 = runner_mod.run_all_benchmarks(**kw)
+    assert calls == {"chees": 1, "grid": 1}
+    row = df1.iloc[0]
+    assert row["trajectory_tuner"] == "chees"
+    assert bool(row["chees_fell_back"]) is True
+    assert "chees_cap_hit" not in df1.columns  # abandoned row was discarded
+
+    # resume: the fallback row satisfies the chees signature — no re-run
+    runner_mod.run_all_benchmarks(**kw)
+    assert calls == {"chees": 1, "grid": 1}
+
+    # a grid re-run of the same dir is a DIFFERENT signature: re-measures
+    runner_mod.run_all_benchmarks(**{**kw, "trajectory_tuner": "grid"})
+    assert calls == {"chees": 1, "grid": 2}
+
+
+@pytest.mark.slow
+def test_run_all_benchmarks_chees_tuner_e2e(tmp_path):
+    """--trajectory-tuner chees end-to-end: one warmup tunes T, sampling is
+    jittered, the row records the tuner products, and n_gradients counts
+    the realized leapfrogs."""
+    kw = dict(samplers=["hmc"], targets=["standard_normal"],
+              grahmc_schedules=["constant"], dim=3, n_chains=16,
+              num_warmup=300, num_samples=200, seed=0,
+              output_dir=str(tmp_path), trajectory_tuner="chees",
+              mesh_devices="off",   # single-device: the chees-enabled path
+              warmup_cache=False)
+    df = run_all_benchmarks(**kw)
+    assert len(df) == 1
+    row = df.iloc[0]
+    assert row.get("error") is None or (isinstance(row.get("error"), float)
+                                        and np.isnan(row.get("error")))
+    assert row["trajectory_tuner"] == "chees"
+    assert row["chees_trajectory_length"] > 0
+    assert row["mean_num_steps"] > 0
+    assert row["num_steps"] >= 1
+    # realized-leapfrog accounting: per-draw counts are ceil(h*T/eps),
+    # bounded by ceil(T/eps) (num_steps is round(T/eps), which can sit
+    # one below), and n_gradients is their sum times n_chains
+    l_max = int(np.ceil(row["chees_trajectory_length"] / row["step_size"]))
+    assert 0 < row["n_gradients"] <= 200 * l_max * 16
+    assert row["n_gradients"] == pytest.approx(
+        row["mean_num_steps"] * 200 * 16, abs=1)
+    # resume skips under the chees signature
+    df2 = run_all_benchmarks(**kw)
+    results = json.loads((tmp_path / "benchmark_results.json").read_text())
+    assert len(results) == 1

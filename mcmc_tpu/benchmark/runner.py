@@ -89,10 +89,6 @@ def _warmup(sampler, target, target_name, key, init_pos, num_warmup,
 
     if trajectory_tuner == "chees" and sampler in ("hmc", "grahmc", "rahmc"):
         from mcmc_tpu.tuning.chees import run_chees_warmup
-        if mesh is not None:
-            raise ValueError(
-                "--trajectory-tuner chees does not support --mesh yet; "
-                "use the grid tuner for multi-chip runs")
         return run_chees_warmup(
             "grahmc" if sampler == "rahmc" else sampler,
             target.log_prob_fn, None, init_pos, key,
@@ -103,7 +99,8 @@ def _warmup(sampler, target, target_name, key, init_pos, num_warmup,
             verbose=verbose,
             gamma=1.0,
             steepness=(default_steepness(schedule_type)
-                       if sampler in ("grahmc", "rahmc") else None))
+                       if sampler in ("grahmc", "rahmc") else None),
+            mesh=mesh)
 
     kwargs = {}
     if sampler == "hmc":
@@ -389,7 +386,7 @@ def run_single_benchmark_with_L(
                 schedule_type=(schedule_type if is_grahmc else None),
                 gamma=warmup_info.get("gamma", 0.0),
                 steepness=warmup_info.get("steepness", 1.0),
-                halton_offset=offset)
+                halton_offset=offset, mesh=mesh)
 
         # Phase 2: sampling (optionally with convergence checkpoints)
         convergence_trace = None
@@ -917,12 +914,6 @@ def run_all_benchmarks(
                     use_chees_tuner = (trajectory_tuner == "chees"
                                        and sampler in ("grahmc", "rahmc",
                                                        "hmc"))
-                    if (use_chees_tuner
-                            and _resolve_mesh(n_chains, mesh_devices)
-                            is not None):
-                        print("  [chees] mesh runs are not chees-enabled "
-                              "yet — using the L grid search")
-                        use_chees_tuner = False
                     if sampler == "nuts":
                         resolved_nuts = _resolve_nuts_backend(nuts_backend,
                                                               target)

@@ -227,6 +227,7 @@ def chees_run(
     gamma: float = 0.0,
     steepness: float = 1.0,
     halton_offset: int = 8192,
+    mesh=None,
 ):
     """Jittered-trajectory sampling at the ChEES-tuned operating point.
 
@@ -246,6 +247,14 @@ def chees_run(
                  distinct level length, and each draw `lax.switch`es to its
                  level's kernel. <=4 kernels amortize over the run.
       'auto'   — pallas on TPU when the target carries pallas_info.
+
+    mesh: shard chains over the mesh's chain axis and run the whole scan
+    shard_mapped (the Pallas kernels are opaque to GSPMD, so explicit
+    shard_map is the only multi-chip route; the XLA while_loop path rides
+    along for free since its trip counts are chain-independent). The
+    per-draw jitter stream is replicated — every device integrates the
+    same lengths, so there is no cross-device load imbalance. With a mesh,
+    `collect_chains` is PER DEVICE (default: all local chains).
 
     Returns the uniform RunResult; info carries total_leapfrogs (the REAL
     gradient count — jittered draws are cheaper than num_samples * L_max)
@@ -267,7 +276,15 @@ def chees_run(
     if inv_mass_matrix is None:
         inv_mass_matrix = jnp.ones(n_dim, dtype=pos_dtype)
     inv_mass = jnp.asarray(inv_mass_matrix, pos_dtype)
-    n_collect = n_chains if collect_chains is None else collect_chains
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        if n_chains % n_dev:
+            raise ValueError(f"n_chains {n_chains} not divisible by mesh "
+                             f"size {n_dev}")
+        n_collect = (n_chains // n_dev if collect_chains is None
+                     else collect_chains)
+    else:
+        n_collect = n_chains if collect_chains is None else collect_chains
 
     if backend == "auto":
         backend = "xla"
@@ -343,7 +360,6 @@ def chees_run(
             )
             return k, s, accept
 
-    @jax.jit
     def run(key, cs):
         if burn_in > 0:
             def burn_body(carry, x):
@@ -361,7 +377,28 @@ def chees_run(
             sample_body, (key, cs), idx[burn_in:])
         return cs, samples, log_probs
 
-    cs, samples, log_probs = run(key, cs)
+    if mesh is None:
+        cs, samples, log_probs = jax.jit(run)(key, cs)
+    else:
+        from jax.sharding import PartitionSpec as P
+        from mcmc_tpu.parallel import CHAIN_AXIS, shard_chains, shard_map_fn
+
+        def lead(leaf):
+            nd = jnp.ndim(leaf)
+            return P() if nd == 0 else P(CHAIN_AXIS, *([None] * (nd - 1)))
+
+        cs = shard_chains(cs, mesh)
+        cs_specs = jax.tree.map(lead, cs)
+
+        def inner(key, cs):
+            key = random.fold_in(key, lax.axis_index(CHAIN_AXIS))
+            return run(key, cs)
+
+        cs, samples, log_probs = jax.jit(shard_map_fn(
+            inner, mesh,
+            in_specs=(P(), cs_specs),
+            out_specs=(cs_specs, P(None, CHAIN_AXIS, None),
+                       P(None, CHAIN_AXIS))))(key, cs)
     sample_ns = ns[burn_in:]
     extra = {
         "total_leapfrogs": int(sample_ns.sum()),
@@ -427,6 +464,9 @@ def run_chees_warmup(
     if mesh is not None:
         from mcmc_tpu.parallel import CHAIN_AXIS
         axis_name = CHAIN_AXIS
+        if n_chains % mesh.devices.size:
+            raise ValueError(f"n_chains {n_chains} not divisible by mesh "
+                             f"size {mesh.devices.size}")
 
     def _pmean(x):
         return x if axis_name is None else lax.pmean(x, axis_name)
@@ -494,11 +534,53 @@ def run_chees_warmup(
         return (key, cs, da, ch, wf, accumulate), (
             jnp.mean(accepts), jnp.mean(log_ts), jnp.mean(ns.astype(pos_dtype)))
 
-    @jax.jit
-    def run_window(key, cs, da, ch, wf, accumulate, jitter):
+    def _window_core(key, cs, da, ch, wf, accumulate, jitter):
         (key, cs, da, ch, wf, _), trace = lax.scan(
             batch_body, (key, cs, da, ch, wf, accumulate), jitter)
         return key, cs, da, ch, wf, trace
+
+    def _wf_specs(wf):
+        """_WF partition specs: inv_mass is (n_dim,) and REPLICATED (it is a
+        metric, not per-chain data); Welford mean/m2 shard their chain axis,
+        the count scalar replicates."""
+        from jax.sharding import PartitionSpec as P
+        from mcmc_tpu.parallel import CHAIN_AXIS
+
+        def lead(leaf):
+            nd = jnp.ndim(leaf)
+            return P() if nd == 0 else P(CHAIN_AXIS, *([None] * (nd - 1)))
+        return _WF(inv_mass=P(), state=jax.tree.map(lead, wf.state))
+
+    if mesh is None:
+        run_window = jax.jit(_window_core)
+    else:
+        from jax.sharding import PartitionSpec as P
+        from mcmc_tpu.parallel import CHAIN_AXIS, shard_map_fn
+
+        @jax.jit
+        def run_window(keys, cs, da, ch, wf, accumulate, jitter):
+            def lead(leaf):
+                nd = jnp.ndim(leaf)
+                return (P() if nd == 0
+                        else P(CHAIN_AXIS, *([None] * (nd - 1))))
+            kspec = P(CHAIN_AXIS, None)
+            cs_specs = jax.tree.map(lead, cs)
+            rep = lambda tree: jax.tree.map(lambda _: P(), tree)
+            common = (kspec, cs_specs, rep(da), rep(ch), _wf_specs(wf))
+            in_specs = common + (P(), P())
+            # trace stats are psum/pmean'd globally inside step_body, and
+            # the DA/ChEES states see only those global statistics — both
+            # stay bit-identical (replicated) on every device
+            out_specs = common + (rep((0.0, 0.0, 0.0)),)
+
+            def inner(keys, cs, da, ch, wf, accumulate, jitter):
+                key, cs, da, ch, wf, trace = _window_core(
+                    keys[0], cs, da, ch, wf, accumulate, jitter)
+                return keys.at[0].set(key), cs, da, ch, wf, trace
+
+            return shard_map_fn(inner, mesh, in_specs=in_specs,
+                                out_specs=out_specs)(
+                keys, cs, da, ch, wf, accumulate, jitter)
 
     # --- initial state ----------------------------------------------------
     da = da_init(initial_step)
@@ -508,6 +590,17 @@ def run_chees_warmup(
                           value_and_grad_fn, needs_grad=True)
     wf = _WF(inv_mass=jnp.ones(n_dim, dtype=pos_dtype),
              state=welford_init((n_chains, n_dim)))
+    if mesh is not None:
+        # distinct per-device key streams, carried sharded over the mesh
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+        from mcmc_tpu.parallel import CHAIN_AXIS, shard_chains, replicate
+        key = jax.device_put(
+            random.split(key, mesh.devices.size),
+            NamedSharding(mesh, P(CHAIN_AXIS, None)))
+        cs = shard_chains(cs, mesh)
+        wf = _WF(inv_mass=replicate(wf.inv_mass, mesh),
+                 state=shard_chains(wf.state, mesh))
 
     if ("exploration_steps" in kwargs or "adaptation_windows" in kwargs
             or "cooldown_steps" in kwargs):
@@ -536,7 +629,11 @@ def run_chees_warmup(
         window_len = end_idx - start_idx
         accumulate = phase == "adaptation" and learn_mass_matrix
         if accumulate:
-            wf = wf._replace(state=welford_init((n_chains, n_dim)))
+            fresh = welford_init((n_chains, n_dim))
+            if mesh is not None:
+                from mcmc_tpu.parallel import shard_chains
+                fresh = shard_chains(fresh, mesh)
+            wf = wf._replace(state=fresh)
         num_batches = max(1, window_len // update_freq)
         samples_per_batch = window_len // num_batches
         jitter = jnp.asarray(
@@ -582,7 +679,7 @@ def run_chees_warmup(
     if friction_schedule is not None and kwargs.get("tune_gamma", True):
         from mcmc_tpu.tuning.sequential import sequential_tune_grahmc
         step_size, tuned_gamma, steepness, _hist = sequential_tune_grahmc(
-            key=random.fold_in(key, 999),
+            key=random.fold_in(key[0] if mesh is not None else key, 999),
             log_prob_fn=target_log_prob,
             grad_log_prob_fn=target_grad_log_prob,
             init_position=position,
@@ -596,6 +693,9 @@ def run_chees_warmup(
             value_and_grad_fn=value_and_grad_fn,
             steepness=steepness,
             verbose=verbose,
+            # under a mesh the DA/ESJD probes run shard_mapped per device
+            # with pmean'd feedback (same contract as the windowed warmup)
+            mesh=mesh,
         )
         step_size = float(step_size)
         num_steps = int(max(1, round(trajectory_length / step_size)))

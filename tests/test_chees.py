@@ -307,3 +307,61 @@ def test_scale_default_schedule_budgets():
     # the 2500 budget reproduces the Stan-style default exactly
     assert scale_default_schedule(2500) == (500, [25, 50, 100, 200, 500,
                                                   1000], 125)
+
+
+# ----------------------------------------------------------------------------
+# Mesh (multi-chip) paths — 8 virtual CPU devices via conftest
+# ----------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_chees_warmup_under_mesh_converges():
+    """run_chees_warmup(mesh=...) shard_maps the window scans (cross-chain
+    criterion moments psum'd over the mesh axis); the tuned T on N(0, I)
+    must still land near the quarter-period optimum and the mass matrix
+    near identity — same contract as the single-device convergence test."""
+    from mcmc_tpu.parallel import make_mesh, shard_chains
+
+    t = get_target("standard_normal", dim=8)
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    init = shard_chains(
+        random.normal(random.PRNGKey(1), (256, 8)) * 0.5, mesh)
+    step, inv_mass, pos, info = run_chees_warmup(
+        "hmc", t.log_prob_fn, None, init, random.PRNGKey(0),
+        num_warmup=1000, value_and_grad_fn=t.value_and_grad_fn,
+        exploration_steps=200, adaptation_windows=[25, 50, 100, 200, 300],
+        cooldown_steps=125, mesh=mesh)
+    assert 1.0 < info["trajectory_length"] < 2.3
+    assert not info["max_steps_cap_hit"]
+    assert np.mean(info["accept_history"][-3:]) == pytest.approx(0.651,
+                                                                 abs=0.08)
+    assert pos.shape == (256, 8) and np.isfinite(np.asarray(pos)).all()
+    assert np.allclose(np.asarray(inv_mass), 1.0, atol=0.15)
+
+
+@pytest.mark.slow
+def test_chees_run_under_mesh_moments_and_sharding():
+    """chees_run(mesh=...) shard_maps the jittered sampling scan: the full
+    sharded history has correct posterior moments, the realized leapfrog
+    stream is the replicated host-side one, and the output history is
+    chain-sharded over the mesh."""
+    from mcmc_tpu.parallel import CHAIN_AXIS, make_mesh, shard_chains
+    from mcmc_tpu.tuning.chees import chees_run
+
+    dim = 6
+    t = get_target("standard_normal", dim=dim)
+    mesh = make_mesh()
+    init = shard_chains(random.normal(random.PRNGKey(2), (128, dim)), mesh)
+    res = chees_run(random.PRNGKey(3), t.log_prob_fn, init, step_size=0.45,
+                    trajectory_length=float(np.pi / 2), num_samples=400,
+                    burn_in=100, value_and_grad_fn=t.value_and_grad_fn,
+                    backend="xla", mesh=mesh)
+    assert res.samples.shape == (400, 128, dim)
+    spec = res.samples.sharding.spec
+    assert CHAIN_AXIS in tuple(spec), spec
+    ns = res.info["num_steps_per_draw"]
+    assert res.info["total_leapfrogs"] == int(ns.sum())
+    s = np.asarray(res.samples).reshape(-1, dim)
+    assert abs(s.mean()) < 0.05
+    assert abs(s.var() - 1.0) < 0.1
+    assert 0.5 < float(res.accept_rate.mean()) <= 1.0

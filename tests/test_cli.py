@@ -486,3 +486,23 @@ def test_run_all_benchmarks_chees_tuner_e2e(tmp_path):
     df2 = run_all_benchmarks(**kw)
     results = json.loads((tmp_path / "benchmark_results.json").read_text())
     assert len(results) == 1
+
+
+@pytest.mark.slow
+def test_run_all_benchmarks_chees_tuner_mesh_e2e(tmp_path):
+    """--trajectory-tuner chees composes with --mesh: the warmup windows
+    and the jittered sampling run shard_mapped over the 8-device CPU mesh
+    (no grid fallback), and the row carries the chees products."""
+    kw = dict(samplers=["hmc"], targets=["standard_normal"],
+              grahmc_schedules=["constant"], dim=3, n_chains=16,
+              num_warmup=120, num_samples=150, seed=0,
+              output_dir=str(tmp_path), trajectory_tuner="chees",
+              mesh_devices=8, warmup_cache=False)
+    df = run_all_benchmarks(**kw)
+    assert len(df) == 1
+    row = df.iloc[0]
+    assert row["trajectory_tuner"] == "chees"
+    assert "chees_fell_back" not in df.columns
+    assert row["chees_trajectory_length"] > 0
+    assert row["n_gradients"] > 0
+    assert bool(row["usable"])

@@ -180,3 +180,39 @@ def plot_w2_convergence(convergence_traces: Dict[str, List[Dict]],
     ax.legend()
     ax.grid(alpha=0.3, which="both")
     _finish(fig, output_file)
+
+
+def plot_chees_history(info: Dict, sampler_name: str = "HMC",
+                       output_file: Optional[str] = None):
+    """ChEES adaptation traces from a run_chees_warmup info dict: the
+    tuned trajectory length exp(log T) with its final (Polyak-averaged)
+    value, the realized mean leapfrog counts, and the per-batch acceptance
+    against the jittered-HMC target. No reference counterpart (the
+    reference selects L by grid search); companion to plot_tuning_history."""
+    log_t = info.get("log_t_history")
+    if log_t is None:
+        raise ValueError("info has no 'log_t_history' — not a ChEES warmup "
+                         f"info dict; keys: {sorted(info)}")
+    fig, axes = plt.subplots(3, 1, figsize=(10, 10.5), sharex=True)
+    it = np.arange(1, len(log_t) + 1)
+    axes[0].plot(it, np.exp(log_t), lw=1.5)
+    final_t = info.get("trajectory_length")
+    if final_t is not None:
+        axes[0].axhline(final_t, color="red", ls="--", alpha=0.7,
+                        label=f"tuned T = {final_t:.3f}"
+                              f" (L = {info.get('num_steps')})")
+        axes[0].legend()
+    axes[0].set_ylabel("trajectory length T")
+    axes[0].set_yscale("log")
+    axes[0].set_title(f"{sampler_name} ChEES adaptation history")
+    axes[1].plot(it, info["mean_leapfrogs_history"], color="purple", lw=1.5)
+    axes[1].set_ylabel("mean leapfrogs / draw")
+    axes[2].plot(it, info["accept_history"], color="green", lw=1.5)
+    target = info.get("target_accept")
+    if target is not None:
+        axes[2].axhline(target, color="red", ls="--", alpha=0.7,
+                        label=f"target {target}")
+        axes[2].legend()
+    axes[2].set_ylabel("acceptance")
+    axes[2].set_xlabel("DA batch")
+    _finish(fig, output_file)

@@ -365,3 +365,41 @@ def test_chees_run_under_mesh_moments_and_sharding():
     assert abs(s.mean()) < 0.05
     assert abs(s.var() - 1.0) < 0.1
     assert 0.5 < float(res.accept_rate.mean()) <= 1.0
+
+
+@pytest.mark.slow
+def test_chees_run_pallas_under_mesh_interpret():
+    """The quantized-jitter Pallas backend composes with the mesh: each
+    device lax.switches into fused kernels built at its LOCAL chain width
+    (pallas_call is opaque to GSPMD — this is the path a multi-chip TPU
+    CLI run takes for the sampling phase). Interpreter mode on CPU."""
+    from mcmc_tpu.parallel import make_mesh, shard_chains
+    from mcmc_tpu.tuning.chees import chees_run
+
+    t = get_target("standard_normal", dim=4)
+    mesh = make_mesh()
+    init = shard_chains(
+        random.normal(random.PRNGKey(4), (32, 4)).astype(jnp.float32), mesh)
+    res = chees_run(random.PRNGKey(5), t.log_prob_fn, init, step_size=0.4,
+                    trajectory_length=1.6, num_samples=24,
+                    value_and_grad_fn=t.value_and_grad_fn,
+                    backend="pallas", jitter_levels=3, mesh=mesh)
+    assert res.samples.shape == (24, 32, 4)
+    ns = res.info["num_steps_per_draw"]
+    assert set(np.unique(ns).tolist()) <= set(res.info["jitter_level_steps"])
+    assert np.isfinite(np.asarray(res.samples)).all()
+    assert 0.0 < float(res.accept_rate.mean()) <= 1.0
+
+
+def test_plot_chees_history(tmp_path):
+    from mcmc_tpu.tuning.plots import plot_chees_history
+    info = {"log_t_history": list(np.linspace(-1.8, 0.45, 25)),
+            "mean_leapfrogs_history": list(np.linspace(1, 9, 25)),
+            "accept_history": list(0.65 + 0.1 * np.sin(np.arange(25))),
+            "trajectory_length": 1.57, "num_steps": 7,
+            "target_accept": 0.651}
+    out = tmp_path / "chees.png"
+    plot_chees_history(info, "HMC", str(out))
+    assert out.exists() and out.stat().st_size > 5000
+    with pytest.raises(ValueError):
+        plot_chees_history({"accept_history": []})

@@ -666,6 +666,12 @@ def run_chees_warmup(
     # phase (where step size and mass matrix are frozen) instead.
     log_t_final = (float(np.mean(final_phase_log_ts))
                    if final_phase_log_ts else float(ch.log_t))
+    # Cap detection BEFORE the clip (and before any phase-3 step retune,
+    # which would otherwise mask a runaway by shifting round(T/step) back
+    # under max_steps — and, conversely, flag a legitimate T that merely
+    # rounds to max_steps): the criterion ran away iff the raw averaged
+    # iterate sits at/above the cap.
+    max_steps_cap_hit = bool(np.exp(log_t_final) >= max_steps * step_size)
     trajectory_length = float(np.clip(np.exp(log_t_final),
                                       step_size, max_steps * step_size))
     num_steps = int(max(1, round(trajectory_length / step_size)))
@@ -678,6 +684,15 @@ def run_chees_warmup(
     tuned_gamma = gamma if friction_schedule is not None else None
     if friction_schedule is not None and kwargs.get("tune_gamma", True):
         from mcmc_tpu.tuning.sequential import sequential_tune_grahmc
+        # same backend resolution as run_adaptive_warmup: fused Pallas
+        # probes on TPU when the target has a kernel specialization
+        seq_backend = "xla"
+        if jax.default_backend() == "tpu":
+            info_tag = getattr(value_and_grad_fn, "pallas_info", None)
+            if info_tag is not None:
+                from mcmc_tpu.ops.padded_targets import PALLAS_FAMILIES
+                if info_tag["family"] in PALLAS_FAMILIES:
+                    seq_backend = "pallas"
         step_size, tuned_gamma, steepness, _hist = sequential_tune_grahmc(
             key=random.fold_in(key[0] if mesh is not None else key, 999),
             log_prob_fn=target_log_prob,
@@ -693,6 +708,7 @@ def run_chees_warmup(
             value_and_grad_fn=value_and_grad_fn,
             steepness=steepness,
             verbose=verbose,
+            backend=seq_backend,
             # under a mesh the DA/ESJD probes run shard_mapped per device
             # with pmean'd feedback (same contract as the windowed warmup)
             mesh=mesh,
@@ -708,7 +724,7 @@ def run_chees_warmup(
         "log_t_history": log_t_trace,
         "mean_leapfrogs_history": mean_n_trace,
         "halton_offset": halton_offset,
-        "max_steps_cap_hit": num_steps >= max_steps,
+        "max_steps_cap_hit": max_steps_cap_hit,
         "target_accept": target_accept,
     }
     if friction_schedule is not None:

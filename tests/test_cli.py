@@ -506,3 +506,46 @@ def test_run_all_benchmarks_chees_tuner_mesh_e2e(tmp_path):
     assert row["chees_trajectory_length"] > 0
     assert row["n_gradients"] > 0
     assert bool(row["usable"])
+
+
+def test_chees_cap_hit_returns_before_sampling(monkeypatch):
+    """A cap-hit ChEES warmup must return its verdict WITHOUT paying
+    Phase 2-4 (sampling/diagnostics/W2) — run_all_benchmarks discards the
+    result and falls back to the grid anyway (review finding)."""
+    import mcmc_tpu.tuning.chees as chees_mod
+
+    def fake_warmup(sampler, lp, glp, init_pos, key, **kw):
+        return 0.1, None, init_pos, {
+            "trajectory_length": 25.6, "num_steps": 256,
+            "max_steps_cap_hit": True, "halton_offset": 0}
+
+    monkeypatch.setattr(chees_mod, "run_chees_warmup", fake_warmup)
+    t = get_target("standard_normal", dim=3)
+    r = run_single_benchmark_with_L(
+        "hmc", t, "standard_normal", random.PRNGKey(7), n_chains=4,
+        num_warmup=100, num_samples=100000, schedule_type="constant",
+        num_steps=0, trajectory_tuner="chees")
+    assert r["chees_cap_hit"] is True
+    assert r["trajectory_tuner"] == "chees"
+    assert "ess_bulk_min" not in r        # no diagnostics ran
+    assert "sample_time" not in r         # no sampling ran
+
+
+@pytest.mark.slow
+def test_trajectory_tuner_flag_does_not_break_nuts_warmup_cache(tmp_path):
+    """trajectory_tuner='chees' only applies to trajectory samplers: a
+    NUTS call carrying the flag must keep its L-independent cache key and
+    RESTORE its checkpoint on re-entry instead of re-paying warmup
+    (review finding: the stale-checkpoint check used to discard every
+    NUTS checkpoint because its warmup_info has no trajectory_length)."""
+    t = get_target("standard_normal", dim=3)
+    kw = dict(n_chains=4, num_warmup=200, num_samples=100,
+              schedule_type="constant", num_steps=8,
+              warmup_cache_dir=str(tmp_path), trajectory_tuner="chees")
+    r1 = run_single_benchmark_with_L(
+        "nuts", t, "standard_normal", random.PRNGKey(8), **kw)
+    assert r1.get("error") is None and r1["warmup_restored"] is False
+    r2 = run_single_benchmark_with_L(
+        "nuts", t, "standard_normal", random.PRNGKey(8), **kw)
+    assert r2.get("error") is None
+    assert r2["warmup_restored"] is True, "NUTS checkpoint must be restored"

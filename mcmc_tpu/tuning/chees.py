@@ -478,7 +478,7 @@ def run_chees_warmup(
 
     def step_body(carry, xs):
         key, cs, da, ch, wf, accumulate = carry
-        h = xs
+        h, live = xs
         eps = da_step_size(da).astype(pos_dtype)
         e_dtype = cs.log_prob.dtype
         T = jnp.clip(jnp.exp(ch.log_t).astype(pos_dtype),
@@ -503,7 +503,12 @@ def run_chees_warmup(
         g = chees_log_t_grad(cs.position, q1, p1, h.astype(pos_dtype), T,
                              alpha.astype(pos_dtype), inv_mass,
                              axis_name=axis_name)
-        ch = chees_update(ch, g, lr=adam_lr)
+        # `live` masks the uniform-shape batch padding: a dead step is
+        # still a valid (1-leapfrog, h=0) MH transition for the chains,
+        # but it must not advance the adaptation (ChEES/Adam count,
+        # Welford, the batch acceptance statistic)
+        ch_new = chees_update(ch, g, lr=adam_lr)
+        ch = jax.tree.map(lambda a, b: jnp.where(live, a, b), ch_new, ch)
 
         u = random.uniform(k_acc, (cs.position.shape[0],), dtype=e_dtype)
         accept = jnp.log(u) < log_alpha
@@ -515,7 +520,7 @@ def run_chees_warmup(
             divergence_count=cs.divergence_count + divergent.astype(jnp.int32),
         )
         wf = wf._replace(state=lax.cond(
-            accumulate,
+            jnp.logical_and(accumulate, live),
             lambda s: welford_update(s, cs.position),
             lambda s: s, wf.state))
         accept_stat = _pmean(jnp.mean(alpha))
@@ -526,17 +531,22 @@ def run_chees_warmup(
         inv_mass: Array
         state: object
 
-    def batch_body(carry, xs):
-        key, cs, da, ch, wf, accumulate = carry
-        (key, cs, da, ch, wf, accumulate), (accepts, ns, log_ts) = lax.scan(
-            step_body, (key, cs, da, ch, wf, accumulate), xs)
-        da = da_update(da, jnp.mean(accepts), target_accept)
-        return (key, cs, da, ch, wf, accumulate), (
-            jnp.mean(accepts), jnp.mean(log_ts), jnp.mean(ns.astype(pos_dtype)))
-
-    def _window_core(key, cs, da, ch, wf, accumulate, jitter):
-        (key, cs, da, ch, wf, _), trace = lax.scan(
-            batch_body, (key, cs, da, ch, wf, accumulate), jitter)
+    def _batch_core(key, cs, da, ch, wf, accumulate, jitter, mask):
+        """One DA batch at the UNIFORM shape (update_freq,): every window
+        is stepped in fixed-width batches (short windows / remainders are
+        padded with masked steps), so the whole warmup compiles exactly ONE
+        program per process instead of one per distinct window geometry —
+        through the remote-TPU tunnel each extra shape costs ~40-100s of
+        XLA compilation, which dominated the measured warmup wall-clock."""
+        (key, cs, da, ch, wf, _), (alphas, ns, log_ts) = lax.scan(
+            step_body, (key, cs, da, ch, wf, accumulate), (jitter, mask))
+        w = mask.astype(alphas.dtype)
+        wsum = jnp.maximum(jnp.sum(w), 1.0)
+        acc_mean = jnp.sum(alphas * w) / wsum
+        da = da_update(da, acc_mean, target_accept)
+        trace = (acc_mean,
+                 jnp.sum(log_ts * w.astype(log_ts.dtype)) / wsum,
+                 jnp.sum(ns.astype(pos_dtype) * w.astype(pos_dtype)) / wsum)
         return key, cs, da, ch, wf, trace
 
     def _wf_specs(wf):
@@ -552,13 +562,13 @@ def run_chees_warmup(
         return _WF(inv_mass=P(), state=jax.tree.map(lead, wf.state))
 
     if mesh is None:
-        run_window = jax.jit(_window_core)
+        run_batch = jax.jit(_batch_core)
     else:
         from jax.sharding import PartitionSpec as P
         from mcmc_tpu.parallel import CHAIN_AXIS, shard_map_fn
 
         @jax.jit
-        def run_window(keys, cs, da, ch, wf, accumulate, jitter):
+        def run_batch(keys, cs, da, ch, wf, accumulate, jitter, mask):
             def lead(leaf):
                 nd = jnp.ndim(leaf)
                 return (P() if nd == 0
@@ -567,20 +577,20 @@ def run_chees_warmup(
             cs_specs = jax.tree.map(lead, cs)
             rep = lambda tree: jax.tree.map(lambda _: P(), tree)
             common = (kspec, cs_specs, rep(da), rep(ch), _wf_specs(wf))
-            in_specs = common + (P(), P())
+            in_specs = common + (P(), P(), P())
             # trace stats are psum/pmean'd globally inside step_body, and
             # the DA/ChEES states see only those global statistics — both
             # stay bit-identical (replicated) on every device
             out_specs = common + (rep((0.0, 0.0, 0.0)),)
 
-            def inner(keys, cs, da, ch, wf, accumulate, jitter):
-                key, cs, da, ch, wf, trace = _window_core(
-                    keys[0], cs, da, ch, wf, accumulate, jitter)
+            def inner(keys, cs, da, ch, wf, accumulate, jitter, mask):
+                key, cs, da, ch, wf, trace = _batch_core(
+                    keys[0], cs, da, ch, wf, accumulate, jitter, mask)
                 return keys.at[0].set(key), cs, da, ch, wf, trace
 
             return shard_map_fn(inner, mesh, in_specs=in_specs,
                                 out_specs=out_specs)(
-                keys, cs, da, ch, wf, accumulate, jitter)
+                keys, cs, da, ch, wf, accumulate, jitter, mask)
 
     # --- initial state ----------------------------------------------------
     da = da_init(initial_step)
@@ -625,6 +635,7 @@ def run_chees_warmup(
     halton_offset = 0
     accept_trace, log_t_trace, mean_n_trace = [], [], []
     final_phase_log_ts = []
+    B = max(1, int(update_freq))
     for start_idx, end_idx, phase in schedule:
         window_len = end_idx - start_idx
         accumulate = phase == "adaptation" and learn_mass_matrix
@@ -634,20 +645,26 @@ def run_chees_warmup(
                 from mcmc_tpu.parallel import shard_chains
                 fresh = shard_chains(fresh, mesh)
             wf = wf._replace(state=fresh)
-        num_batches = max(1, window_len // update_freq)
-        samples_per_batch = window_len // num_batches
-        jitter = jnp.asarray(
-            halton_sequence(num_batches * samples_per_batch, halton_offset)
-            .reshape(num_batches, samples_per_batch), pos_dtype)
-        halton_offset += num_batches * samples_per_batch
-
-        key, cs, da, ch, wf, (accepts, log_ts, mean_ns) = run_window(
-            key, cs, da, ch, wf, jnp.asarray(accumulate), jitter)
-        accept_trace.extend(float(a) for a in accepts)
-        log_t_trace.extend(float(t) for t in log_ts)
-        mean_n_trace.extend(float(x) for x in mean_ns)
-        if phase == "cooldown":
-            final_phase_log_ts.extend(float(t) for t in log_ts)
+        # fixed-width DA batches: short windows and remainders pad with
+        # masked steps (one program per process — see _batch_core). A
+        # window not divisible by B gets one extra DA update on its
+        # remainder batch; each update still sees only real-step stats.
+        remaining = window_len
+        while remaining > 0:
+            n_real = min(B, remaining)
+            remaining -= n_real
+            row = np.zeros(B, dtype=np.float64)
+            row[:n_real] = halton_sequence(n_real, halton_offset)
+            halton_offset += n_real
+            live = np.arange(B) < n_real
+            key, cs, da, ch, wf, (acc, log_t, mean_n) = run_batch(
+                key, cs, da, ch, wf, jnp.asarray(accumulate),
+                jnp.asarray(row, pos_dtype), jnp.asarray(live))
+            accept_trace.append(float(acc))
+            log_t_trace.append(float(log_t))
+            mean_n_trace.append(float(mean_n))
+            if phase == "cooldown":
+                final_phase_log_ts.append(float(log_t))
 
         if accumulate:
             variance = chain_averaged_variance(wf.state)

@@ -24,6 +24,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax, random
 
 from mcmc_tpu.samplers.base import make_value_and_grad, init_chain_state
@@ -305,37 +306,35 @@ def _shard_warmup_state(mesh, keys, chain_state, welford, state_chain_axis):
             put(welford, _state_pspec(welford, "leading")))
 
 
-def _make_sharded_window_runner(mesh, window_body, state_chain_axis):
-    """shard_map wrapper around one warmup window: each device scans its
-    local chain shard (fused kernels included — pallas_call is opaque to
-    GSPMD); the DA state is replicated and stays bit-identical everywhere
-    because the accept statistics inside `window_body` are psum'd globally."""
+def _make_sharded_window_runner(mesh, batch_body, state_chain_axis):
+    """shard_map wrapper around one fixed-width warmup batch: each device
+    scans its local chain shard (fused kernels included — pallas_call is
+    opaque to GSPMD); the DA state is replicated and stays bit-identical
+    everywhere because the accept statistics inside `batch_body` are psum'd
+    globally. The step mask is replicated (same padding on every device)."""
     from jax.sharding import PartitionSpec as P
     from mcmc_tpu.parallel import CHAIN_AXIS, shard_map_fn
 
-    @partial(jax.jit, static_argnames=("num_batches", "samples_per_batch",
-                                       "accumulate"))
-    def run_window(keys, chain_state, da_state, welford, inv_mass,
-                   num_batches: int, samples_per_batch: int,
-                   accumulate: bool):
+    @partial(jax.jit, static_argnames=("accumulate",))
+    def run_batch(keys, chain_state, da_state, welford, inv_mass, mask,
+                  accumulate: bool):
         kspec = P(CHAIN_AXIS, *([None] * (jnp.ndim(keys) - 1)))
         state_specs = _state_pspec(chain_state, state_chain_axis)
         wf_specs = _state_pspec(welford, "leading")
         da_specs = jax.tree.map(lambda _: P(), da_state)
         common = (kspec, state_specs, da_specs, wf_specs)
-        in_specs = common + (P(),)
-        out_specs = common + (P(),)      # batch_accepts: global, replicated
+        in_specs = common + (P(), P())
+        out_specs = common + (P(),)      # batch accept stat: replicated
 
-        def inner(keys, cs, da, wf, im):
-            key, cs, da, wf, batch_accepts = window_body(
-                keys[0], cs, da, wf, im, num_batches, samples_per_batch,
-                accumulate)
-            return key[None], cs, da, wf, batch_accepts
+        def inner(keys, cs, da, wf, im, mask):
+            key, cs, da, wf, acc = batch_body(
+                keys[0], cs, da, wf, im, mask, accumulate)
+            return key[None], cs, da, wf, acc
 
         return shard_map_fn(inner, mesh, in_specs=in_specs,
                             out_specs=out_specs)(
-            keys, chain_state, da_state, welford, inv_mass)
-    return run_window
+            keys, chain_state, da_state, welford, inv_mass, mask)
+    return run_batch
 
 
 def run_adaptive_warmup(
@@ -397,41 +396,44 @@ def run_adaptive_warmup(
         schedule_type, gamma, steepness, backend, axis_name=axis_name,
         n_shards=1 if mesh is None else mesh.devices.size)
 
-    def _window_body(key, chain_state, da_state, welford, inv_mass,
-                     num_batches, samples_per_batch, accumulate):
-        """One warmup window fully on device: scan over DA batches."""
-        def batch_body(carry, _):
-            key, cs, da, wf = carry
-            step_size = da_step_size(da)
+    def _batch_body(key, chain_state, da_state, welford, inv_mass, mask,
+                    accumulate):
+        """One DA batch at the UNIFORM shape (update_freq,), fully on
+        device. Every window is stepped in fixed-width batches (short
+        windows and remainders pad with masked steps), so the whole warmup
+        compiles exactly TWO programs per process (accumulate on/off)
+        instead of one per distinct window geometry — through the
+        remote-TPU tunnel each extra shape costs ~40-100s of XLA
+        compilation, which dominated measured warmup wall-clock. A masked
+        step still advances the chains (a valid transition, excluded from
+        the DA/Welford statistics)."""
+        step_size = da_step_size(da_state)
 
-            def step_body(inner, _):
-                k, s, w = inner
-                k, s, accept_stat = step_fn(k, s, step_size, inv_mass)
-                if accumulate:
-                    w = welford_update(w, get_position(s))
-                return (k, s, w), accept_stat
+        def step_body(inner, live):
+            k, s, w = inner
+            k, s, accept_stat = step_fn(k, s, step_size, inv_mass)
+            if accumulate:
+                w_new = welford_update(w, get_position(s))
+                w = jax.tree.map(
+                    lambda a, b: jnp.where(live, a, b), w_new, w)
+            return (k, s, w), accept_stat
 
-            (key, cs, wf), accepts = lax.scan(
-                step_body, (key, cs, wf), length=samples_per_batch)
-            da = da_update(da, jnp.mean(accepts), target_accept)
-            return (key, cs, da, wf), jnp.mean(accepts)
-
-        (key, chain_state, da_state, welford), batch_accepts = lax.scan(
-            batch_body, (key, chain_state, da_state, welford),
-            length=num_batches)
-        return key, chain_state, da_state, welford, batch_accepts
+        (key, chain_state, welford), accepts = lax.scan(
+            step_body, (key, chain_state, welford), mask)
+        w = mask.astype(accepts.dtype)
+        acc = jnp.sum(accepts * w) / jnp.maximum(jnp.sum(w), 1.0)
+        da_state = da_update(da_state, acc, target_accept)
+        return key, chain_state, da_state, welford, acc
 
     if mesh is None:
-        @partial(jax.jit, static_argnames=("num_batches", "samples_per_batch",
-                                           "accumulate"))
-        def run_window(key, chain_state, da_state, welford, inv_mass,
-                       num_batches: int, samples_per_batch: int,
-                       accumulate: bool):
-            return _window_body(key, chain_state, da_state, welford, inv_mass,
-                                num_batches, samples_per_batch, accumulate)
+        @partial(jax.jit, static_argnames=("accumulate",))
+        def run_batch(key, chain_state, da_state, welford, inv_mass, mask,
+                      accumulate: bool):
+            return _batch_body(key, chain_state, da_state, welford,
+                               inv_mass, mask, accumulate)
     else:
-        run_window = _make_sharded_window_runner(
-            mesh, _window_body, state_chain_axis)
+        run_batch = _make_sharded_window_runner(
+            mesh, _batch_body, state_chain_axis)
 
     # --- initial state ---------------------------------------------------
     initial_step = 0.5 / float(jnp.sqrt(n_dim))
@@ -459,20 +461,25 @@ def run_adaptive_warmup(
 
     accept_trace = []
     # --- windowed adaptation ---------------------------------------------
+    # fixed-width DA batches (see _batch_body). A window not divisible by
+    # update_freq gets one extra DA update on its remainder batch; each
+    # update still sees only real-step statistics.
+    B = max(1, int(update_freq))
     for start_idx, end_idx, phase in schedule:
         window_len = end_idx - start_idx
         accumulate = phase == "adaptation" and learn_mass_matrix
         if accumulate:
             welford = welford_init((n_chains, n_dim))
 
-        num_batches = max(1, window_len // update_freq)
-        samples_per_batch = window_len // num_batches
-
-        key, chain_state, da_state, welford, batch_accepts = run_window(
-            key, chain_state, da_state, welford, inv_mass,
-            num_batches=num_batches, samples_per_batch=samples_per_batch,
-            accumulate=accumulate)
-        accept_trace.extend(float(a) for a in batch_accepts)
+        remaining = window_len
+        while remaining > 0:
+            n_real = min(B, remaining)
+            remaining -= n_real
+            mask = jnp.asarray(np.arange(B) < n_real)
+            key, chain_state, da_state, welford, acc = run_batch(
+                key, chain_state, da_state, welford, inv_mass, mask,
+                accumulate=accumulate)
+            accept_trace.append(float(acc))
 
         if accumulate:
             variance = chain_averaged_variance(welford)

@@ -132,12 +132,9 @@ def _warmup(sampler, target, target_name, key, init_pos, num_warmup,
 def _resolve_backend(sampler, target) -> str:
     """'pallas' for RWMH/HMC/GRAHMC on TPU when the target has a fused kernel
     specialization, else 'xla'."""
-    import jax
-    from mcmc_tpu.ops.padded_targets import PALLAS_FAMILIES
+    from mcmc_tpu.ops.padded_targets import auto_pallas_backend
     if (sampler in ("rwmh", "hmc", "grahmc", "rahmc")
-            and jax.default_backend() == "tpu"
-            and getattr(target.value_and_grad_fn, "pallas_info", None)
-            and target.value_and_grad_fn.pallas_info["family"] in PALLAS_FAMILIES):
+            and auto_pallas_backend(target.value_and_grad_fn)):
         return "pallas"
     return "xla"
 

@@ -430,3 +430,16 @@ _BUILDERS = {
 }
 
 PALLAS_FAMILIES = tuple(_BUILDERS)
+
+
+def auto_pallas_backend(value_and_grad_fn) -> bool:
+    """True when the current backend is TPU and the target's analytic
+    value-and-grad carries pallas_info for a family with a fused-kernel
+    specialization — the shared predicate behind every backend='auto'
+    resolution (runner, windowed warmup, ChEES warmup/sampling)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return False
+    info = getattr(value_and_grad_fn, "pallas_info", None)
+    return info is not None and info["family"] in PALLAS_FAMILIES

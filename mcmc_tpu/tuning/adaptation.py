@@ -66,6 +66,23 @@ def build_schedule(
     return schedule
 
 
+def fixed_width_batches(window_len: int, batch_width: int):
+    """Yield (n_real, live_mask) fixed-width batches covering a window.
+
+    Every batch has the SAME shape (batch_width,) so the whole warmup
+    compiles one program per accumulate flag instead of one per window
+    geometry; short windows and remainders pad with masked steps (the
+    mask excludes them from the adaptation statistics). Shared by the
+    windowed and the ChEES warmup drivers. A window not divisible by
+    batch_width gets one extra DA update on its remainder batch."""
+    B = max(1, int(batch_width))
+    remaining = int(window_len)
+    while remaining > 0:
+        n_real = min(B, remaining)
+        remaining -= n_real
+        yield n_real, jnp.asarray(np.arange(B) < n_real)
+
+
 def _persistent_accept_stat(d_alpha, d_transitions, fallback=0.65,
                             axis_name=None):
     """Batch acceptance statistic from per-chain accumulator deltas.
@@ -371,13 +388,9 @@ def run_adaptive_warmup(
     start_time = time.time()
 
     if backend == "auto":
-        backend = "xla"
-        if sampler in ("grahmc", "rahmc") and jax.default_backend() == "tpu":
-            info_tag = getattr(value_and_grad_fn, "pallas_info", None)
-            if info_tag is not None:
-                from mcmc_tpu.ops.padded_targets import PALLAS_FAMILIES
-                if info_tag["family"] in PALLAS_FAMILIES:
-                    backend = "pallas"
+        from mcmc_tpu.ops.padded_targets import auto_pallas_backend
+        backend = ("pallas" if sampler in ("grahmc", "rahmc")
+                   and auto_pallas_backend(value_and_grad_fn) else "xla")
 
     if sampler in ("grahmc", "rahmc"):
         gamma = kwargs.get("gamma", 1.0)
@@ -460,26 +473,20 @@ def run_adaptive_warmup(
             print("  [mass matrix learning disabled - identity metric]")
 
     accept_trace = []
-    # --- windowed adaptation ---------------------------------------------
-    # fixed-width DA batches (see _batch_body). A window not divisible by
-    # update_freq gets one extra DA update on its remainder batch; each
-    # update still sees only real-step statistics.
-    B = max(1, int(update_freq))
+    # --- windowed adaptation (fixed-width DA batches, see _batch_body) ----
     for start_idx, end_idx, phase in schedule:
         window_len = end_idx - start_idx
         accumulate = phase == "adaptation" and learn_mass_matrix
         if accumulate:
             welford = welford_init((n_chains, n_dim))
 
-        remaining = window_len
-        while remaining > 0:
-            n_real = min(B, remaining)
-            remaining -= n_real
-            mask = jnp.asarray(np.arange(B) < n_real)
+        for _n_real, mask in fixed_width_batches(window_len, update_freq):
             key, chain_state, da_state, welford, acc = run_batch(
                 key, chain_state, da_state, welford, inv_mass, mask,
                 accumulate=accumulate)
-            accept_trace.append(float(acc))
+            # device scalar, converted after the loop: a float() here
+            # would block on a device->host round trip per batch
+            accept_trace.append(acc)
 
         if accumulate:
             variance = chain_averaged_variance(welford)
@@ -491,6 +498,7 @@ def run_adaptive_warmup(
                       f"[{float(jnp.min(inv_mass)):.4f}, {float(jnp.max(inv_mass)):.4f}]"
                       f" (n={float(welford.count):.0f}/chain)")
 
+    accept_trace = [float(a) for a in accept_trace]
     final_step_size = float(da_final_step_size(da_state))
     position = get_position(chain_state)
     if verbose:

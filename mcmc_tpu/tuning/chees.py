@@ -50,7 +50,7 @@ from mcmc_tpu.diagnostics.gates import DIVERGENCE_DELTA_H
 from mcmc_tpu.samplers.base import make_value_and_grad, init_chain_state
 from mcmc_tpu.samplers.trajectory import (
     integrate_trajectory_dynamic, kinetic_energy)
-from mcmc_tpu.tuning.adaptation import build_schedule
+from mcmc_tpu.tuning.adaptation import build_schedule, fixed_width_batches
 from mcmc_tpu.tuning.dual_averaging import (
     da_init, da_update, da_reset, da_step_size, da_final_step_size)
 from mcmc_tpu.tuning.welford import (
@@ -287,13 +287,8 @@ def chees_run(
         n_collect = n_chains if collect_chains is None else collect_chains
 
     if backend == "auto":
-        backend = "xla"
-        if jax.default_backend() == "tpu":
-            info_tag = getattr(value_and_grad_fn, "pallas_info", None)
-            if info_tag is not None:
-                from mcmc_tpu.ops.padded_targets import PALLAS_FAMILIES
-                if info_tag["family"] in PALLAS_FAMILIES:
-                    backend = "pallas"
+        from mcmc_tpu.ops.padded_targets import auto_pallas_backend
+        backend = "pallas" if auto_pallas_backend(value_and_grad_fn) else "xla"
 
     total = burn_in + num_samples
     h = halton_sequence(total, halton_offset)
@@ -634,7 +629,7 @@ def run_chees_warmup(
 
     halton_offset = 0
     accept_trace, log_t_trace, mean_n_trace = [], [], []
-    final_phase_log_ts = []
+    final_phase_log_ts, final_phase_weights = [], []
     B = max(1, int(update_freq))
     for start_idx, end_idx, phase in schedule:
         window_len = end_idx - start_idx
@@ -645,26 +640,21 @@ def run_chees_warmup(
                 from mcmc_tpu.parallel import shard_chains
                 fresh = shard_chains(fresh, mesh)
             wf = wf._replace(state=fresh)
-        # fixed-width DA batches: short windows and remainders pad with
-        # masked steps (one program per process — see _batch_core). A
-        # window not divisible by B gets one extra DA update on its
-        # remainder batch; each update still sees only real-step stats.
-        remaining = window_len
-        while remaining > 0:
-            n_real = min(B, remaining)
-            remaining -= n_real
+        for n_real, live in fixed_width_batches(window_len, B):
             row = np.zeros(B, dtype=np.float64)
             row[:n_real] = halton_sequence(n_real, halton_offset)
             halton_offset += n_real
-            live = np.arange(B) < n_real
             key, cs, da, ch, wf, (acc, log_t, mean_n) = run_batch(
                 key, cs, da, ch, wf, jnp.asarray(accumulate),
-                jnp.asarray(row, pos_dtype), jnp.asarray(live))
-            accept_trace.append(float(acc))
-            log_t_trace.append(float(log_t))
-            mean_n_trace.append(float(mean_n))
+                jnp.asarray(row, pos_dtype), live)
+            # device scalars, converted after the loop (a float() here
+            # would block on a device->host round trip per batch)
+            accept_trace.append(acc)
+            log_t_trace.append(log_t)
+            mean_n_trace.append(mean_n)
             if phase == "cooldown":
-                final_phase_log_ts.append(float(log_t))
+                final_phase_log_ts.append(log_t)
+                final_phase_weights.append(n_real)
 
         if accumulate:
             variance = chain_averaged_variance(wf.state)
@@ -677,11 +667,17 @@ def run_chees_warmup(
                       f"mass range [{float(jnp.min(inv_mass)):.4f}, "
                       f"{float(jnp.max(inv_mass)):.4f}]")
 
+    accept_trace = [float(a) for a in accept_trace]
+    log_t_trace = [float(t) for t in log_t_trace]
+    mean_n_trace = [float(x) for x in mean_n_trace]
     step_size = float(da_final_step_size(da))
     # Polyak-style iterate averaging: the final Adam iterate is a noisy
     # sample of the stochastic ascent; average log T over the cooldown
-    # phase (where step size and mass matrix are frozen) instead.
-    log_t_final = (float(np.mean(final_phase_log_ts))
+    # phase (where step size and mass matrix are frozen) instead. Batch
+    # means are weighted by their LIVE step counts so a short remainder
+    # batch does not get a full batch's weight.
+    log_t_final = (float(np.average([float(t) for t in final_phase_log_ts],
+                                    weights=final_phase_weights))
                    if final_phase_log_ts else float(ch.log_t))
     # Cap detection BEFORE the clip (and before any phase-3 step retune,
     # which would otherwise mask a runaway by shifting round(T/step) back
@@ -703,13 +699,9 @@ def run_chees_warmup(
         from mcmc_tpu.tuning.sequential import sequential_tune_grahmc
         # same backend resolution as run_adaptive_warmup: fused Pallas
         # probes on TPU when the target has a kernel specialization
-        seq_backend = "xla"
-        if jax.default_backend() == "tpu":
-            info_tag = getattr(value_and_grad_fn, "pallas_info", None)
-            if info_tag is not None:
-                from mcmc_tpu.ops.padded_targets import PALLAS_FAMILIES
-                if info_tag["family"] in PALLAS_FAMILIES:
-                    seq_backend = "pallas"
+        from mcmc_tpu.ops.padded_targets import auto_pallas_backend
+        seq_backend = ("pallas" if auto_pallas_backend(value_and_grad_fn)
+                       else "xla")
         step_size, tuned_gamma, steepness, _hist = sequential_tune_grahmc(
             key=random.fold_in(key[0] if mesh is not None else key, 999),
             log_prob_fn=target_log_prob,
@@ -732,6 +724,12 @@ def run_chees_warmup(
         )
         step_size = float(step_size)
         num_steps = int(max(1, round(trajectory_length / step_size)))
+        if num_steps > max_steps:
+            # the retuned (smaller) step pushed the equivalent leapfrog
+            # count past the cap: sampling would silently truncate every
+            # long-jitter draw (num_leapfrog_steps clips at max_steps) —
+            # report it so callers fall back to the grid (review finding)
+            max_steps_cap_hit = True
 
     info = {
         "trajectory_length": trajectory_length,

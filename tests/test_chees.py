@@ -432,3 +432,26 @@ def test_plot_chees_history(tmp_path):
     assert out.exists() and out.stat().st_size > 5000
     with pytest.raises(ValueError):
         plot_chees_history({"accept_history": []})
+
+
+def test_chees_cap_reflag_on_post_retune_overflow(monkeypatch):
+    """GRAHMC phase-3 friction tuning can RETUNE the step size smaller; if
+    the equivalent leapfrog count round(T/step_new) then overflows
+    max_steps, sampling would silently truncate every long-jitter draw —
+    the warmup must re-flag max_steps_cap_hit so callers fall back to the
+    grid (review finding: the pre-clip cap check alone missed this)."""
+    import mcmc_tpu.tuning.sequential as seq_mod
+
+    def fake_seq(**kw):
+        # a friction tuner that slashes the step by 100x
+        return kw["init_step_size"] * 0.01, 0.5, 1.0, {}
+
+    monkeypatch.setattr(seq_mod, "sequential_tune_grahmc", fake_seq)
+    t = get_target("standard_normal", dim=4)
+    init = random.normal(random.PRNGKey(1), (32, 4)) * 0.5
+    step, _, _, info = run_chees_warmup(
+        "grahmc", t.log_prob_fn, None, init, random.PRNGKey(0),
+        num_warmup=200, schedule_type="constant",
+        value_and_grad_fn=t.value_and_grad_fn, max_steps=16)
+    assert info["num_steps"] > 16
+    assert info["max_steps_cap_hit"] is True

@@ -226,3 +226,29 @@ def test_summary_table_markdown_without_tabulate(tmp_path):
     md = (tmp_path / "summary_table.md").read_text()
     assert md.startswith("| sampler")
     assert "hmc" in md and "1.001" in md
+
+
+@pytest.mark.slow
+def test_chees_tuning_example_runs(tmp_path):
+    """examples/chees_tuning.py end-to-end at a tiny budget: tunes, does
+    jittered sampling, writes the adaptation-history plot, reports sane
+    diagnostics. The subprocess pins the CPU platform via jax.config (this
+    environment's sitecustomize overrides the JAX_PLATFORMS env var)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    driver = (
+        "import sys; sys.argv = ['chees_tuning.py', '--num-warmup', '200',"
+        f" '--num-samples', '200', '--chains', '32', '--dim', '6',"
+        f" '--out', {str(tmp_path)!r}];"
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        f"exec(open({str(repo / 'examples' / 'chees_tuning.py')!r}).read())")
+    proc = subprocess.run(
+        [sys.executable, "-c", driver],
+        capture_output=True, text=True, timeout=420, cwd=str(repo))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "tuned: T=" in proc.stdout
+    assert "R-hat max=" in proc.stdout
+    assert (tmp_path / "chees_history.png").exists()

@@ -460,6 +460,54 @@ def measure_tpu():
     except Exception as e:
         print(f"[bench] RWMH row skipped: {e}", file=sys.stderr)
 
+    # ---- ChEES: cold warmup wall-clock + jittered sampling ---------------
+    # The warmup number is the compile-shape-discipline metric: the whole
+    # 2500-step adaptation compiles TWO fixed-shape batch programs
+    # (tuning/chees.py); before the uniform-batch change the same warmup
+    # measured 463.8s cold on this rig (BASELINE.md "ChEES vs the
+    # reference's L grid search").
+    try:
+        from mcmc_tpu.targets import get_target as _get_target
+        from mcmc_tpu.tuning.chees import run_chees_warmup, chees_run
+        ct = _get_target("neals_funnel_noncentered", dim=20)
+        c_chains = 2048
+        c_init = (random.normal(random.PRNGKey(40), (c_chains, 20)) * 0.5
+                  ).astype(jnp.float32)
+        t0 = time.time()
+        c_step, c_mass, c_pos, c_info = run_chees_warmup(
+            "hmc", ct.log_prob_fn, None, c_init, random.PRNGKey(41),
+            num_warmup=2500, value_and_grad_fn=ct.value_and_grad_fn)
+        float(jnp.sum(c_pos))
+        extras["chees_warmup_seconds"] = round(time.time() - t0, 1)
+        extras["chees_T"] = round(c_info["trajectory_length"], 4)
+        extras["chees_L"] = int(c_info["num_steps"])
+        # jittered sampling throughput at the tuned point (quantized fused
+        # kernels on TPU); compile warmed by a short run first
+        ckw = dict(inv_mass_matrix=c_mass, collect_chains=64,
+                   value_and_grad_fn=ct.value_and_grad_fn)
+        cres = chees_run(random.PRNGKey(42), ct.log_prob_fn, c_pos, c_step,
+                         c_info["trajectory_length"], 256, **ckw)
+        jax.block_until_ready(cres.samples)
+        cdts = []
+        for rep in range(4):
+            t0 = time.time()
+            cres = chees_run(random.PRNGKey(43 + rep), ct.log_prob_fn,
+                             c_pos, c_step, c_info["trajectory_length"],
+                             8192, halton_offset=16384 + 8192 * rep, **ckw)
+            float(jnp.sum(cres.final_state.position))
+            cdts.append(time.time() - t0)
+        cdt = sorted(cdts[1:])[len(cdts[1:]) // 2]
+        extras["chees_transitions_per_sec"] = round(c_chains * 8192 / cdt, 1)
+        extras["chees_accept"] = round(float(cres.accept_rate.mean()), 3)
+        print(f"[bench] ChEES: warmup {extras['chees_warmup_seconds']}s "
+              f"cold (T={extras['chees_T']}, L={extras['chees_L']}); "
+              f"jittered sampling "
+              f"{extras['chees_transitions_per_sec'] / 1e6:,.1f}M "
+              f"transitions/s (accept={extras['chees_accept']:.3f})",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] ChEES row skipped: {e}", file=sys.stderr)
+
     return grahmc_rate, extras, cache
 
 

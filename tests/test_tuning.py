@@ -264,3 +264,33 @@ def test_warmup_nuts_persistent_fused_path():
     assert pos.shape == (16, 4)
     assert np.all(np.isfinite(np.asarray(pos)))
     assert np.all(np.asarray(inv_mass) > 0)
+
+
+def test_warmup_compiles_two_batch_programs(caplog):
+    """Compile-shape discipline canary: the whole windowed warmup (default
+    Stan schedule scaled to 425 steps, three phases, mixed window widths)
+    must compile at most TWO run_batch programs (accumulate on/off) — one
+    per window geometry was the dominant cold-warmup cost through the
+    remote-TPU tunnel (BASELINE.md)."""
+    import logging
+    import jax
+    from mcmc_tpu.tuning import run_adaptive_warmup
+
+    t = standard_normal(5)
+    init = random.normal(random.PRNGKey(3), (8, 5)) * 0.1
+    jax.config.update("jax_log_compiles", True)
+    try:
+        with caplog.at_level(logging.WARNING,
+                             logger="jax._src.interpreters.pxla"):
+            run_adaptive_warmup(
+                "hmc", t.log_prob_fn, None, init, random.PRNGKey(0),
+                num_warmup=425, num_steps=4,
+                value_and_grad_fn=t.value_and_grad_fn,
+                exploration_steps=100, adaptation_windows=[25, 50, 125],
+                cooldown_steps=125)
+    finally:
+        jax.config.update("jax_log_compiles", False)
+    compiles = [r.message for r in caplog.records
+                if "Compiling jit(run_batch)" in r.message]
+    # the log line must exist at all (guards against silent capture break)
+    assert 1 <= len(compiles) <= 2, compiles

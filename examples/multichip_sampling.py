@@ -16,6 +16,11 @@ Three ways to go multi-chip, shown below:
    `mcmc_tpu.parallel.fused_sharded` wraps them per device
    (`grahmc_run_sharded`, `nuts_persistent_run_sharded`).
 
+The ChEES trajectory tuner composes with all of this: `--trajectory-tuner
+chees --mesh N` runs its warmup windows and jittered sampling shard_mapped
+(the criterion's cross-chain moments psum over the chain axis) — see
+examples/chees_tuning.py for the single-device walkthrough.
+
 Run on real hardware (any pod slice; the chain count must be divisible by the device count):
 
     python examples/multichip_sampling.py

@@ -294,6 +294,23 @@ def _tune_step(target, n_chains, kind, jnp, random):
     return step
 
 
+def _timed_reps(run_rep, n_reps=6):
+    """Median wall time of the last n_reps-1 calls of run_rep(rep) — the
+    first rep is dropped (still slower through the tunnel even after a
+    same-shape warm call). run_rep must force completion itself via a
+    scalar host transfer: block_until_ready alone returns before remote
+    execution finishes on this rig. Encodes the measurement conventions
+    (MEMORY: tpu-tunnel-measurement) once for every plain timed row."""
+    import time as _time
+    dts = []
+    for rep in range(n_reps):
+        t0 = _time.time()
+        run_rep(rep)
+        dts.append(_time.time() - t0)
+    tail = sorted(dts[1:])
+    return tail[len(tail) // 2]
+
+
 def _measured_ess_per_sec(samples, dt, jnp, label):
     """Min bulk-ESS over ALL collected chains (streaming), per sampling sec."""
     from mcmc_tpu.diagnostics import ess_bulk_chunked
@@ -350,17 +367,17 @@ def measure_tpu():
     res = grahmc_run(random.PRNGKey(1), target.log_prob_fn, init,
                      num_samples=TIMED_SAMPLES, **kw)
     jax.block_until_ready(res.samples)
-    # timed: median of 5 repetitions, first dropped. Completion is forced by
-    # a scalar host transfer — block_until_ready alone is unreliable through
-    # the remote-TPU tunnel (returns before execution finishes).
-    dts = []
-    for rep in range(6):
-        t0 = time.time()
-        res = grahmc_run(random.PRNGKey(2 + rep), target.log_prob_fn, init,
-                         num_samples=TIMED_SAMPLES, **kw)
-        float(jnp.sum(res.final_state.position))
-        dts.append(time.time() - t0)
-    dt = sorted(dts[1:])[len(dts[1:]) // 2]
+    # timed: median of 5 repetitions, first dropped (_timed_reps)
+    g_box = {}
+
+    def _g_rep(rep):
+        g_box["res"] = grahmc_run(random.PRNGKey(2 + rep),
+                                  target.log_prob_fn, init,
+                                  num_samples=TIMED_SAMPLES, **kw)
+        float(jnp.sum(g_box["res"].final_state.position))
+
+    dt = _timed_reps(_g_rep)
+    res = g_box["res"]
     accept = float(res.accept_rate.mean())
     grahmc_rate = TPU_CHAINS * TIMED_SAMPLES / dt
     print(f"[bench] GRAHMC TPU: {dt:.2f}s for {TIMED_SAMPLES} x {TPU_CHAINS} "
@@ -440,16 +457,15 @@ def measure_tpu():
                    value_and_grad_fn=rt.value_and_grad_fn, backend="pallas")
         rres = rwmh_run(random.PRNGKey(7), rt.log_prob_fn, r_init, **rkw)
         jax.block_until_ready(rres.samples)
-        # median of 5, first rep dropped (same convention as GRAHMC/NUTS:
-        # the first post-warmup rep is still slower through the tunnel)
-        rdts = []
-        for rep in range(6):
-            t0 = time.time()
-            rres = rwmh_run(random.PRNGKey(8 + rep), rt.log_prob_fn, r_init,
-                            **rkw)
-            float(jnp.sum(rres.final_state.position))
-            rdts.append(time.time() - t0)
-        rdt = sorted(rdts[1:])[len(rdts[1:]) // 2]
+        r_box = {}
+
+        def _r_rep(rep):
+            r_box["res"] = rwmh_run(random.PRNGKey(8 + rep), rt.log_prob_fn,
+                                    r_init, **rkw)
+            float(jnp.sum(r_box["res"].final_state.position))
+
+        rdt = _timed_reps(_r_rep)
+        rres = r_box["res"]
         extras["rwmh_chain_steps_per_sec"] = round(
             RWMH_TPU_CHAINS * RWMH_TIMED_SAMPLES / rdt, 1)
         extras["rwmh_accept"] = round(float(rres.accept_rate.mean()), 3)
@@ -462,10 +478,11 @@ def measure_tpu():
 
     # ---- ChEES: cold warmup wall-clock + jittered sampling ---------------
     # The warmup number is the compile-shape-discipline metric: the whole
-    # 2500-step adaptation compiles TWO fixed-shape batch programs
-    # (tuning/chees.py); before the uniform-batch change the same warmup
-    # measured 463.8s cold on this rig (BASELINE.md "ChEES vs the
-    # reference's L grid search").
+    # 2500-step adaptation compiles a SINGLE fixed-shape batch program
+    # (tuning/chees.py; the grid warmup compiles two — its accumulate flag
+    # is static); before the uniform-batch change the same warmup measured
+    # 463.8s cold on this rig (BASELINE.md "ChEES vs the reference's L
+    # grid search").
     try:
         from mcmc_tpu.targets import get_target as _get_target
         from mcmc_tpu.tuning.chees import run_chees_warmup, chees_run
@@ -482,21 +499,26 @@ def measure_tpu():
         extras["chees_T"] = round(c_info["trajectory_length"], 4)
         extras["chees_L"] = int(c_info["num_steps"])
         # jittered sampling throughput at the tuned point (quantized fused
-        # kernels on TPU); compile warmed by a short run first
+        # kernels on TPU). Compile warmed at the SAME draw count as the
+        # timed reps: the cached _chees_run_core is keyed on the jitter
+        # stream's SHAPE (the offset-dependent values are a traced
+        # operand), so the warm call serves every rep.
         ckw = dict(inv_mass_matrix=c_mass, collect_chains=64,
                    value_and_grad_fn=ct.value_and_grad_fn)
         cres = chees_run(random.PRNGKey(42), ct.log_prob_fn, c_pos, c_step,
-                         c_info["trajectory_length"], 256, **ckw)
+                         c_info["trajectory_length"], 8192, **ckw)
         jax.block_until_ready(cres.samples)
-        cdts = []
-        for rep in range(4):
-            t0 = time.time()
-            cres = chees_run(random.PRNGKey(43 + rep), ct.log_prob_fn,
-                             c_pos, c_step, c_info["trajectory_length"],
-                             8192, halton_offset=16384 + 8192 * rep, **ckw)
-            float(jnp.sum(cres.final_state.position))
-            cdts.append(time.time() - t0)
-        cdt = sorted(cdts[1:])[len(cdts[1:]) // 2]
+        c_box = {}
+
+        def _c_rep(rep):
+            c_box["res"] = chees_run(
+                random.PRNGKey(43 + rep), ct.log_prob_fn, c_pos, c_step,
+                c_info["trajectory_length"], 8192,
+                halton_offset=16384 + 8192 * rep, **ckw)
+            float(jnp.sum(c_box["res"].final_state.position))
+
+        cdt = _timed_reps(_c_rep, n_reps=4)
+        cres = c_box["res"]
         extras["chees_transitions_per_sec"] = round(c_chains * 8192 / cdt, 1)
         extras["chees_accept"] = round(float(cres.accept_rate.mean()), 3)
         print(f"[bench] ChEES: warmup {extras['chees_warmup_seconds']}s "

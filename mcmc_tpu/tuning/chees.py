@@ -38,6 +38,7 @@ info) tuple, with the tuned trajectory in info["trajectory_length"] /
 info["num_steps"].
 """
 
+from functools import partial
 from typing import Callable, Dict, NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -209,6 +210,105 @@ def scale_default_schedule(num_warmup: int) -> Tuple[int, list, int]:
     return exploration, windows, cooldown
 
 
+def _chees_one_step(log_prob_fn, value_and_grad_fn, backend, schedule_type,
+                    level_steps, pos_dtype):
+    """Build one_step(k, state, x, eps, gamma, steepness, inv_mass) for
+    jittered sampling: x is the per-draw leapfrog count (xla backend) or
+    the jitter-level branch index into `level_steps` (pallas backend)."""
+    friction_schedule = None
+    if schedule_type is not None:
+        from mcmc_tpu.samplers.grahmc import get_friction_schedule
+        friction_schedule = get_friction_schedule(schedule_type)
+
+    if backend == "pallas":
+        from mcmc_tpu.ops.fused_trajectory import make_fused_grahmc_step
+        fused = [make_fused_grahmc_step(log_prob_fn, value_and_grad_fn, L,
+                                        friction_schedule)
+                 for L in level_steps]
+
+        def _branch(f):
+            def call(op):
+                k, s, extras = f(*op)
+                return k, s, extras[0]        # keep accept, drop proposals
+            return call
+
+        branches = [_branch(f) for f in fused]
+
+        def one_step(k, s, i, eps, gam, steep, inv_mass):
+            return lax.switch(i, branches, (k, s, eps, gam, steep, inv_mass))
+        return one_step
+
+    vag = make_value_and_grad(log_prob_fn, value_and_grad_fn)
+
+    def one_step(k, s, n, eps, gam, steep, inv_mass):
+        e_dtype = s.log_prob.dtype
+        k, k_mom, k_acc = random.split(k, 3)
+        p0 = (random.normal(k_mom, s.position.shape, dtype=pos_dtype)
+              / jnp.sqrt(inv_mass))
+        h0 = -s.log_prob + kinetic_energy(p0, inv_mass).astype(e_dtype)
+        q1, p1, lp1, grad1 = integrate_trajectory_dynamic(
+            s.position, p0, s.log_prob, s.grad_log_prob, vag, eps, n,
+            inv_mass, friction_schedule=friction_schedule,
+            gamma_max=gam, steepness=steep)
+        h1 = precision.guard_energy(
+            -lp1 + kinetic_energy(p1, inv_mass).astype(e_dtype))
+        log_alpha = jnp.minimum(jnp.asarray(0.0, e_dtype), h0 - h1)
+        divergent = jnp.abs(h1 - h0) > DIVERGENCE_DELTA_H
+        u = random.uniform(k_acc, (s.position.shape[0],), dtype=e_dtype)
+        accept = jnp.log(u) < log_alpha
+        s = s._replace(
+            position=jnp.where(accept[:, None], q1, s.position),
+            log_prob=jnp.where(accept, lp1, s.log_prob),
+            grad_log_prob=jnp.where(accept[:, None], grad1,
+                                    s.grad_log_prob),
+            accept_count=s.accept_count + accept.astype(jnp.int32),
+            divergence_count=(s.divergence_count
+                              + divergent.astype(jnp.int32)),
+        )
+        return k, s, accept
+    return one_step
+
+
+def _chees_scan(key, cs, idx, eps, gam, steep, inv_mass, one_step, burn_in,
+                n_collect):
+    """Burn-in + sampling scans over the per-draw jitter stream `idx`."""
+    from mcmc_tpu.samplers.base import reset_counters
+
+    if burn_in > 0:
+        def burn_body(carry, x):
+            k, s = carry
+            k, s, _ = one_step(k, s, x, eps, gam, steep, inv_mass)
+            return (k, s), None
+        (key, cs), _ = lax.scan(burn_body, (key, cs), idx[:burn_in])
+        cs = reset_counters(cs)
+
+    def sample_body(carry, x):
+        k, s = carry
+        k, s, accept = one_step(k, s, x, eps, gam, steep, inv_mass)
+        return (k, s), (s.position[:n_collect], s.log_prob[:n_collect])
+    (key, cs), (samples, log_probs) = lax.scan(
+        sample_body, (key, cs), idx[burn_in:])
+    return cs, samples, log_probs
+
+
+@partial(jax.jit, static_argnames=("log_prob_fn", "value_and_grad_fn",
+                                   "backend", "schedule_type", "level_steps",
+                                   "burn_in", "n_collect"))
+def _chees_run_core(key, cs, idx, eps, gam, steep, inv_mass, *, log_prob_fn,
+                    value_and_grad_fn, backend, schedule_type, level_steps,
+                    burn_in, n_collect):
+    """MODULE-LEVEL jitted core so repeated chees_run calls on the same
+    target hit the jit cache (statics are identity-stable per target; the
+    Halton-derived step counts are a TRACED operand, so a different jitter
+    offset does not recompile). A per-call jax.jit(closure) with the step
+    counts baked in as constants recompiled on every invocation — one full
+    XLA compile per convergence checkpoint or bench rep (review finding)."""
+    one_step = _chees_one_step(log_prob_fn, value_and_grad_fn, backend,
+                               schedule_type, level_steps, cs.position.dtype)
+    return _chees_scan(key, cs, idx, eps, gam, steep, inv_mass, one_step,
+                       burn_in, n_collect)
+
+
 def chees_run(
     key,
     log_prob_fn,
@@ -260,14 +360,9 @@ def chees_run(
     gradient count — jittered draws are cheaper than num_samples * L_max)
     and the realized per-draw leapfrog counts.
     """
-    from mcmc_tpu.samplers.base import (
-        finalize_run, reset_counters)
+    from mcmc_tpu.samplers.base import finalize_run
     if trajectory_length <= 0 or step_size <= 0:
         raise ValueError("step_size and trajectory_length must be positive")
-    friction_schedule = None
-    if schedule_type is not None:
-        from mcmc_tpu.samplers.grahmc import get_friction_schedule
-        friction_schedule = get_friction_schedule(schedule_type)
 
     cs = init_chain_state(init_position, log_prob_fn, value_and_grad_fn,
                           needs_grad=True)
@@ -294,86 +389,33 @@ def chees_run(
     h = halton_sequence(total, halton_offset)
 
     if backend == "pallas":
-        from mcmc_tpu.ops.fused_trajectory import make_fused_grahmc_step
         levels = max(1, int(jitter_levels))
         level_L = [int(np.clip(round((k + 0.5) / levels
                                      * trajectory_length / step_size),
                                1, max_steps)) for k in range(levels)]
         Ls = sorted(set(level_L))
         branch_of_level = [Ls.index(L) for L in level_L]
-        fused = [make_fused_grahmc_step(log_prob_fn, value_and_grad_fn, L,
-                                        friction_schedule) for L in Ls]
         idx = jnp.asarray(
             [branch_of_level[min(levels - 1, int(x * levels))] for x in h],
             jnp.int32)
         ns = np.asarray([Ls[i] for i in np.asarray(idx)], np.int64)
-
-        def _branch(f):
-            def call(op):
-                k, s, extras = f(*op)
-                return k, s, extras[0]        # keep accept, drop proposals
-            return call
-
-        branches = [_branch(f) for f in fused]
-
-        def one_step(k, s, i):
-            return lax.switch(i, branches,
-                              (k, s, jnp.asarray(step_size, pos_dtype),
-                               jnp.asarray(gamma, pos_dtype),
-                               jnp.asarray(steepness, pos_dtype), inv_mass))
+        level_steps = tuple(Ls)
     else:
-        vag = make_value_and_grad(log_prob_fn, value_and_grad_fn)
         ns_f = np.ceil(h * trajectory_length / step_size)
         ns = np.clip(ns_f, 1, max_steps).astype(np.int64)
         idx = jnp.asarray(ns, jnp.int32)   # xs: the leapfrog counts
-        eps = jnp.asarray(step_size, pos_dtype)
+        level_steps = None
 
-        def one_step(k, s, n):
-            e_dtype = s.log_prob.dtype
-            k, k_mom, k_acc = random.split(k, 3)
-            p0 = (random.normal(k_mom, s.position.shape, dtype=pos_dtype)
-                  / jnp.sqrt(inv_mass))
-            h0 = -s.log_prob + kinetic_energy(p0, inv_mass).astype(e_dtype)
-            q1, p1, lp1, grad1 = integrate_trajectory_dynamic(
-                s.position, p0, s.log_prob, s.grad_log_prob, vag, eps, n,
-                inv_mass, friction_schedule=friction_schedule,
-                gamma_max=gamma, steepness=steepness)
-            h1 = precision.guard_energy(
-                -lp1 + kinetic_energy(p1, inv_mass).astype(e_dtype))
-            log_alpha = jnp.minimum(jnp.asarray(0.0, e_dtype), h0 - h1)
-            divergent = jnp.abs(h1 - h0) > DIVERGENCE_DELTA_H
-            u = random.uniform(k_acc, (s.position.shape[0],), dtype=e_dtype)
-            accept = jnp.log(u) < log_alpha
-            s = s._replace(
-                position=jnp.where(accept[:, None], q1, s.position),
-                log_prob=jnp.where(accept, lp1, s.log_prob),
-                grad_log_prob=jnp.where(accept[:, None], grad1,
-                                        s.grad_log_prob),
-                accept_count=s.accept_count + accept.astype(jnp.int32),
-                divergence_count=(s.divergence_count
-                                  + divergent.astype(jnp.int32)),
-            )
-            return k, s, accept
-
-    def run(key, cs):
-        if burn_in > 0:
-            def burn_body(carry, x):
-                k, s = carry
-                k, s, _ = one_step(k, s, x)
-                return (k, s), None
-            (key, cs), _ = lax.scan(burn_body, (key, cs), idx[:burn_in])
-            cs = reset_counters(cs)
-
-        def sample_body(carry, x):
-            k, s = carry
-            k, s, accept = one_step(k, s, x)
-            return (k, s), (s.position[:n_collect], s.log_prob[:n_collect])
-        (key, cs), (samples, log_probs) = lax.scan(
-            sample_body, (key, cs), idx[burn_in:])
-        return cs, samples, log_probs
+    eps = jnp.asarray(step_size, pos_dtype)
+    gam = jnp.asarray(gamma, pos_dtype)
+    steep = jnp.asarray(steepness, pos_dtype)
 
     if mesh is None:
-        cs, samples, log_probs = jax.jit(run)(key, cs)
+        cs, samples, log_probs = _chees_run_core(
+            key, cs, idx, eps, gam, steep, inv_mass,
+            log_prob_fn=log_prob_fn, value_and_grad_fn=value_and_grad_fn,
+            backend=backend, schedule_type=schedule_type,
+            level_steps=level_steps, burn_in=burn_in, n_collect=n_collect)
     else:
         from jax.sharding import PartitionSpec as P
         from mcmc_tpu.parallel import CHAIN_AXIS, shard_chains, shard_map_fn
@@ -384,10 +426,13 @@ def chees_run(
 
         cs = shard_chains(cs, mesh)
         cs_specs = jax.tree.map(lead, cs)
+        one_step = _chees_one_step(log_prob_fn, value_and_grad_fn, backend,
+                                   schedule_type, level_steps, pos_dtype)
 
         def inner(key, cs):
             key = random.fold_in(key, lax.axis_index(CHAIN_AXIS))
-            return run(key, cs)
+            return _chees_scan(key, cs, idx, eps, gam, steep, inv_mass,
+                               one_step, burn_in, n_collect)
 
         cs, samples, log_probs = jax.jit(shard_map_fn(
             inner, mesh,

@@ -455,3 +455,59 @@ def test_chees_cap_reflag_on_post_retune_overflow(monkeypatch):
         value_and_grad_fn=t.value_and_grad_fn, max_steps=16)
     assert info["num_steps"] > 16
     assert info["max_steps_cap_hit"] is True
+
+
+def test_chees_warmup_compiles_one_batch_program(caplog):
+    """Compile-shape canary for the ChEES driver (mirror of the grid
+    warmup's test_warmup_compiles_two_batch_programs): the whole warmup —
+    mixed window widths, all three phases — must compile exactly ONE
+    run_batch program (the accumulate flag is traced here)."""
+    import logging
+
+    t = get_target("standard_normal", dim=5)
+    init = random.normal(random.PRNGKey(3), (8, 5)) * 0.1
+    jax.config.update("jax_log_compiles", True)
+    try:
+        with caplog.at_level(logging.WARNING,
+                             logger="jax._src.interpreters.pxla"):
+            run_chees_warmup(
+                "hmc", t.log_prob_fn, None, init, random.PRNGKey(0),
+                num_warmup=425, value_and_grad_fn=t.value_and_grad_fn,
+                exploration_steps=100, adaptation_windows=[25, 50, 125],
+                cooldown_steps=125)
+    finally:
+        jax.config.update("jax_log_compiles", False)
+    compiles = [r.message for r in caplog.records
+                if "Compiling jit(_batch_core)" in r.message]
+    assert len(compiles) == 1, compiles
+
+
+def test_chees_run_caches_across_offsets(caplog):
+    """Repeated chees_run calls on the SAME target with a DIFFERENT jitter
+    offset must hit the module-level jit cache — the per-draw step counts
+    are a traced operand, not baked-in constants (review finding: a fresh
+    per-call jax.jit(closure) recompiled on every invocation, one full XLA
+    compile per bench rep / convergence checkpoint)."""
+    import logging
+    from mcmc_tpu.tuning.chees import chees_run
+
+    t = get_target("standard_normal", dim=4)
+    init = random.normal(random.PRNGKey(2), (16, 4))
+    kw = dict(step_size=0.5, trajectory_length=1.5, num_samples=64,
+              value_and_grad_fn=t.value_and_grad_fn, backend="xla")
+    jax.config.update("jax_log_compiles", True)
+    try:
+        with caplog.at_level(logging.WARNING,
+                             logger="jax._src.interpreters.pxla"):
+            chees_run(random.PRNGKey(0), t.log_prob_fn, init,
+                      halton_offset=0, **kw)
+            n_first = sum("Compiling jit(_chees_run_core)" in r.message
+                          for r in caplog.records)
+            chees_run(random.PRNGKey(1), t.log_prob_fn, init,
+                      halton_offset=9999, **kw)
+    finally:
+        jax.config.update("jax_log_compiles", False)
+    n_total = sum("Compiling jit(_chees_run_core)" in r.message
+                  for r in caplog.records)
+    assert n_first == 1, "first call must compile the core"
+    assert n_total == n_first, "second call (new offset) must hit the cache"

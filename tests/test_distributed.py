@@ -54,6 +54,32 @@ total = jax.jit(jnp.sum,
 expected = n_local * (1.0 + 2.0)      # 2 devices each on 2 processes
 assert float(total) == expected, (float(total), expected)
 print("DIST_OK", pid, float(total))
+
+# cross-process SAMPLING: a jitted HMC run on a globally-sharded position
+# (chains are communication-free, so GSPMD partitions the whole sampler
+# across processes with zero collectives in the hot loop), then global
+# cross-chain diagnostics whose reductions DO cross the process boundary.
+import jax.random as random
+from mcmc_tpu.targets import standard_normal
+from mcmc_tpu.samplers import hmc_run
+from mcmc_tpu.diagnostics import split_rhat
+
+t = standard_normal(3)
+local_pos = (np.arange(2 * n_local * 3, dtype=np.float32)
+             .reshape(2 * n_local, 3) * 0.01 + pid)
+gpos = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P(CHAIN_AXIS, None)), local_pos)
+res = hmc_run(random.PRNGKey(0), t.log_prob_fn, gpos, step_size=0.5,
+              num_steps=4, num_samples=50, burn_in=10,
+              value_and_grad_fn=t.value_and_grad_fn)
+assert res.samples.shape == (50, 8, 3)
+stats = jax.jit(
+    lambda s, a: (split_rhat(s), jnp.mean(a)),
+    out_shardings=NamedSharding(mesh, P()))(res.samples, res.accept_rate)
+rhat, acc = np.asarray(stats[0]), float(stats[1])
+assert np.isfinite(rhat).all(), rhat
+assert 0.2 < acc <= 1.0, acc
+print("DIST_SAMPLE_OK", pid, round(acc, 3))
 '''
 
 
@@ -89,6 +115,7 @@ def test_two_process_distributed_mesh_and_psum():
     for pid, (rc, out, err) in enumerate(outs):
         assert rc == 0, f"worker {pid} failed:\n{err[-3000:]}"
         assert f"DIST_OK {pid}" in out, (out, err[-500:])
+        assert f"DIST_SAMPLE_OK {pid}" in out, (out, err[-500:])
 
 
 def test_initialize_single_process_noop():

@@ -296,6 +296,11 @@ def run_single_benchmark_with_L(
     tuned T (chees_run) — n_gradients then counts the realized leapfrogs,
     not num_samples * L."""
     is_grahmc = sampler in ("grahmc", "rahmc")
+    if learn_mass_matrix == "dense" and sampler == "nuts":
+        # the persistent machine implements the diagonal metric only
+        if nuts_backend != "classic":
+            print("  [nuts] dense metric -> classic backend")
+        nuts_backend = "classic"
     header = f"BENCHMARK: {sampler.upper()} on {target.name}"
     if is_grahmc:
         header += f" [{schedule_type}]"
@@ -932,6 +937,10 @@ def run_all_benchmarks(
                     use_chees_tuner = (trajectory_tuner == "chees"
                                        and sampler in ("grahmc", "rahmc",
                                                        "hmc"))
+                    if use_chees_tuner and learn_mass == "dense":
+                        print("  [chees] the ChEES warmup learns a diagonal "
+                              "metric — dense rows use the L grid tuner")
+                        use_chees_tuner = False
                     if sampler == "nuts":
                         resolved_nuts = _resolve_nuts_backend(nuts_backend,
                                                               target)

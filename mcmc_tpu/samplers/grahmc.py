@@ -25,7 +25,8 @@ from mcmc_tpu.samplers.base import (
     ChainState, RunResult, init_chain_state, make_value_and_grad,
     run_multistep_sampler, run_sampler, finalize_run,
 )
-from mcmc_tpu.samplers.trajectory import integrate_trajectory, kinetic_energy
+from mcmc_tpu.samplers.trajectory import (integrate_trajectory, kinetic_energy,
+                                           sample_momentum)
 from mcmc_tpu.diagnostics.gates import DIVERGENCE_DELTA_H
 
 Array = jnp.ndarray
@@ -114,8 +115,9 @@ def grahmc_step(key, state: ChainState, value_and_grad, step_size, num_steps: in
 
     key, k_mom, k_acc = random.split(key, 3)
 
-    # p ~ N(0, M): scale N(0, I) by M^{1/2} = 1/sqrt(M^{-1}) (diagonal mass)
-    p0 = random.normal(k_mom, (n_chains, n_dim), dtype=pos_dtype) / jnp.sqrt(inv_mass_matrix)
+    # p ~ N(0, M): diagonal metric scales N(0, I) by 1/sqrt(M^{-1}); a
+    # dense (D, D) metric draws via the Cholesky of M^{-1} (trajectory.py)
+    p0 = sample_momentum(k_mom, (n_chains, n_dim), inv_mass_matrix, pos_dtype)
     h0 = -state.log_prob + kinetic_energy(p0, inv_mass_matrix).astype(e_dtype)
 
     q, p, lp, grad = integrate_trajectory(
@@ -181,6 +183,11 @@ def grahmc_run(
 
     vag = make_value_and_grad(log_prob_fn, value_and_grad_fn)
     steep = steepness if steepness is not None else 1.0
+
+    if inv_mass_matrix.ndim == 2 and backend == "pallas":
+        # the fused VMEM kernels implement the diagonal metric only; a
+        # dense metric's matmuls run on the XLA path (MXU via GSPMD)
+        backend = "xla"
 
     if backend == "pallas":
         # Multi-transition fast path: T transitions per kernel call keep the

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from jax import lax, random, vmap
 
 from mcmc_tpu import precision
+from mcmc_tpu.samplers.trajectory import sample_momentum, velocity
 from mcmc_tpu.samplers.base import (
     ChainState, RunResult, init_chain_state, run_sampler, finalize_run,
 )
@@ -52,7 +53,7 @@ class _Tree(NamedTuple):
 
 def _energy(lp, p, inv_mass):
     e_dtype = precision.energy_dtype()
-    kin = 0.5 * jnp.sum(p * p * inv_mass)
+    kin = 0.5 * jnp.sum(p * velocity(p, inv_mass))
     return -jnp.asarray(lp, e_dtype) + jnp.asarray(kin, e_dtype)
 
 
@@ -60,7 +61,7 @@ def _single_leapfrog(q, p, grad, signed_eps, value_and_grad, inv_mass):
     pos_dtype = q.dtype
     eps = jnp.asarray(signed_eps, pos_dtype)
     p = p + 0.5 * eps * grad
-    q = q + eps * (p * inv_mass)
+    q = q + eps * velocity(p, inv_mass)
     lp, grad = value_and_grad(q)
     grad = grad.astype(pos_dtype)
     p = p + 0.5 * eps * grad
@@ -104,7 +105,7 @@ def _nuts_chain_step(key, q, lp, grad, value_and_grad, step_size,
     pos_dtype = q.dtype
 
     key, k_mom, k_slice = random.split(key, 3)
-    p0 = random.normal(k_mom, q.shape, dtype=pos_dtype) / jnp.sqrt(inv_mass)
+    p0 = sample_momentum(k_mom, q.shape, inv_mass, pos_dtype)
     h0 = _energy(lp, p0, inv_mass)
     log_u = jnp.log(random.uniform(k_slice, dtype=e_dtype)) - h0
 

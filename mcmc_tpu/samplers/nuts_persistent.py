@@ -311,6 +311,11 @@ def nuts_run_persistent(
     useful grads/s at W=1; slot masking only costs throughput when trees
     are shallow, never correctness).
     """
+    if (inv_mass_matrix is not None
+            and jnp.ndim(inv_mass_matrix) == 2):
+        raise ValueError(
+            "the persistent NUTS machine implements the diagonal metric "
+            "only; use nuts_run (classic) for a dense inv_mass_matrix")
     resolved = _resolve_backend(backend, value_and_grad_fn)
     if resolved == "pallas":
         if steps_per_iter is None:

@@ -20,14 +20,46 @@ Pallas path (mcmc_tpu.ops) fuses the whole trajectory + MH accept on-chip.
 from typing import Callable, Optional, Tuple
 
 import jax.numpy as jnp
-from jax import lax
+from jax import lax, random
 
 Array = jnp.ndarray
 
+# The metric is DIAGONAL (inv_mass_matrix shape (D,), the reference's only
+# mode) or DENSE (shape (D, D), a full inverse mass matrix — a beyond-
+# reference extension matching Stan's dense_e). Dense velocity/whitening
+# are (C, D) @ (D, D) matmuls — MXU work on TPU, negligible next to the
+# per-substep gradient at the D <= ~100 dims this library targets. The
+# Pallas fused kernels are diagonal-only; dense runs route to the XLA path.
+
+
+def velocity(p: Array, inv_mass_matrix: Array) -> Array:
+    """dq/dt = M^{-1} p per chain: elementwise for a diagonal metric,
+    one matmul for a dense one (M^{-1} is symmetric, so p @ M^{-1} works
+    for both (C, D) batches and single-chain (D,) vectors)."""
+    if inv_mass_matrix.ndim == 2:
+        return p @ inv_mass_matrix
+    return p * inv_mass_matrix
+
 
 def kinetic_energy(p: Array, inv_mass_matrix: Array) -> Array:
-    """0.5 * p^T M^{-1} p per chain (diagonal mass)."""
-    return 0.5 * jnp.sum(p * p * inv_mass_matrix, axis=-1)
+    """0.5 * p^T M^{-1} p per chain."""
+    return 0.5 * jnp.sum(p * velocity(p, inv_mass_matrix), axis=-1)
+
+
+def sample_momentum(key, shape, inv_mass_matrix: Array, dtype) -> Array:
+    """p ~ N(0, M) with M = inv_mass_matrix^{-1}.
+
+    Diagonal: z / sqrt(M^{-1}). Dense: with M^{-1} = L L^T (Cholesky),
+    p = L^{-T} z has covariance L^{-T} L^{-1} = M; the triangular solve is
+    loop-invariant in the samplers' scans, so XLA hoists the factorization
+    out of the hot loop."""
+    z = random.normal(key, shape, dtype=dtype)
+    if inv_mass_matrix.ndim == 2:
+        from jax.scipy.linalg import solve_triangular
+        L = jnp.linalg.cholesky(inv_mass_matrix.astype(dtype))
+        # solve L^T p^T = z^T  (batched over chains via the trailing axis)
+        return solve_triangular(L, z.T, lower=True, trans="T").T
+    return z / jnp.sqrt(inv_mass_matrix)
 
 
 def integrate_trajectory(
@@ -66,7 +98,7 @@ def integrate_trajectory(
             scale = jnp.exp(-gamma_t * half_eps)
             p = p * scale
         p = p + half_eps * grad
-        q = q + eps * (p * inv_mass_matrix)
+        q = q + eps * velocity(p, inv_mass_matrix)
         new_lp, new_grad = value_and_grad(q)
         new_lp = new_lp.astype(e_dtype)
         new_grad = new_grad.astype(pos_dtype)
@@ -124,7 +156,7 @@ def integrate_trajectory_dynamic(
             scale = jnp.exp(-gamma_t * half_eps)
             p = p * scale
         p = p + half_eps * grad
-        q = q + eps * (p * inv_mass_matrix)
+        q = q + eps * velocity(p, inv_mass_matrix)
         new_lp, new_grad = value_and_grad(q)
         new_lp = new_lp.astype(e_dtype)
         new_grad = new_grad.astype(pos_dtype)

@@ -30,7 +30,8 @@ from jax import lax, random
 from mcmc_tpu.samplers.base import make_value_and_grad, init_chain_state
 from mcmc_tpu.tuning.welford import (
     WelfordState, welford_init, welford_update, chain_averaged_variance,
-    shrink_variance,
+    shrink_variance, dense_moment_init, dense_moment_update,
+    dense_covariance, shrink_covariance,
 )
 from mcmc_tpu.tuning.dual_averaging import (
     da_init, da_update, da_reset, da_step_size, da_final_step_size,
@@ -387,10 +388,25 @@ def run_adaptive_warmup(
     n_chains, n_dim = initial_position.shape
     start_time = time.time()
 
+    # learn_mass_matrix: False (identity), True (diagonal, reference
+    # parity), or "dense" (full covariance metric — beyond-reference,
+    # Stan's dense_e; XLA samplers only).
+    dense_mass = learn_mass_matrix == "dense"
+    if dense_mass:
+        if mesh is not None:
+            raise ValueError("dense metric learning is not mesh-enabled; "
+                             "use the diagonal metric for multi-chip runs")
+        if sampler == "nuts" and backend == "persistent":
+            raise ValueError("the persistent NUTS machine implements the "
+                             "diagonal metric only; use the classic backend "
+                             "with a dense metric")
+
     if backend == "auto":
         from mcmc_tpu.ops.padded_targets import auto_pallas_backend
         backend = ("pallas" if sampler in ("grahmc", "rahmc")
                    and auto_pallas_backend(value_and_grad_fn) else "xla")
+    if dense_mass and backend == "pallas":
+        backend = "xla"   # fused kernels implement the diagonal metric only
 
     if sampler in ("grahmc", "rahmc"):
         gamma = kwargs.get("gamma", 1.0)
@@ -426,7 +442,8 @@ def run_adaptive_warmup(
             k, s, w = inner
             k, s, accept_stat = step_fn(k, s, step_size, inv_mass)
             if accumulate:
-                w_new = welford_update(w, get_position(s))
+                update = dense_moment_update if dense_mass else welford_update
+                w_new = update(w, get_position(s))
                 w = jax.tree.map(
                     lambda a, b: jnp.where(live, a, b), w_new, w)
             return (k, s, w), accept_stat
@@ -476,9 +493,13 @@ def run_adaptive_warmup(
     # --- windowed adaptation (fixed-width DA batches, see _batch_body) ----
     for start_idx, end_idx, phase in schedule:
         window_len = end_idx - start_idx
-        accumulate = phase == "adaptation" and learn_mass_matrix
+        accumulate = phase == "adaptation" and bool(learn_mass_matrix)
         if accumulate:
-            welford = welford_init((n_chains, n_dim))
+            if dense_mass:
+                welford = dense_moment_init(
+                    jnp.mean(get_position(chain_state), axis=0))
+            else:
+                welford = welford_init((n_chains, n_dim))
 
         for _n_real, mask in fixed_width_batches(window_len, update_freq):
             key, chain_state, da_state, welford, acc = run_batch(
@@ -489,9 +510,15 @@ def run_adaptive_warmup(
             accept_trace.append(acc)
 
         if accumulate:
-            variance = chain_averaged_variance(welford)
-            inv_mass = shrink_variance(variance, welford.count).astype(
-                initial_position.dtype)
+            if dense_mass:
+                cov = dense_covariance(welford)
+                inv_mass = shrink_covariance(
+                    cov, welford.count / n_chains).astype(
+                        initial_position.dtype)
+            else:
+                variance = chain_averaged_variance(welford)
+                inv_mass = shrink_variance(variance, welford.count).astype(
+                    initial_position.dtype)
             da_state = da_reset(da_state)
             if verbose:
                 print(f"  window [{start_idx}-{end_idx}]: mass matrix range "

@@ -50,7 +50,7 @@ from mcmc_tpu import precision
 from mcmc_tpu.diagnostics.gates import DIVERGENCE_DELTA_H
 from mcmc_tpu.samplers.base import make_value_and_grad, init_chain_state
 from mcmc_tpu.samplers.trajectory import (
-    integrate_trajectory_dynamic, kinetic_energy)
+    integrate_trajectory_dynamic, kinetic_energy, sample_momentum)
 from mcmc_tpu.tuning.adaptation import build_schedule, fixed_width_batches
 from mcmc_tpu.tuning.dual_averaging import (
     da_init, da_update, da_reset, da_step_size, da_final_step_size)
@@ -243,8 +243,7 @@ def _chees_one_step(log_prob_fn, value_and_grad_fn, backend, schedule_type,
     def one_step(k, s, n, eps, gam, steep, inv_mass):
         e_dtype = s.log_prob.dtype
         k, k_mom, k_acc = random.split(k, 3)
-        p0 = (random.normal(k_mom, s.position.shape, dtype=pos_dtype)
-              / jnp.sqrt(inv_mass))
+        p0 = sample_momentum(k_mom, s.position.shape, inv_mass, pos_dtype)
         h0 = -s.log_prob + kinetic_energy(p0, inv_mass).astype(e_dtype)
         q1, p1, lp1, grad1 = integrate_trajectory_dynamic(
             s.position, p0, s.log_prob, s.grad_log_prob, vag, eps, n,
@@ -384,6 +383,8 @@ def chees_run(
     if backend == "auto":
         from mcmc_tpu.ops.padded_targets import auto_pallas_backend
         backend = "pallas" if auto_pallas_backend(value_and_grad_fn) else "xla"
+    if inv_mass.ndim == 2 and backend == "pallas":
+        backend = "xla"   # fused kernels implement the diagonal metric only
 
     total = burn_in + num_samples
     h = halton_sequence(total, halton_offset)

@@ -81,3 +81,52 @@ def shrink_variance(variance: jnp.ndarray, n_samples) -> jnp.ndarray:
     w = n_samples / (n_samples + 5.0)
     reg = w * variance + (1.0 - w) * 1.0
     return jnp.maximum(reg, 1e-8)
+
+
+class DenseMomentState(NamedTuple):
+    """Pooled second-moment accumulator for DENSE metric estimation
+    (beyond-reference: Stan's dense_e). Draws are pooled over chains and
+    steps; `center` is a fixed shift (the window-start position mean) that
+    bounds float32 cancellation without changing the covariance."""
+    count: jnp.ndarray    # scalar: pooled draw count (chains x steps)
+    center: jnp.ndarray   # (dim,)
+    sum_d: jnp.ndarray    # (dim,) sum of centered draws
+    sum_o: jnp.ndarray    # (dim, dim) sum of centered outer products
+
+
+def dense_moment_init(center) -> DenseMomentState:
+    center = jnp.asarray(center)
+    d = center.shape[-1]
+    return DenseMomentState(
+        count=jnp.zeros((), center.dtype),
+        center=center,
+        sum_d=jnp.zeros((d,), center.dtype),
+        sum_o=jnp.zeros((d, d), center.dtype))
+
+
+def dense_moment_update(state: DenseMomentState,
+                        positions: jnp.ndarray) -> DenseMomentState:
+    """Accumulate a (n_chains, dim) batch of draws (one MXU matmul)."""
+    d = positions.astype(state.center.dtype) - state.center
+    return state._replace(
+        count=state.count + d.shape[0],
+        sum_d=state.sum_d + jnp.sum(d, axis=0),
+        sum_o=state.sum_o + d.T @ d)
+
+
+def dense_covariance(state: DenseMomentState) -> jnp.ndarray:
+    """Pooled sample covariance (dim, dim)."""
+    n = jnp.maximum(state.count, 2.0)
+    mu = state.sum_d / n
+    return state.sum_o / n - jnp.outer(mu, mu)
+
+
+@jax.jit
+def shrink_covariance(cov: jnp.ndarray, n_samples) -> jnp.ndarray:
+    """Stan's dense-metric regularization toward the identity:
+    n/(n+5) * cov + 5/(n+5) * I, plus a 1e-8 diagonal jitter so the
+    Cholesky in sample_momentum never sees a semidefinite matrix."""
+    w = n_samples / (n_samples + 5.0)
+    d = cov.shape[-1]
+    eye = jnp.eye(d, dtype=cov.dtype)
+    return w * cov + ((1.0 - w) + 1e-8) * eye

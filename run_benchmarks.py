@@ -54,8 +54,12 @@ def main():
     parser.add_argument("--num-steps-grid", nargs="+", type=int, default=None,
                         help="Grid of trajectory lengths for HMC/GRAHMC")
     parser.add_argument("--mass-matrix-mode", type=str,
-                        choices=["mass", "no-mass", "both"], default="mass",
-                        help="Mass matrix: learn, identity, or both")
+                        choices=["mass", "no-mass", "both", "dense"],
+                        default="mass",
+                        help="Mass matrix: learn (diagonal, reference "
+                        "parity), identity, both, or 'dense' (full "
+                        "covariance metric — beyond-reference, Stan's "
+                        "dense_e; XLA samplers + classic NUTS only)")
     parser.add_argument("--track-convergence", action="store_true",
                         help="Track W2 at log-spaced checkpoints")
     parser.add_argument("--convergence-base", type=float, default=1.5,
@@ -105,7 +109,8 @@ def main():
         return
 
     mass_modes = {"mass": [True], "no-mass": [False],
-                  "both": [True, False]}[args.mass_matrix_mode]
+                  "both": [True, False],
+                  "dense": ["dense"]}[args.mass_matrix_mode]
     num_samples = args.num_samples if args.num_samples is not None else 10000
 
     print("=" * 80)

@@ -942,8 +942,12 @@ def run_all_benchmarks(
                               "metric — dense rows use the L grid tuner")
                         use_chees_tuner = False
                     if sampler == "nuts":
-                        resolved_nuts = _resolve_nuts_backend(nuts_backend,
-                                                              target)
+                        # same dense->classic override the pipeline applies
+                        # (the persistent machine is diagonal-only), so the
+                        # resume key matches what the row was saved under
+                        resolved_nuts = ("classic" if learn_mass == "dense"
+                                         else _resolve_nuts_backend(
+                                             nuts_backend, target))
                         sig = _resume_signature(
                             sampler, target.name, schedule, learn_mass,
                             resolved_nuts, nuts_steps_per_sample)

@@ -90,8 +90,19 @@ def _integrate_subtree(q, p, grad, direction, eps, num_steps, value_and_grad,
                          (q, p, lp0, grad, jnp.asarray(0.0, e_dtype)))
 
 
-def _u_turn(q_left, q_right, p_left, p_right):
+def _u_turn(q_left, q_right, p_left, p_right, inv_mass):
+    """U-turn test at the trajectory endpoints.
+
+    Diagonal metric: the reference's raw-momentum criterion
+    (q_r - q_l).p < 0 at either end (reference NUTS.py:191-198, preserved
+    for parity). Dense metric: Stan's dense_e criterion uses the VELOCITY
+    M^{-1} p — with a dense metric the momentum lives in the dual space,
+    and the raw dot can change sign long before/after the whitened
+    trajectory actually turns."""
     dq = q_right - q_left
+    if inv_mass.ndim == 2:
+        p_left = velocity(p_left, inv_mass)
+        p_right = velocity(p_right, inv_mass)
     return (jnp.dot(dq, p_left) < 0) | (jnp.dot(dq, p_right) < 0)
 
 
@@ -121,7 +132,8 @@ def _nuts_chain_step(key, q, lp, grad, value_and_grad, step_size,
     def cond_fn(carry):
         depth, tree, diverged, _ = carry
         return ((depth < max_tree_depth)
-                & ~_u_turn(tree.q_left, tree.q_right, tree.p_left, tree.p_right)
+                & ~_u_turn(tree.q_left, tree.q_right, tree.p_left,
+                           tree.p_right, inv_mass)
                 & ~diverged)
 
     def body_fn(carry):

@@ -468,9 +468,19 @@ def run_adaptive_warmup(
     # --- initial state ---------------------------------------------------
     initial_step = 0.5 / float(jnp.sqrt(n_dim))
     da_state = da_init(initial_step)
-    inv_mass = jnp.ones(n_dim, dtype=initial_position.dtype)
     chain_state = make_state(initial_position)
-    welford = welford_init((n_chains, n_dim))
+    if dense_mass:
+        # identity as a dense matrix + a dense accumulator from the start:
+        # the carry/operand SHAPES stay uniform for the whole warmup, so
+        # the fixed-shape compile discipline (two run_batch programs)
+        # holds for dense runs too (the placeholder accumulator is
+        # re-initialized with a real center at each adaptation window)
+        inv_mass = jnp.eye(n_dim, dtype=initial_position.dtype)
+        welford = dense_moment_init(
+            jnp.zeros(n_dim, dtype=initial_position.dtype))
+    else:
+        inv_mass = jnp.ones(n_dim, dtype=initial_position.dtype)
+        welford = welford_init((n_chains, n_dim))
     if mesh is not None:
         # distinct per-device key streams, carried sharded over the mesh
         key = random.split(key, mesh.devices.size)
@@ -521,9 +531,10 @@ def run_adaptive_warmup(
                     initial_position.dtype)
             da_state = da_reset(da_state)
             if verbose:
+                n_pc = float(welford.count) / (n_chains if dense_mass else 1)
                 print(f"  window [{start_idx}-{end_idx}]: mass matrix range "
                       f"[{float(jnp.min(inv_mass)):.4f}, {float(jnp.max(inv_mass)):.4f}]"
-                      f" (n={float(welford.count):.0f}/chain)")
+                      f" (n={n_pc:.0f}/chain)")
 
     accept_trace = [float(a) for a in accept_trace]
     final_step_size = float(da_final_step_size(da_state))

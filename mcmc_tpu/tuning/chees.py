@@ -489,6 +489,11 @@ def run_chees_warmup(
     """
     if sampler not in ("hmc", "grahmc", "rahmc"):
         raise ValueError(f"ChEES adaptation supports hmc/grahmc, got {sampler}")
+    if learn_mass_matrix == "dense":
+        raise ValueError(
+            "the ChEES warmup learns a diagonal metric only; use "
+            "run_adaptive_warmup(learn_mass_matrix='dense') / the grid "
+            "trajectory tuner for a dense metric")
     n_chains, n_dim = initial_position.shape
     pos_dtype = initial_position.dtype
 

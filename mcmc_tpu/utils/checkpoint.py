@@ -103,8 +103,12 @@ def warmup_signature(sampler: str, target_name: str, schedule, num_steps,
     tail = f"_w{num_warmup}" if num_warmup else ""
     if backend:
         tail += f"_{backend}"
+    # learn_mass: False/True (diagonal) or "dense" — the dense metric
+    # must NOT share a checkpoint with the diagonal one (a (D,) inv_mass
+    # restored into a dense run would silently sample the wrong metric)
+    mass_tag = "dense" if learn_mass == "dense" else int(bool(learn_mass))
     return (f"{sampler}_{target_name}_{sched}_L{num_steps}_"
-            f"mass{int(bool(learn_mass))}_c{n_chains}_d{dim}{tail}")
+            f"mass{mass_tag}_c{n_chains}_d{dim}{tail}")
 
 
 def save_warmup(cache_dir: str, signature: str, step_size: float, inv_mass,

@@ -195,3 +195,57 @@ def test_cli_dense_mass_mode_e2e(tmp_path):
     assert row.get("error") is None or (isinstance(row.get("error"), float)
                                         and np.isnan(row.get("error")))
     assert row["ess_bulk_min"] > 100
+
+
+def test_warmup_signature_distinguishes_dense():
+    """Dense and diagonal warmups must never share a checkpoint key (a
+    (D,) inv_mass restored into a dense run would silently sample the
+    wrong metric — review finding)."""
+    from mcmc_tpu.utils.checkpoint import warmup_signature
+
+    kw = dict(sampler="hmc", target_name="T", schedule=None, num_steps=8,
+              n_chains=16, dim=4, num_warmup=800)
+    diag = warmup_signature(learn_mass=True, **kw)
+    dense = warmup_signature(learn_mass="dense", **kw)
+    off = warmup_signature(learn_mass=False, **kw)
+    assert len({diag, dense, off}) == 3
+
+
+def test_chees_warmup_rejects_dense():
+    """run_chees_warmup learns a diagonal metric; 'dense' must raise at
+    the library surface, not silently learn a diagonal metric while the
+    caller records 'dense' (review finding)."""
+    from mcmc_tpu.tuning.chees import run_chees_warmup
+
+    t = standard_normal(3)
+    with pytest.raises(ValueError, match="diagonal metric"):
+        run_chees_warmup("hmc", t.log_prob_fn, None, jnp.zeros((8, 3)),
+                         random.PRNGKey(0), num_warmup=50,
+                         learn_mass_matrix="dense",
+                         value_and_grad_fn=t.value_and_grad_fn)
+
+
+def test_dense_warmup_compiles_two_batch_programs(caplog):
+    """The fixed-shape compile discipline must hold for dense warmups too:
+    the carry starts as (DenseMomentState, eye(D)) so shapes stay uniform
+    — two run_batch programs, not four (review finding)."""
+    import logging
+    from mcmc_tpu.tuning import run_adaptive_warmup
+
+    t = standard_normal(4)
+    init = random.normal(random.PRNGKey(3), (8, 4)) * 0.1
+    jax.config.update("jax_log_compiles", True)
+    try:
+        with caplog.at_level(logging.WARNING,
+                             logger="jax._src.interpreters.pxla"):
+            run_adaptive_warmup(
+                "hmc", t.log_prob_fn, None, init, random.PRNGKey(0),
+                num_warmup=425, num_steps=4, learn_mass_matrix="dense",
+                value_and_grad_fn=t.value_and_grad_fn,
+                exploration_steps=100, adaptation_windows=[25, 50, 125],
+                cooldown_steps=125)
+    finally:
+        jax.config.update("jax_log_compiles", False)
+    compiles = [r.message for r in caplog.records
+                if "Compiling jit(run_batch)" in r.message]
+    assert 1 <= len(compiles) <= 2, compiles

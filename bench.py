@@ -533,7 +533,33 @@ def measure_tpu():
     return grahmc_rate, extras, cache
 
 
+def _probe_tpu(timeout_s: int = 180) -> bool:
+    """True iff the TPU backend initializes within timeout_s, probed in a
+    SUBPROCESS: when the remote axon tunnel is down, jax.devices() in-process
+    hangs for minutes and then poisons the backend cache — measured during a
+    multi-hour tunnel outage on this rig (MEMORY: tpu-tunnel-measurement)."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.devices()[0].platform != 'cpu'"],
+            capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
 def main():
+    if not _probe_tpu():
+        # Emit a parseable failure record instead of hanging/crashing at
+        # round end: zeros are unambiguous (every real run is >>0), the
+        # error field says why.
+        print("[bench] TPU backend unavailable (tunnel down?) — emitting "
+              "failure record", file=sys.stderr)
+        print(json.dumps({
+            "metric": "grahmc_chain_steps_per_sec_50d_funnel_tuned",
+            "value": 0, "unit": "chain_steps/s", "vs_baseline": 0,
+            "extras": {"error": "tpu backend unavailable"}}))
+        return
     grahmc_rate, extras, cache = measure_tpu()
 
     if "grahmc_cpu" not in cache:

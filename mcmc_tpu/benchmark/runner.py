@@ -296,11 +296,6 @@ def run_single_benchmark_with_L(
     tuned T (chees_run) — n_gradients then counts the realized leapfrogs,
     not num_samples * L."""
     is_grahmc = sampler in ("grahmc", "rahmc")
-    if learn_mass_matrix == "dense" and sampler == "nuts":
-        # the persistent machine implements the diagonal metric only
-        if nuts_backend != "classic":
-            print("  [nuts] dense metric -> classic backend")
-        nuts_backend = "classic"
     header = f"BENCHMARK: {sampler.upper()} on {target.name}"
     if is_grahmc:
         header += f" [{schedule_type}]"
@@ -942,12 +937,8 @@ def run_all_benchmarks(
                               "metric — dense rows use the L grid tuner")
                         use_chees_tuner = False
                     if sampler == "nuts":
-                        # same dense->classic override the pipeline applies
-                        # (the persistent machine is diagonal-only), so the
-                        # resume key matches what the row was saved under
-                        resolved_nuts = ("classic" if learn_mass == "dense"
-                                         else _resolve_nuts_backend(
-                                             nuts_backend, target))
+                        resolved_nuts = _resolve_nuts_backend(nuts_backend,
+                                                              target)
                         sig = _resume_signature(
                             sampler, target.name, schedule, learn_mass,
                             resolved_nuts, nuts_steps_per_sample)

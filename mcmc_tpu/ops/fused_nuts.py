@@ -48,22 +48,24 @@ from mcmc_tpu.ops.memo import memoize_on_target
 from mcmc_tpu.ops.padded_targets import make_padded_vag, _mask_row
 
 SUBLANE = 8
-ROWS = 24  # 18 live rows (R_LP..R_EXEC) padded to whole sublane granules
+ROWS = 24  # 20 live rows (R_LP..R_K_RES) padded to whole sublane granules
 
 # row indices in the packed (ROWS, C) per-chain scalar block
 R_LP, R_LP_PROP, R_H0, R_LOG_U, R_SUM_ALPHA, R_N_VALID, R_N_STEPS, R_DEPTH, \
     R_STEPS_LEFT, R_DIRECTION, R_DIVERGED, R_NEEDS_START, R_TRANSITIONS, \
-    R_DIVERGENCES, R_ALPHA_ACC, R_DEPTH_ACC, R_SUBTREE, R_EXEC = range(18)
-N_LIVE_ROWS = 18
+    R_DIVERGENCES, R_ALPHA_ACC, R_DEPTH_ACC, R_SUBTREE, R_EXEC, \
+    R_LP_RES, R_K_RES = range(20)
+N_LIVE_ROWS = 20
+N_FULL = 14  # position-like (d_pad, C) state arrays
 
 _FULL_FIELDS = ("q", "grad", "q_l", "p_l", "g_l", "q_r", "p_r", "g_r",
-                "q_prop", "g_prop", "q_c", "p_c", "g_c")
+                "q_prop", "g_prop", "q_c", "p_c", "g_c", "q_res")
 
 
 class TState(NamedTuple):
     """Persistent-NUTS machine state in kernel layout.
 
-    13 transposed/padded (d_pad, C) float32 position-like arrays + one
+    14 transposed/padded (d_pad, C) float32 position-like arrays + one
     (ROWS, C) float32 block of per-chain scalar rows (indices R_*).
     """
     q: jnp.ndarray
@@ -79,6 +81,7 @@ class TState(NamedTuple):
     q_c: jnp.ndarray
     p_c: jnp.ndarray
     g_c: jnp.ndarray
+    q_res: jnp.ndarray
     rows: jnp.ndarray
 
 
@@ -103,8 +106,10 @@ def pack_state(position, log_prob, grad, d_pad):
     rows = rows.at[R_DIRECTION].set(1.0)
     rows = rows.at[R_NEEDS_START].set(1.0)
     rows = rows.at[R_SUBTREE].set(1.0)
+    rows = rows.at[R_LP_RES].set(log_prob.astype(jnp.float32))
     return TState(q=q, grad=g, q_l=q, p_l=z, g_l=g, q_r=q, p_r=z, g_r=g,
-                  q_prop=q, g_prop=g, q_c=q, p_c=z, g_c=g, rows=rows)
+                  q_prop=q, g_prop=g, q_c=q, p_c=z, g_c=g, q_res=q,
+                  rows=rows)
 
 
 def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
@@ -129,10 +134,10 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
     """
 
     def kernel(seed_ref, scal_ref, *refs):
-        full_in = refs[:13]
-        rows_ref = refs[13]
-        invm_ref, mask_ref = refs[14], refs[15]
-        rest = refs[16:]
+        full_in = refs[:N_FULL]
+        rows_ref = refs[N_FULL]
+        invm_ref, mask_ref = refs[N_FULL + 1], refs[N_FULL + 2]
+        rest = refs[N_FULL + 3:]
         data_vals = tuple(r[:] for r in rest[:n_data_refs])
         rest = rest[n_data_refs:]
         if data_vals:
@@ -143,13 +148,14 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
         else:
             vag = padded_vag
         if inject_randoms:
-            p0_ref, dir_ref, dir2_ref, swap_ref, slice_ref = rest[:5]
-            rest = rest[5:]
+            (p0_ref, dir_ref, dir2_ref, swap_ref, slice_ref,
+             res_ref) = rest[:6]
+            rest = rest[6:]
         else:
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 7919,
                             seed_ref[1])
-        full_out = rest[:13]
-        rows_out = rest[13]
+        full_out = rest[:N_FULL]
+        rows_out = rest[N_FULL]
 
         eps0 = scal_ref[0]
         delta_max = scal_ref[1]
@@ -163,10 +169,11 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
 
         def body(i, carry):
             (q, grad, q_l, p_l, g_l, q_r, p_r, g_r, q_prop, g_prop,
-             q_c, p_c, g_c) = carry[:13]
+             q_c, p_c, g_c, q_res) = carry[:N_FULL]
             (lp, lp_prop, h0, log_u, sum_alpha, n_valid, n_steps, depth,
              steps_left, direction, diverged, needs_start, transitions,
-             divergences, alpha_acc, depth_acc, subtree, exec_acc) = carry[13:]
+             divergences, alpha_acc, depth_acc, subtree, exec_acc,
+             lp_res, k_res) = carry[N_FULL:]
 
             row_shape = lp.shape
             if inject_randoms:
@@ -175,6 +182,7 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
                 dir2_bit = dir2_ref[pl.ds(i, 1), :] > 0.5
                 swap_u = swap_ref[pl.ds(i, 1), :]
                 slice_u = slice_ref[pl.ds(i, 1), :]
+                res_u = res_ref[pl.ds(i, 1), :]
             else:
                 p0_row = _gaussian(q.shape)
                 dir_bit = _bits_to_uniform(
@@ -183,6 +191,7 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
                     pltpu.prng_random_bits(row_shape)) < 0.5
                 swap_u = _bits_to_uniform(pltpu.prng_random_bits(row_shape))
                 slice_u = _bits_to_uniform(pltpu.prng_random_bits(row_shape))
+                res_u = _bits_to_uniform(pltpu.prng_random_bits(row_shape))
 
             # --- 1. fresh-transition init (chains flagged needs_start) ----
             st = needs_start > 0.5
@@ -293,6 +302,13 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
             alpha_acc = alpha_acc + tf * mean_alpha
             depth_acc = depth_acc + tf * (depth + 1.0)
             needs_start = tf
+            # snapshot reservoir: k-th completion of the window replaces the
+            # reservoir w.p. 1/k — a uniform draw over the window's completed
+            # transitions (k_res counts are small integers, exact in f32)
+            k_res = k_res + tf
+            take_res = term & (res_u * k_res < 1.0)
+            q_res = jnp.where(take_res, q_prop, q_res)
+            lp_res = jnp.where(take_res, lp_prop, lp_res)
 
             # trajectory continues: next doubling from the chosen end
             new_dir = jnp.where(dir2_bit, 1.0, -1.0)
@@ -308,17 +324,17 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
             g_c = jnp.where(nxt_right, g_r, jnp.where(nxt_left, g_l, g_c))
 
             return (q, grad, q_l, p_l, g_l, q_r, p_r, g_r, q_prop, g_prop,
-                    q_c, p_c, g_c, lp, lp_prop, h0, log_u, sum_alpha,
+                    q_c, p_c, g_c, q_res, lp, lp_prop, h0, log_u, sum_alpha,
                     n_valid, n_steps, depth, steps_left, direction, diverged,
                     needs_start, transitions, divergences, alpha_acc,
-                    depth_acc, subtree, exec_acc)
+                    depth_acc, subtree, exec_acc, lp_res, k_res)
 
         out = lax.fori_loop(0, n_iters, body, full0 + row_carry0)
-        for ref, val in zip(full_out, out[:13]):
+        for ref, val in zip(full_out, out[:N_FULL]):
             ref[:] = val
-        pad_rows = jnp.zeros((ROWS - N_LIVE_ROWS,) + out[13].shape[1:],
+        pad_rows = jnp.zeros((ROWS - N_LIVE_ROWS,) + out[N_FULL].shape[1:],
                              jnp.float32)
-        rows_out[:] = jnp.concatenate(list(out[13:]) + [pad_rows], axis=0)
+        rows_out[:] = jnp.concatenate(list(out[N_FULL:]) + [pad_rows], axis=0)
 
     return kernel
 
@@ -337,7 +353,7 @@ def _build_call(padded_vag, n_iters, max_tree_depth, n_chains, d_pad,
     bcast = pl.BlockSpec((d_pad, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
 
-    in_specs = ([full] * 13 + [rows_spec, bcast, bcast])
+    in_specs = ([full] * N_FULL + [rows_spec, bcast, bcast])
     for arr in getattr(padded_vag, "data_arrays", ()):
         in_specs.append(pl.BlockSpec(
             arr.shape, lambda i, _rank=len(arr.shape): (0,) * _rank,
@@ -347,14 +363,15 @@ def _build_call(padded_vag, n_iters, max_tree_depth, n_chains, d_pad,
             pl.BlockSpec((n_iters, d_pad, chain_tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec((n_iters, chain_tile), lambda i: (0, i),
-                          memory_space=pltpu.VMEM)] * 4
+                          memory_space=pltpu.VMEM)] * 5
 
-    out_shape = ([jax.ShapeDtypeStruct((d_pad, n_chains), jnp.float32)] * 13
+    out_shape = ([jax.ShapeDtypeStruct((d_pad, n_chains), jnp.float32)]
+                 * N_FULL
                  + [jax.ShapeDtypeStruct((ROWS, n_chains), jnp.float32)])
-    out_specs = [full] * 13 + [rows_spec]
+    out_specs = [full] * N_FULL + [rows_spec]
     # state arrays update in place: input k (after the 2 SMEM prefix args,
     # which do not count) aliases output k
-    aliases = {k: k for k in range(14)}
+    aliases = {k: k for k in range(N_FULL + 1)}
 
     return pl.pallas_call(
         kernel,
@@ -420,7 +437,7 @@ def make_fused_nuts_window(
         args = tuple(getattr(ts, f) for f in _FULL_FIELDS) + (
             ts.rows, invm, mask) + data_arrays
         if not onchip_rng:
-            kp, kd, kd2, ks, ku = random.split(key, 5)
+            kp, kd, kd2, ks, ku, kr = random.split(key, 6)
             p0 = random.normal(kp, (n_iters, d_pad, n_chains), jnp.float32)
             dirs = random.bernoulli(kd, 0.5, (n_iters, n_chains)
                                     ).astype(jnp.float32)
@@ -429,7 +446,8 @@ def make_fused_nuts_window(
             swaps = random.uniform(ks, (n_iters, n_chains), jnp.float32)
             slices = random.uniform(ku, (n_iters, n_chains), jnp.float32,
                                     minval=jnp.finfo(jnp.float32).tiny)
-            args = args + (p0, dirs, dirs2, swaps, slices)
+            ress = random.uniform(kr, (n_iters, n_chains), jnp.float32)
+            args = args + (p0, dirs, dirs2, swaps, slices, ress)
         outs = call(seed, scalars, *args)
         return TState(*outs)
 

@@ -91,18 +91,21 @@ def _integrate_subtree(q, p, grad, direction, eps, num_steps, value_and_grad,
 
 
 def _u_turn(q_left, q_right, p_left, p_right, inv_mass):
-    """U-turn test at the trajectory endpoints.
+    """U-turn test at the trajectory endpoints: the reference's raw-momentum
+    criterion (q_r - q_l).p < 0 at either end (reference NUTS.py:191-198),
+    for BOTH metrics.
 
-    Diagonal metric: the reference's raw-momentum criterion
-    (q_r - q_l).p < 0 at either end (reference NUTS.py:191-198, preserved
-    for parity). Dense metric: Stan's dense_e criterion uses the VELOCITY
-    M^{-1} p — with a dense metric the momentum lives in the dual space,
-    and the raw dot can change sign long before/after the whitened
-    trajectory actually turns."""
+    The raw dot is the correct dense generalization, not an approximation:
+    with distance measured in the M-norm, d/dt ||q_r - q_l||^2_M =
+    dq^T M (M^{-1} p) = dq.p, and under the whitening x = Az
+    (A = chol(Sigma), inv_mass = Sigma) it transforms to the textbook
+    criterion exactly: dz.p_z = (A^{-1}dq).(A^T p) = dq.p. The
+    velocity-space variant dq.(M^{-1}p) measures EUCLIDEAN distance in the
+    skewed coordinates instead; combined with the endpoint-only tree scheme
+    it terminates irreversibly on metric ridges and was measured to clip
+    the rho=0.9 compound-symmetry ridge eigenvalue by ~6% (classic) and
+    ~24% (persistent machine) with the oracle metric."""
     dq = q_right - q_left
-    if inv_mass.ndim == 2:
-        p_left = velocity(p_left, inv_mass)
-        p_right = velocity(p_right, inv_mass)
     return (jnp.dot(dq, p_left) < 0) | (jnp.dot(dq, p_right) < 0)
 
 

@@ -18,11 +18,20 @@ into a per-chain state machine advanced ONE leapfrog per global iteration:
     where-selects;
   - when its trajectory terminates it IMMEDIATELY begins its next transition
     (fresh momentum/slice variable) — chains never wait for each other;
-  - samples are emitted as snapshots of each chain's last *completed* state
-    every `steps_per_sample` global iterations. A deterministic-time snapshot
-    of a Markov chain is a valid draw (standard thinning), so posteriors are
-    identical; only the autocorrelation spacing differs, which the ESS/R-hat
-    gates measure honestly.
+  - samples are emitted once every `steps_per_sample` global iterations.
+    The default `snapshot_mode="uniform"` emits a reservoir-sampled state:
+    a uniformly-chosen completed transition from the window, which matches
+    the classic/reference per-transition statistics (each transition counted
+    once). `snapshot_mode="last"` emits the chain's last *completed* state
+    instead — a deterministic-TIME snapshot, which is length-biased: in
+    steady state a completed state x is the "latest" with probability
+    proportional to pi(x) * E[tau(x)], tau = leapfrog count of the next
+    transition from x, NOT pi(x) alone. Measured on the 4D standard normal
+    at step 0.5 (mean depth 2.9): "last" underdisperses ~1.5% on top of the
+    endpoint-only tree scheme's own ~3% (which the reference shares —
+    verified against /root/reference/samplers/NUTS.py on the identical
+    config); "uniform" removes the occupancy part. Windows with zero
+    completions fall back to the last completed state.
 
 Randomness is pre-drawn per snapshot window and fed through `lax.scan` xs, so
 the hot loop contains no threefry work.
@@ -48,6 +57,7 @@ from jax import lax, random
 
 from mcmc_tpu import precision
 from mcmc_tpu.samplers.base import ChainState, RunResult, init_chain_state
+from mcmc_tpu.samplers.trajectory import kinetic_energy, velocity
 
 Array = jnp.ndarray
 
@@ -89,6 +99,12 @@ class _PState(NamedTuple):
     divergences: Array        # int32 per chain
     alpha_acc: Array          # sum of per-transition mean-alpha
     depth_acc: Array          # int32, sum of terminal depths
+    # snapshot reservoir: a uniformly-chosen completed transition of the
+    # current window (k_res completions so far; see nuts_run_persistent's
+    # snapshot_mode for why deterministic-time "last completed" is biased)
+    q_res: Array
+    lp_res: Array
+    k_res: Array              # int32, completions this window
 
 
 def _init_pstate(q, lp, grad, e_dtype):
@@ -107,11 +123,8 @@ def _init_pstate(q, lp, grad, e_dtype):
         diverged=jnp.zeros((C,), bool),
         needs_start=jnp.ones((C,), bool),
         transitions=zi, divergences=zi, alpha_acc=z, depth_acc=zi,
+        q_res=q, lp_res=lp, k_res=zi,
     )
-
-
-def _kinetic(p, inv_mass):
-    return 0.5 * jnp.sum(p * p * inv_mass, axis=-1)
 
 
 def _make_window_step(value_and_grad_batched, step_size, inv_mass,
@@ -119,21 +132,43 @@ def _make_window_step(value_and_grad_batched, step_size, inv_mass,
     """One global iteration: (state, (p0, dir_bit, swap_u, slice_u)) -> state.
 
     value_and_grad_batched: (C, D) -> ((C,), (C, D)).
+
+    The metric is diagonal (inv_mass shape (D,), reference parity) or dense
+    (shape (D, D), Stan's dense_e — a beyond-reference extension). Dense adds
+    one (C, D) @ (D, D) matmul per leapfrog (velocity) and one unwhitening
+    solve per iteration's momentum refresh (against a loop-invariant
+    Cholesky factor that XLA hoists out of the window scan); the U-turn
+    test stays the raw-momentum dq.p for both metrics (see the in-line
+    note below).
     """
     delta_max = jnp.asarray(delta_max, e_dtype)
+    dense = inv_mass.ndim == 2
+    if dense:
+        from jax.scipy.linalg import solve_triangular
+        # p ~ N(0, M): with M^{-1} = L L^T, p = L^{-T} z has covariance M —
+        # identical math to trajectory.sample_momentum, but applied to the
+        # pre-drawn scan-xs normals the persistent machine uses.
+        chol = jnp.linalg.cholesky(inv_mass)
+
+        def unwhiten(z):
+            return solve_triangular(chol, z.T, lower=True, trans="T").T
+    else:
+        def unwhiten(z):
+            return z / jnp.sqrt(inv_mass)
 
     def step(s: _PState, xs):
         # dir_bit seeds a fresh transition's first direction; dir2_bit picks
         # the next doubling's direction — independent streams, because a chain
-        # can both start and extend its tree within one iteration.
-        p0_row, dir_bit, dir2_bit, swap_u, slice_u = xs
+        # can both start and extend its tree within one iteration. res_u
+        # drives the snapshot reservoir (consumed only at term events).
+        p0_row, dir_bit, dir2_bit, swap_u, slice_u, res_u = xs
         pos_dtype = s.q.dtype
         w = lambda m, a, b: jnp.where(m[:, None], a, b)   # (C,) mask over (C,D)
 
         # --- 1. fresh-transition init (chains flagged needs_start) --------
         st = s.needs_start
-        p0 = p0_row / jnp.sqrt(inv_mass)
-        h0_new = (-s.lp + _kinetic(p0, inv_mass).astype(e_dtype))
+        p0 = unwhiten(p0_row)
+        h0_new = (-s.lp + kinetic_energy(p0, inv_mass).astype(e_dtype))
         log_u_new = jnp.log(slice_u).astype(e_dtype) - h0_new
         dir_new = jnp.where(dir_bit, 1.0, -1.0).astype(pos_dtype)
 
@@ -160,12 +195,12 @@ def _make_window_step(value_and_grad_batched, step_size, inv_mass,
         # --- 2. one leapfrog for every chain ------------------------------
         eps = (s.direction * jnp.asarray(step_size, pos_dtype))[:, None]
         p = s.p_c + 0.5 * eps * s.g_c
-        q = s.q_c + eps * (p * inv_mass)
+        q = s.q_c + eps * velocity(p, inv_mass)
         lp, grad = value_and_grad_batched(q)
         lp = jnp.asarray(lp, e_dtype)
         grad = grad.astype(pos_dtype)
         p = p + 0.5 * eps * grad
-        h = -lp + _kinetic(p, inv_mass).astype(e_dtype)
+        h = -lp + kinetic_energy(p, inv_mass).astype(e_dtype)
         alpha = jnp.exp(jnp.minimum(jnp.asarray(0.0, e_dtype), s.h0 - h))
         s = s._replace(
             q_c=q, p_c=p, g_c=grad,
@@ -209,6 +244,12 @@ def _make_window_step(value_and_grad_batched, step_size, inv_mass,
         # termination: reference while cond is evaluated AFTER the doubling —
         # depth+1 >= max ∨ u_turn(tree) ∨ diverged
         dq = s.q_r - s.q_l
+        # raw-momentum test for BOTH metrics (reference NUTS.py:191-198):
+        # dq.p is d/dt ||dq||^2_M — the M-norm U-turn criterion — and is
+        # invariant under whitening, so the dense oracle-metric machine is
+        # exactly the identity-metric machine on whitened coordinates. See
+        # samplers/nuts.py::_u_turn for the measured ridge-clipping bias of
+        # the velocity-space alternative.
         u_turn = ((jnp.sum(dq * s.p_l, axis=-1) < 0)
                   | (jnp.sum(dq * s.p_r, axis=-1) < 0))
         term = bd & ((s.depth + 1 >= max_tree_depth) | u_turn | s.diverged)
@@ -218,6 +259,12 @@ def _make_window_step(value_and_grad_batched, step_size, inv_mass,
         mean_alpha = s.sum_alpha / jnp.maximum(s.n_steps, 1).astype(e_dtype)
         mean_alpha = jnp.where(jnp.isfinite(mean_alpha), mean_alpha,
                                jnp.asarray(0.65, e_dtype))
+        # snapshot reservoir: the k-th completed transition of this window
+        # replaces the reservoir with probability 1/k, so the reservoir is a
+        # uniform draw over the window's completions — one embedded-chain
+        # state per window, with no occupancy (trajectory-duration) weighting
+        k_new = s.k_res + term.astype(jnp.int32)
+        take_res = term & (res_u * k_new.astype(jnp.float32) < 1.0)
         s = s._replace(
             q=w(term, s.q_prop, s.q),
             lp=jnp.where(term, s.lp_prop, s.lp),
@@ -227,6 +274,9 @@ def _make_window_step(value_and_grad_batched, step_size, inv_mass,
             alpha_acc=s.alpha_acc + jnp.where(term, mean_alpha, 0.0),
             depth_acc=s.depth_acc + jnp.where(term, s.depth + 1, 0),
             needs_start=term,
+            q_res=w(take_res, s.q_prop, s.q_res),
+            lp_res=jnp.where(take_res, s.lp_prop, s.lp_res),
+            k_res=k_new,
         )
 
         # trajectory continues: next doubling from the chosen end
@@ -271,7 +321,7 @@ def _count_dtype():
 @partial(jax.jit, static_argnames=(
     "log_prob_fn", "num_samples", "steps_per_sample", "burn_in_steps",
     "max_tree_depth", "delta_max", "value_and_grad_fn", "collect_chains",
-    "backend", "chain_tile", "steps_per_iter"))
+    "backend", "chain_tile", "steps_per_iter", "snapshot_mode"))
 def nuts_run_persistent(
     key,
     log_prob_fn,
@@ -288,6 +338,7 @@ def nuts_run_persistent(
     backend: str = "auto",
     chain_tile: Optional[int] = None,
     steps_per_iter: Optional[int] = None,
+    snapshot_mode: str = "uniform",
 ) -> RunResult:
     """Asynchronous NUTS: `num_samples` snapshots, one every
     `steps_per_sample` global leapfrog iterations.
@@ -302,6 +353,13 @@ def nuts_run_persistent(
     never touches HBM inside a window; 'auto' picks pallas on TPU when the
     target carries analytic pallas metadata.
 
+    snapshot_mode: 'uniform' (default) emits a reservoir-sampled completed
+    transition per window — unbiased over the embedded chain, matching the
+    reference's per-transition statistics; 'last' emits the last completed
+    state (deterministic-time sampling, length-biased by the next
+    transition's duration — see the module docstring for the measured
+    effect). Both modes are implemented by both backends.
+
     steps_per_iter (pallas backend): leapfrog slots per machine iteration —
     bookkeeping and RNG amortize over up to that many leapfrogs
     (ops/fused_nuts.py). steps_per_sample counts SLOTS and must be divisible
@@ -311,12 +369,20 @@ def nuts_run_persistent(
     useful grads/s at W=1; slot masking only costs throughput when trees
     are shallow, never correctness).
     """
-    if (inv_mass_matrix is not None
-            and jnp.ndim(inv_mass_matrix) == 2):
-        raise ValueError(
-            "the persistent NUTS machine implements the diagonal metric "
-            "only; use nuts_run (classic) for a dense inv_mass_matrix")
-    resolved = _resolve_backend(backend, value_and_grad_fn)
+    dense = (inv_mass_matrix is not None
+             and jnp.ndim(inv_mass_matrix) == 2)
+    if dense:
+        # the fused VMEM window kernel (ops/fused_nuts.py) implements the
+        # diagonal metric only; dense runs on the XLA state machine, which
+        # is metric-polymorphic (_make_window_step)
+        if backend == "pallas":
+            raise ValueError(
+                "the fused persistent-NUTS kernel implements the diagonal "
+                "metric only; use backend='xla' (or 'auto') for a dense "
+                "inv_mass_matrix")
+        resolved = "xla"
+    else:
+        resolved = _resolve_backend(backend, value_and_grad_fn)
     if resolved == "pallas":
         if steps_per_iter is None:
             steps_per_iter = next(
@@ -326,7 +392,7 @@ def nuts_run_persistent(
             key, log_prob_fn, init_position, step_size, num_samples,
             steps_per_sample, burn_in_steps, inv_mass_matrix, max_tree_depth,
             delta_max, value_and_grad_fn, collect_chains, chain_tile,
-            steps_per_iter)
+            steps_per_iter, snapshot_mode)
     if steps_per_iter not in (None, 1):
         raise ValueError("steps_per_iter > 1 requires the pallas backend")
     state0 = init_chain_state(init_position, log_prob_fn, value_and_grad_fn,
@@ -352,13 +418,14 @@ def nuts_run_persistent(
                       state0.grad_log_prob, e_dtype)
 
     def draw_window(k, n):
-        kp, kd, kd2, ks, ku = random.split(k, 5)
+        kp, kd, kd2, ks, ku, kr = random.split(k, 6)
         return (random.normal(kp, (n, C, D), pos_dtype),
                 random.bernoulli(kd, 0.5, (n, C)),
                 random.bernoulli(kd2, 0.5, (n, C)),
                 random.uniform(ks, (n, C)),
                 random.uniform(ku, (n, C), dtype=jnp.float32,
-                               minval=jnp.finfo(jnp.float32).tiny))
+                               minval=jnp.finfo(jnp.float32).tiny),
+                random.uniform(kr, (n, C)))
 
     def run_window(k, ps, n):
         xs = draw_window(k, n)
@@ -370,12 +437,22 @@ def nuts_run_persistent(
         ps = ps._replace(transitions=jnp.zeros_like(ps.transitions),
                          divergences=jnp.zeros_like(ps.divergences),
                          alpha_acc=jnp.zeros_like(ps.alpha_acc),
-                         depth_acc=jnp.zeros_like(ps.depth_acc))
+                         depth_acc=jnp.zeros_like(ps.depth_acc),
+                         k_res=jnp.zeros_like(ps.k_res))
 
     n_collect = collect_chains or C
+    uniform_snap = snapshot_mode == "uniform"
+    if not uniform_snap and snapshot_mode != "last":
+        raise ValueError(f"unknown snapshot_mode: {snapshot_mode!r}")
 
     def emit(ps, k):
         ps = run_window(k, ps, steps_per_sample)
+        if uniform_snap:
+            got = ps.k_res > 0
+            q_out = jnp.where(got[:, None], ps.q_res, ps.q)[:n_collect]
+            lp_out = jnp.where(got, ps.lp_res, ps.lp)[:n_collect]
+            ps = ps._replace(k_res=jnp.zeros_like(ps.k_res))
+            return ps, (q_out, lp_out)
         return ps, (ps.q[:n_collect], ps.lp[:n_collect])
 
     keys = random.split(key, num_samples)
@@ -414,12 +491,12 @@ def _run_persistent_pallas(key, log_prob_fn, init_position, step_size,
                            num_samples, steps_per_sample, burn_in_steps,
                            inv_mass_matrix, max_tree_depth, delta_max,
                            value_and_grad_fn, collect_chains, chain_tile,
-                           steps_per_iter=1):
+                           steps_per_iter=1, snapshot_mode="uniform"):
     """Persistent NUTS through the fused VMEM window kernel.
 
     Identical machine semantics to the XLA scan (verified by an
     injected-randomness parity test); float32 throughout (TPU fast path).
-    Each snapshot window is ONE pallas_call — the 13 (C, D) state arrays
+    Each snapshot window is ONE pallas_call — the 14 (C, D) state arrays
     cross HBM once per `steps_per_sample` leapfrogs instead of once per
     leapfrog, which is what bounds the XLA path.
     """
@@ -457,14 +534,28 @@ def _run_persistent_pallas(key, log_prob_fn, init_position, step_size,
         ts = window_burn(bk, ts, step_size, inv_mass_matrix)
         rows = ts.rows
         for r in (fused_nuts.R_TRANSITIONS, fused_nuts.R_DIVERGENCES,
-                  fused_nuts.R_ALPHA_ACC, fused_nuts.R_DEPTH_ACC):
+                  fused_nuts.R_ALPHA_ACC, fused_nuts.R_DEPTH_ACC,
+                  fused_nuts.R_K_RES):
             rows = rows.at[r].set(0.0)
         ts = ts._replace(rows=rows)
 
     n_collect = collect_chains or C
+    uniform_snap = snapshot_mode == "uniform"
+    if not uniform_snap and snapshot_mode != "last":
+        raise ValueError(f"unknown snapshot_mode: {snapshot_mode!r}")
 
     def emit(ts, k):
         ts = window_sample(k, ts, step_size, inv_mass_matrix)
+        if uniform_snap:
+            # uniformly-chosen completed transition of this window (see
+            # nuts_run_persistent docstring); zero-completion windows fall
+            # back to the last completed state
+            got = ts.rows[fused_nuts.R_K_RES] > 0.0
+            q_out = jnp.where(got, ts.q_res, ts.q)[:D, :n_collect].T
+            lp_out = jnp.where(got, ts.rows[fused_nuts.R_LP_RES],
+                               ts.rows[fused_nuts.R_LP])[:n_collect]
+            ts = ts._replace(rows=ts.rows.at[fused_nuts.R_K_RES].set(0.0))
+            return ts, (q_out, lp_out)
         return ts, (ts.q[:D, :n_collect].T,
                     ts.rows[fused_nuts.R_LP, :n_collect])
 

@@ -224,13 +224,14 @@ def _make_step_fn(sampler: str, log_prob_fn, value_and_grad_fn, kwargs,
                                       max_tree_depth, 1000.0, e_dtype)
             key, sub = random.split(key)
             C, D = ps.q.shape
-            kp, kd, kd2, ks, ku = random.split(sub, 5)
+            kp, kd, kd2, ks, ku, kr = random.split(sub, 6)
             xs = (random.normal(kp, (G, C, D), ps.q.dtype),
                   random.bernoulli(kd, 0.5, (G, C)),
                   random.bernoulli(kd2, 0.5, (G, C)),
                   random.uniform(ks, (G, C)),
                   random.uniform(ku, (G, C), dtype=jnp.float32,
-                                 minval=jnp.finfo(jnp.float32).tiny))
+                                 minval=jnp.finfo(jnp.float32).tiny),
+                  random.uniform(kr, (G, C)))
             a0, t0 = ps.alpha_acc, ps.transitions
             ps = lax.scan(wstep, ps, xs)[0]
             stat = _persistent_accept_stat(
@@ -397,9 +398,12 @@ def run_adaptive_warmup(
             raise ValueError("dense metric learning is not mesh-enabled; "
                              "use the diagonal metric for multi-chip runs")
         if sampler == "nuts" and backend == "persistent":
-            raise ValueError("the persistent NUTS machine implements the "
-                             "diagonal metric only; use the classic backend "
-                             "with a dense metric")
+            # the XLA persistent machine is metric-polymorphic; only the
+            # fused VMEM window kernel is diagonal-only
+            if kwargs.get("fused_warmup"):
+                raise ValueError("the fused persistent-NUTS warmup windows "
+                                 "implement the diagonal metric only")
+            kwargs = dict(kwargs, fused_warmup=False)
 
     if backend == "auto":
         from mcmc_tpu.ops.padded_targets import auto_pallas_backend

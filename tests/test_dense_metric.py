@@ -118,16 +118,49 @@ def test_nuts_dense_runs_and_samples():
                                atol=0.15)
 
 
-def test_persistent_nuts_rejects_dense_metric():
+def test_persistent_nuts_dense_runs_and_samples():
+    """Persistent NUTS with the ORACLE dense metric: the XLA state machine
+    is metric-polymorphic (velocity drift, dense kinetic, Cholesky
+    momentum unwhitening, velocity-space U-turn) — exact moments on the
+    rho=0.9 correlated Gaussian."""
+    from mcmc_tpu.samplers import nuts_run_persistent
+
+    dim = 4
+    t = correlated_gaussian(dim, correlation=0.9)
+    init = random.normal(random.PRNGKey(5), (64, dim)) * 0.3
+    res = nuts_run_persistent(
+        random.PRNGKey(6), t.log_prob_fn, init, step_size=0.5,
+        num_samples=400, steps_per_sample=8, burn_in_steps=64,
+        inv_mass_matrix=jnp.asarray(t.true_cov), max_tree_depth=8,
+        value_and_grad_fn=t.value_and_grad_fn)
+    s = np.asarray(res.samples).reshape(-1, dim)
+    np.testing.assert_allclose(np.cov(s.T), np.asarray(t.true_cov),
+                               atol=0.15)
+    assert abs(s.mean()) < 0.05
+    # the whitened dynamics should accept generously at step 0.5
+    assert float(res.accept_rate.mean()) > 0.6
+
+
+def test_persistent_nuts_dense_rejects_pallas_backend():
+    """The fused VMEM window kernel stays diagonal-only; an explicit
+    pallas request with a dense metric must raise, and 'auto' must route
+    to the XLA machine instead."""
     from mcmc_tpu.samplers import nuts_run_persistent
 
     t = standard_normal(3)
-    with pytest.raises(ValueError, match="diagonal metric"):
+    with pytest.raises(ValueError, match="diagonal"):
         nuts_run_persistent(
             random.PRNGKey(0), t.log_prob_fn, jnp.zeros((8, 3)),
             step_size=0.3, num_samples=4,
-            inv_mass_matrix=jnp.eye(3),
+            inv_mass_matrix=jnp.eye(3), backend="pallas",
             value_and_grad_fn=t.value_and_grad_fn)
+    # auto: accepted, runs the XLA machine
+    res = nuts_run_persistent(
+        random.PRNGKey(0), t.log_prob_fn, jnp.zeros((8, 3)),
+        step_size=0.3, num_samples=4,
+        inv_mass_matrix=jnp.eye(3),
+        value_and_grad_fn=t.value_and_grad_fn)
+    assert res.samples.shape == (4, 8, 3)
 
 
 @pytest.mark.slow
@@ -155,7 +188,7 @@ def test_warmup_learns_dense_metric():
     assert step > 0 and np.isfinite(np.asarray(pos)).all()
 
 
-def test_warmup_dense_rejects_mesh_and_persistent():
+def test_warmup_dense_guards():
     from mcmc_tpu.tuning import run_adaptive_warmup
     from mcmc_tpu.parallel import make_mesh
 
@@ -166,11 +199,32 @@ def test_warmup_dense_rejects_mesh_and_persistent():
                             random.PRNGKey(0), num_warmup=50, num_steps=4,
                             learn_mass_matrix="dense", mesh=make_mesh(),
                             value_and_grad_fn=t.value_and_grad_fn)
+    # explicitly forcing the fused (diagonal-only) windows with dense raises
     with pytest.raises(ValueError, match="diagonal metric"):
         run_adaptive_warmup("nuts", t.log_prob_fn, None, init,
                             random.PRNGKey(0), num_warmup=50,
                             learn_mass_matrix="dense", backend="persistent",
+                            fused_warmup=True,
                             value_and_grad_fn=t.value_and_grad_fn)
+
+
+def test_warmup_persistent_nuts_dense():
+    """Persistent-NUTS warmup with a dense metric runs on the XLA machine
+    (the fused windows are forced off) and returns a (D, D) metric."""
+    from mcmc_tpu.tuning import run_adaptive_warmup
+
+    dim = 3
+    t = standard_normal(dim)
+    init = random.normal(random.PRNGKey(1), (16, dim)) * 0.2
+    step, inv_mass, pos, info = run_adaptive_warmup(
+        "nuts", t.log_prob_fn, None, init, random.PRNGKey(2),
+        num_warmup=175, learn_mass_matrix="dense", backend="persistent",
+        value_and_grad_fn=t.value_and_grad_fn,
+        exploration_steps=50, adaptation_windows=[25, 50],
+        cooldown_steps=50)
+    assert inv_mass.shape == (dim, dim)
+    assert info["mass_matrix_learned"] == "dense"
+    assert step > 0 and np.isfinite(np.asarray(pos)).all()
 
 
 @pytest.mark.slow

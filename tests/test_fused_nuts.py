@@ -46,15 +46,16 @@ def _run_both(target, dim, n_chains, n_iters, step_size, seed=0,
     ts = window(key, ts, step_size, inv_mass)
 
     # identical draws, converted to the XLA machine's xs layout
-    kp, kd, kd2, ks, ku = random.split(key, 5)
+    kp, kd, kd2, ks, ku, kr = random.split(key, 6)
     p0 = random.normal(kp, (n_iters, d_pad, n_chains), F32)
     dirs = random.bernoulli(kd, 0.5, (n_iters, n_chains)).astype(F32)
     dirs2 = random.bernoulli(kd2, 0.5, (n_iters, n_chains)).astype(F32)
     swaps = random.uniform(ks, (n_iters, n_chains), F32)
     slices = random.uniform(ku, (n_iters, n_chains), F32,
                             minval=jnp.finfo(F32).tiny)
+    ress = random.uniform(kr, (n_iters, n_chains), F32)
     xs = (jnp.transpose(p0, (0, 2, 1))[:, :, :dim],
-          dirs > 0.5, dirs2 > 0.5, swaps, slices)
+          dirs > 0.5, dirs2 > 0.5, swaps, slices, ress)
 
     def vag_f32(q):
         lp, g = target.value_and_grad_fn(q)
@@ -108,6 +109,13 @@ def test_fused_window_matches_xla_machine(factory, dim, step):
                                   np.asarray(ps.needs_start, np.float32))
     np.testing.assert_allclose(rows[fused_nuts.R_ALPHA_ACC],
                                np.asarray(ps.alpha_acc), rtol=2e-4, atol=2e-4)
+    # snapshot reservoir: count exact, state within f32 round-off
+    np.testing.assert_array_equal(rows[fused_nuts.R_K_RES],
+                                  np.asarray(ps.k_res, np.float32))
+    np.testing.assert_allclose(tvals(ts.q_res), np.asarray(ps.q_res),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(rows[fused_nuts.R_LP_RES],
+                               np.asarray(ps.lp_res), rtol=2e-4, atol=2e-4)
 
 
 def test_pallas_backend_schema_and_determinism():

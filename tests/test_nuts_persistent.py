@@ -126,3 +126,74 @@ def test_funnel_divergence_reporting():
     # accept probs well-defined in [0, 1]
     acc = np.asarray(res.info["mean_accept_probs"])
     assert np.all((acc >= 0) & (acc <= 1))
+
+
+def test_snapshot_reservoir_semantics():
+    """The snapshot reservoir must hold a uniformly-chosen completed
+    transition of the window: driven with controlled res_u streams, the
+    k-th completion replaces the reservoir iff res_u * k < 1."""
+    from mcmc_tpu.samplers.nuts_persistent import (_init_pstate,
+                                                   _make_window_step)
+    from mcmc_tpu.samplers.base import init_chain_state
+    from jax import lax
+
+    t = standard_normal(3)
+    C, D, n_iters = 8, 3, 64
+    q0 = random.normal(random.PRNGKey(0), (C, D)) * 0.3
+    st = init_chain_state(q0, t.log_prob_fn, t.value_and_grad_fn,
+                          needs_grad=True)
+    e_dtype = st.log_prob.dtype
+    step = _make_window_step(t.value_and_grad_fn, 0.5, jnp.ones(D, q0.dtype),
+                             8, 1000.0, e_dtype)
+    ps0 = _init_pstate(st.position, jnp.asarray(st.log_prob, e_dtype),
+                       st.grad_log_prob, e_dtype)
+
+    key = random.PRNGKey(7)
+    kp, kd, kd2, ks, ku = random.split(key, 5)
+    base = (random.normal(kp, (n_iters, C, D), q0.dtype),
+            random.bernoulli(kd, 0.5, (n_iters, C)),
+            random.bernoulli(kd2, 0.5, (n_iters, C)),
+            random.uniform(ks, (n_iters, C)),
+            random.uniform(ku, (n_iters, C), dtype=jnp.float32,
+                           minval=jnp.finfo(jnp.float32).tiny))
+
+    # res_u == 0: EVERY completion replaces the reservoir -> reservoir ==
+    # the chain's final completed state (== ps.q, which only changes on term)
+    xs_always = base + (jnp.zeros((n_iters, C)),)
+    ps = lax.scan(step, ps0, xs_always)[0]
+    assert int(ps.k_res.min()) >= 1  # every chain completed something
+    np.testing.assert_array_equal(np.asarray(ps.q_res), np.asarray(ps.q))
+    np.testing.assert_array_equal(np.asarray(ps.lp_res), np.asarray(ps.lp))
+
+    # res_u == 1: only the FIRST completion is kept (1 * u < 1 fails for
+    # k >= 1 except k == 0 -> only k=1 passes via 1*1<1? no: u=1, k=1 ->
+    # 1 >= 1 fails too) -> reservoir never replaced, stays the init state
+    xs_never = base + (jnp.ones((n_iters, C)),)
+    ps2 = lax.scan(step, ps0, xs_never)[0]
+    np.testing.assert_array_equal(np.asarray(ps2.q_res), np.asarray(q0))
+    # identical trajectories either way: res_u must not affect the machine
+    np.testing.assert_array_equal(np.asarray(ps2.q), np.asarray(ps.q))
+    np.testing.assert_array_equal(np.asarray(ps2.transitions),
+                                  np.asarray(ps.transitions))
+
+
+def test_snapshot_uniform_reduces_occupancy_bias():
+    """'uniform' snapshots must not be FARTHER from the truth than 'last'
+    (deterministic-time) snapshots: on the standard normal the 'last' mode
+    is length-biased low (module docstring), and 'uniform' recovers most
+    of it at window sizes >~ the mean transition length."""
+    t = standard_normal(4)
+    init = random.normal(random.PRNGKey(5), (64, 4)) * 0.3
+    out = {}
+    for mode in ("uniform", "last"):
+        r = nuts_run_persistent(random.PRNGKey(7), t.log_prob_fn, init,
+                                step_size=0.5, num_samples=200,
+                                steps_per_sample=64, burn_in_steps=128,
+                                max_tree_depth=8, snapshot_mode=mode,
+                                value_and_grad_fn=t.value_and_grad_fn)
+        out[mode] = np.asarray(r.samples).reshape(-1, 4).var(0).mean()
+    # measured at 4x this budget: last ~0.954, uniform ~0.963 (classic
+    # reference-parity gives ~0.967); allow generous noise margins but pin
+    # the ordering direction
+    assert out["uniform"] > out["last"] - 0.005, out
+    assert out["uniform"] > 0.93, out

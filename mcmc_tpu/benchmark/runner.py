@@ -198,8 +198,12 @@ def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
         backend = _resolve_backend(sampler, target)
     if nuts_backend == "auto":
         nuts_backend = _resolve_nuts_backend(nuts_backend, target)
+    # dense (D, D) metrics bypass the fused shard_map paths (the Pallas
+    # kernels are diagonal-only): GSPMD partitions the XLA samplers over the
+    # warmup-sharded positions instead, with the metric replicated
+    dense_metric = inv_mass is not None and jnp.ndim(inv_mass) == 2
     if (mesh is not None and sampler == "nuts"
-            and nuts_backend == "persistent"
+            and nuts_backend == "persistent" and not dense_metric
             and getattr(target.value_and_grad_fn, "pallas_info", None)):
         # fused persistent-NUTS windows shard_mapped per device (GSPMD over
         # the XLA machine works too, but compiles ~150x slower)
@@ -211,7 +215,7 @@ def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
             steps_per_sample=nuts_steps_per_sample, burn_in_steps=0,
             inv_mass_matrix=inv_mass, max_tree_depth=10,
             collect_chains_per_device=n_local)
-    if (mesh is not None and backend == "pallas"
+    if (mesh is not None and backend == "pallas" and not dense_metric
             and sampler in ("hmc", "grahmc", "rahmc")):
         from mcmc_tpu.parallel.fused_sharded import grahmc_run_sharded
         is_hmc = sampler == "hmc"
@@ -605,6 +609,10 @@ def run_single_benchmark_with_L(
         }
         results.update(sampler_metadata)
         results["warmup_restored"] = warmup_restored
+        # schema addition: which chain mesh (if any) ran this row — makes
+        # multi-chip runs auditable from the results file alone
+        results["mesh_devices"] = (int(mesh.devices.size)
+                                   if mesh is not None else None)
         results["mass_matrix_learned"] = learn_mass_matrix
         if learn_mass_matrix and inv_mass is not None:
             results["mass_matrix_min"] = float(jnp.min(inv_mass))
@@ -932,10 +940,6 @@ def run_all_benchmarks(
                     use_chees_tuner = (trajectory_tuner == "chees"
                                        and sampler in ("grahmc", "rahmc",
                                                        "hmc"))
-                    if use_chees_tuner and learn_mass == "dense":
-                        print("  [chees] the ChEES warmup learns a diagonal "
-                              "metric — dense rows use the L grid tuner")
-                        use_chees_tuner = False
                     if sampler == "nuts":
                         resolved_nuts = _resolve_nuts_backend(nuts_backend,
                                                               target)

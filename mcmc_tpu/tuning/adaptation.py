@@ -293,9 +293,16 @@ def _make_step_fn(sampler: str, log_prob_fn, value_and_grad_fn, kwargs,
 def _state_pspec(state, chain_axis: str):
     """PartitionSpec pytree for a warmup chain-state: every non-scalar leaf
     shards its chain axis ('leading' for ChainState/_PState/Welford arrays,
-    'trailing' for the transposed fused-NUTS TState); scalars replicate."""
+    'trailing' for the transposed fused-NUTS TState); scalars replicate.
+    The pooled DenseMomentState has NO chain axis (its leaves are (D,) /
+    (D, D) global sums, kept replicated by per-step psums in _batch_body),
+    so every leaf replicates."""
     from jax.sharding import PartitionSpec as P
     from mcmc_tpu.parallel import CHAIN_AXIS
+    from mcmc_tpu.tuning.welford import DenseMomentState
+
+    if isinstance(state, DenseMomentState):
+        return jax.tree.map(lambda _: P(), state)
 
     def spec(leaf):
         nd = jnp.ndim(leaf)
@@ -394,9 +401,6 @@ def run_adaptive_warmup(
     # Stan's dense_e; XLA samplers only).
     dense_mass = learn_mass_matrix == "dense"
     if dense_mass:
-        if mesh is not None:
-            raise ValueError("dense metric learning is not mesh-enabled; "
-                             "use the diagonal metric for multi-chip runs")
         if sampler == "nuts" and backend == "persistent":
             # the XLA persistent machine is metric-polymorphic; only the
             # fused VMEM window kernel is diagonal-only
@@ -448,6 +452,14 @@ def run_adaptive_warmup(
             if accumulate:
                 update = dense_moment_update if dense_mass else welford_update
                 w_new = update(w, get_position(s))
+                if dense_mass and axis_name is not None:
+                    # pooled sums over the GLOBAL chains: psum the local
+                    # increment so the replicated carry stays bit-identical
+                    # on every device (the diagonal Welford state is
+                    # per-chain and shards instead)
+                    w_new = jax.tree.map(
+                        lambda a, b: b + lax.psum(a - b, axis_name),
+                        w_new, w)
                 w = jax.tree.map(
                     lambda a, b: jnp.where(live, a, b), w_new, w)
             return (k, s, w), accept_stat

@@ -55,7 +55,9 @@ from mcmc_tpu.tuning.adaptation import build_schedule, fixed_width_batches
 from mcmc_tpu.tuning.dual_averaging import (
     da_init, da_update, da_reset, da_step_size, da_final_step_size)
 from mcmc_tpu.tuning.welford import (
-    welford_init, welford_update, chain_averaged_variance, shrink_variance)
+    welford_init, welford_update, chain_averaged_variance, shrink_variance,
+    dense_moment_init, dense_moment_update, dense_covariance,
+    shrink_covariance)
 
 Array = jnp.ndarray
 
@@ -135,10 +137,22 @@ def chees_log_t_grad(q0: Array, q1: Array, p1: Array, h, trajectory_length,
     leaves light-tailed behavior untouched (the Gaussian quarter-period
     optimum is preserved by the convergence tests) while bounding any
     single chain's pull to the typical scale."""
-    scale = jnp.sqrt(inv_mass)            # z = q / scale
-    z0 = q0 / scale
-    z1 = q1 / scale
-    vz1 = p1 * scale                      # dz/dt = M^{-1} p / sqrt(M^{-1})
+    if inv_mass.ndim == 2:
+        # dense metric: sphere with the Cholesky of the estimated
+        # covariance, z = L^{-1} q (inv_mass ~ Sigma, L L^T = Sigma); the
+        # velocity dz/dt = L^{-1} M^{-1} p = L^{-1} (L L^T) p = L^T p.
+        # The solve/matmuls run once per warmup step — negligible next to
+        # the trajectory's per-leapfrog gradients.
+        from jax.scipy.linalg import solve_triangular
+        L = jnp.linalg.cholesky(inv_mass.astype(q0.dtype))
+        z0 = solve_triangular(L, q0.T, lower=True).T
+        z1 = solve_triangular(L, q1.T, lower=True).T
+        vz1 = p1 @ L
+    else:
+        scale = jnp.sqrt(inv_mass)        # z = q / scale
+        z0 = q0 / scale
+        z1 = q1 / scale
+        vz1 = p1 * scale                  # dz/dt = M^{-1} p / sqrt(M^{-1})
     # A diverged trajectory overflows q1/p1 to inf/nan; its alpha is 0
     # (energy guard) but 0 * nan = nan, and one nan row would poison the
     # cross-chain mean mu1 for EVERY chain — mask diverged chains out of
@@ -489,11 +503,11 @@ def run_chees_warmup(
     """
     if sampler not in ("hmc", "grahmc", "rahmc"):
         raise ValueError(f"ChEES adaptation supports hmc/grahmc, got {sampler}")
-    if learn_mass_matrix == "dense":
-        raise ValueError(
-            "the ChEES warmup learns a diagonal metric only; use "
-            "run_adaptive_warmup(learn_mass_matrix='dense') / the grid "
-            "trajectory tuner for a dense metric")
+    # 'dense' learns a full covariance metric: pooled second moments
+    # (replicated under a mesh via per-step psums, exactly like
+    # run_adaptive_warmup), dense momentum draws/kinetic in the probes,
+    # and the ChEES criterion spheres with the Cholesky of the estimate.
+    dense_mass = learn_mass_matrix == "dense"
     n_chains, n_dim = initial_position.shape
     pos_dtype = initial_position.dtype
 
@@ -533,8 +547,9 @@ def run_chees_warmup(
 
         key, k_mom, k_acc = random.split(key, 3)
         inv_mass = wf.inv_mass
-        p0 = (random.normal(k_mom, (cs.position.shape), dtype=pos_dtype)
-              / jnp.sqrt(inv_mass))
+        # identical draw order to the old inline normal/sqrt for diagonal
+        # metrics; dense draws p ~ N(0, M) via the Cholesky solve
+        p0 = sample_momentum(k_mom, cs.position.shape, inv_mass, pos_dtype)
         h0 = -cs.log_prob + kinetic_energy(p0, inv_mass).astype(e_dtype)
         q1, p1, lp1, grad1 = integrate_trajectory_dynamic(
             cs.position, p0, cs.log_prob, cs.grad_log_prob, vag, eps, n,
@@ -565,10 +580,22 @@ def run_chees_warmup(
             accept_count=cs.accept_count + accept.astype(jnp.int32),
             divergence_count=cs.divergence_count + divergent.astype(jnp.int32),
         )
-        wf = wf._replace(state=lax.cond(
-            jnp.logical_and(accumulate, live),
-            lambda s: welford_update(s, cs.position),
-            lambda s: s, wf.state))
+        if dense_mass:
+            # where-select instead of lax.cond so the psum (a collective)
+            # executes unconditionally/uniformly on every device
+            w_new = dense_moment_update(wf.state, cs.position)
+            if axis_name is not None:
+                w_new = jax.tree.map(
+                    lambda a, b: b + lax.psum(a - b, axis_name),
+                    w_new, wf.state)
+            upd = jnp.logical_and(accumulate, live)
+            wf = wf._replace(state=jax.tree.map(
+                lambda a, b: jnp.where(upd, a, b), w_new, wf.state))
+        else:
+            wf = wf._replace(state=lax.cond(
+                jnp.logical_and(accumulate, live),
+                lambda s: welford_update(s, cs.position),
+                lambda s: s, wf.state))
         accept_stat = _pmean(jnp.mean(alpha))
         return (key, cs, da, ch, wf, accumulate), (accept_stat, n, ch.log_t)
 
@@ -596,11 +623,16 @@ def run_chees_warmup(
         return key, cs, da, ch, wf, trace
 
     def _wf_specs(wf):
-        """_WF partition specs: inv_mass is (n_dim,) and REPLICATED (it is a
-        metric, not per-chain data); Welford mean/m2 shard their chain axis,
-        the count scalar replicates."""
+        """_WF partition specs: inv_mass is the metric and REPLICATED (not
+        per-chain data); Welford mean/m2 shard their chain axis, the count
+        scalar replicates. The pooled DenseMomentState has no chain axis —
+        its global sums stay replicated (per-step psum'd in step_body)."""
         from jax.sharding import PartitionSpec as P
         from mcmc_tpu.parallel import CHAIN_AXIS
+
+        if dense_mass:
+            return _WF(inv_mass=P(),
+                       state=jax.tree.map(lambda _: P(), wf.state))
 
         def lead(leaf):
             nd = jnp.ndim(leaf)
@@ -644,8 +676,15 @@ def run_chees_warmup(
                     dtype=jnp.asarray(initial_step).dtype)
     cs = init_chain_state(initial_position, target_log_prob,
                           value_and_grad_fn, needs_grad=True)
-    wf = _WF(inv_mass=jnp.ones(n_dim, dtype=pos_dtype),
-             state=welford_init((n_chains, n_dim)))
+    if dense_mass:
+        # identity as a dense matrix + a pooled accumulator from the start
+        # so the carry shapes stay uniform for the whole warmup (same
+        # compile-shape discipline as run_adaptive_warmup's dense path)
+        wf = _WF(inv_mass=jnp.eye(n_dim, dtype=pos_dtype),
+                 state=dense_moment_init(jnp.zeros(n_dim, dtype=pos_dtype)))
+    else:
+        wf = _WF(inv_mass=jnp.ones(n_dim, dtype=pos_dtype),
+                 state=welford_init((n_chains, n_dim)))
     if mesh is not None:
         # distinct per-device key streams, carried sharded over the mesh
         from jax.sharding import NamedSharding
@@ -656,7 +695,8 @@ def run_chees_warmup(
             NamedSharding(mesh, P(CHAIN_AXIS, None)))
         cs = shard_chains(cs, mesh)
         wf = _WF(inv_mass=replicate(wf.inv_mass, mesh),
-                 state=shard_chains(wf.state, mesh))
+                 state=(jax.tree.map(lambda x: replicate(x, mesh), wf.state)
+                        if dense_mass else shard_chains(wf.state, mesh)))
 
     if ("exploration_steps" in kwargs or "adaptation_windows" in kwargs
             or "cooldown_steps" in kwargs):
@@ -684,12 +724,22 @@ def run_chees_warmup(
     B = max(1, int(update_freq))
     for start_idx, end_idx, phase in schedule:
         window_len = end_idx - start_idx
-        accumulate = phase == "adaptation" and learn_mass_matrix
+        accumulate = phase == "adaptation" and bool(learn_mass_matrix)
         if accumulate:
-            fresh = welford_init((n_chains, n_dim))
-            if mesh is not None:
-                from mcmc_tpu.parallel import shard_chains
-                fresh = shard_chains(fresh, mesh)
+            if dense_mass:
+                # re-center the pooled accumulator at the current chain
+                # mean (same as run_adaptive_warmup's dense window re-init);
+                # on a sharded position GSPMD computes the global mean and
+                # the fresh state replicates
+                fresh = dense_moment_init(jnp.mean(cs.position, axis=0))
+                if mesh is not None:
+                    from mcmc_tpu.parallel import replicate
+                    fresh = jax.tree.map(lambda x: replicate(x, mesh), fresh)
+            else:
+                fresh = welford_init((n_chains, n_dim))
+                if mesh is not None:
+                    from mcmc_tpu.parallel import shard_chains
+                    fresh = shard_chains(fresh, mesh)
             wf = wf._replace(state=fresh)
         for n_real, live in fixed_width_batches(window_len, B):
             row = np.zeros(B, dtype=np.float64)
@@ -708,8 +758,14 @@ def run_chees_warmup(
                 final_phase_weights.append(n_real)
 
         if accumulate:
-            variance = chain_averaged_variance(wf.state)
-            inv_mass = shrink_variance(variance, wf.state.count).astype(pos_dtype)
+            if dense_mass:
+                inv_mass = shrink_covariance(
+                    dense_covariance(wf.state),
+                    wf.state.count).astype(pos_dtype)
+            else:
+                variance = chain_averaged_variance(wf.state)
+                inv_mass = shrink_variance(
+                    variance, wf.state.count).astype(pos_dtype)
             wf = wf._replace(inv_mass=inv_mass)
             da = da_reset(da)
             if verbose:
@@ -751,8 +807,10 @@ def run_chees_warmup(
         # same backend resolution as run_adaptive_warmup: fused Pallas
         # probes on TPU when the target has a kernel specialization
         from mcmc_tpu.ops.padded_targets import auto_pallas_backend
+        # fused probe kernels implement the diagonal metric only; dense
+        # phase-3 probes run the XLA grahmc_step (whitening matmuls = MXU)
         seq_backend = ("pallas" if auto_pallas_backend(value_and_grad_fn)
-                       else "xla")
+                       and not dense_mass else "xla")
         step_size, tuned_gamma, steepness, _hist = sequential_tune_grahmc(
             key=random.fold_in(key[0] if mesh is not None else key, 999),
             log_prob_fn=target_log_prob,
@@ -786,6 +844,7 @@ def run_chees_warmup(
         "trajectory_length": trajectory_length,
         "num_steps": num_steps,
         "step_size": step_size,
+        "mass_matrix_learned": learn_mass_matrix,
         "accept_history": accept_trace,
         "log_t_history": log_t_trace,
         "mean_leapfrogs_history": mean_n_trace,

@@ -190,15 +190,9 @@ def test_warmup_learns_dense_metric():
 
 def test_warmup_dense_guards():
     from mcmc_tpu.tuning import run_adaptive_warmup
-    from mcmc_tpu.parallel import make_mesh
 
     t = standard_normal(3)
     init = jnp.zeros((8, 3))
-    with pytest.raises(ValueError, match="mesh"):
-        run_adaptive_warmup("hmc", t.log_prob_fn, None, init,
-                            random.PRNGKey(0), num_warmup=50, num_steps=4,
-                            learn_mass_matrix="dense", mesh=make_mesh(),
-                            value_and_grad_fn=t.value_and_grad_fn)
     # explicitly forcing the fused (diagonal-only) windows with dense raises
     with pytest.raises(ValueError, match="diagonal metric"):
         run_adaptive_warmup("nuts", t.log_prob_fn, None, init,
@@ -206,6 +200,75 @@ def test_warmup_dense_guards():
                             learn_mass_matrix="dense", backend="persistent",
                             fused_warmup=True,
                             value_and_grad_fn=t.value_and_grad_fn)
+
+
+def test_warmup_dense_under_mesh():
+    """Dense metric learning under an 8-device chain mesh: the pooled
+    moment state stays REPLICATED (per-step psum'd increments), the learned
+    (D, D) metric captures the rho=0.9 ridge, and it matches the
+    single-device warmup statistically."""
+    from mcmc_tpu.tuning import run_adaptive_warmup
+    from mcmc_tpu.parallel import make_mesh, shard_chains
+
+    dim = 4
+    t = correlated_gaussian(dim, correlation=0.9)
+    mesh = make_mesh()
+    init = shard_chains(
+        random.normal(random.PRNGKey(7), (64, dim)) * 0.3, mesh)
+    kw = dict(num_warmup=600, num_steps=8, learn_mass_matrix="dense",
+              value_and_grad_fn=t.value_and_grad_fn,
+              exploration_steps=150, adaptation_windows=[100, 250],
+              cooldown_steps=100)
+    step, inv_mass, pos, info = run_adaptive_warmup(
+        "hmc", t.log_prob_fn, None, init, random.PRNGKey(8),
+        mesh=mesh, **kw)
+    assert inv_mass.shape == (dim, dim)
+    assert info["mass_matrix_learned"] == "dense"
+    corr = np.asarray(inv_mass)
+    corr = corr / np.sqrt(np.outer(np.diag(corr), np.diag(corr)))
+    off = corr[~np.eye(dim, dtype=bool)]
+    assert off.min() > 0.4, corr          # learned the rho=0.9 ridge
+    assert step > 0 and pos.shape == (64, dim)
+    assert np.all(np.isfinite(np.asarray(pos)))
+
+    # single-device arm (different RNG streams -> statistical, not bitwise)
+    init1 = random.normal(random.PRNGKey(7), (64, dim)) * 0.3
+    _, inv_mass1, _, _ = run_adaptive_warmup(
+        "hmc", t.log_prob_fn, None, init1, random.PRNGKey(8), **kw)
+    np.testing.assert_allclose(np.asarray(inv_mass),
+                               np.asarray(inv_mass1), atol=0.35)
+
+
+def test_mesh_dense_sampling_bypasses_fused_paths(monkeypatch):
+    """_sample with a mesh and a dense metric must NOT dispatch the fused
+    shard_map paths (diagonal-only kernels) — GSPMD over the XLA sampler
+    runs instead and produces finite sharded draws."""
+    import mcmc_tpu.benchmark.runner as runner_mod
+    from mcmc_tpu.parallel import make_mesh, shard_chains
+
+    def boom(*a, **k):
+        raise AssertionError("fused shard_map path must not run for dense")
+
+    monkeypatch.setattr("mcmc_tpu.parallel.fused_sharded.grahmc_run_sharded",
+                        boom)
+    monkeypatch.setattr(
+        "mcmc_tpu.parallel.fused_sharded.nuts_persistent_run_sharded", boom)
+
+    dim = 4
+    t = correlated_gaussian(dim, correlation=0.9)
+    mesh = make_mesh()
+    pos = shard_chains(random.normal(random.PRNGKey(1), (32, dim)) * 0.3,
+                       mesh)
+    dense = jnp.asarray(t.true_cov)
+    for sampler, nuts_backend in [("hmc", "classic"),
+                                  ("nuts", "persistent")]:
+        res = runner_mod._sample(
+            sampler, t, random.PRNGKey(2), pos, step_size=0.5, num_steps=4,
+            num_samples=8, inv_mass=dense, schedule_type="constant",
+            warmup_info={}, backend="pallas", mesh=mesh,
+            nuts_backend=nuts_backend, nuts_steps_per_sample=8)
+        assert res.samples.shape[0] == 8
+        assert np.all(np.isfinite(np.asarray(res.samples)))
 
 
 def test_warmup_persistent_nuts_dense():
@@ -265,18 +328,63 @@ def test_warmup_signature_distinguishes_dense():
     assert len({diag, dense, off}) == 3
 
 
-def test_chees_warmup_rejects_dense():
-    """run_chees_warmup learns a diagonal metric; 'dense' must raise at
-    the library surface, not silently learn a diagonal metric while the
-    caller records 'dense' (review finding)."""
+def test_chees_dense_gradient_sign_structure():
+    """The dense ChEES criterion gradient must change sign at the WHITENED
+    quarter period T = pi/2: with the oracle metric (inv_mass = Sigma) the
+    sphered dynamics are unit-frequency, so dC/dlogT > 0 below pi/2 and
+    < 0 just above. This pins the Cholesky sphering math (z = L^{-1} q,
+    dz/dt = L^T p) against an analytic fact."""
+    from mcmc_tpu.tuning.chees import chees_log_t_grad
+    from mcmc_tpu.samplers.base import make_value_and_grad
+    from mcmc_tpu.samplers.trajectory import (
+        integrate_trajectory_dynamic)
+
+    t = correlated_gaussian(4, correlation=0.9)
+    sigma = jnp.asarray(t.true_cov)
+    vag = make_value_and_grad(t.log_prob_fn, t.value_and_grad_fn)
+    key = random.PRNGKey(0)
+    L = jnp.linalg.cholesky(sigma)
+    q0 = random.normal(key, (4096, 4)) @ L.T      # exact target draws
+    lp0, g0 = vag(q0)
+    eps = 0.05
+    grads = {}
+    for T in (1.2, 2.2):
+        k = random.fold_in(key, int(T * 100))
+        p0 = sample_momentum(k, q0.shape, sigma, q0.dtype)
+        q1, p1, lp1, _ = integrate_trajectory_dynamic(
+            q0, p0, lp0, g0, vag, eps, int(round(T / eps)), sigma)
+        h0 = -lp0 + kinetic_energy(p0, sigma)
+        h1 = -lp1 + kinetic_energy(p1, sigma)
+        alpha = jnp.exp(jnp.minimum(0.0, h0 - h1))
+        grads[T] = float(chees_log_t_grad(q0, q1, p1, jnp.ones(()), T,
+                                          alpha, sigma))
+    assert grads[1.2] > 0.5, grads     # below pi/2: lengthen
+    assert grads[2.2] < -0.5, grads    # above pi/2: shorten
+
+
+def test_chees_warmup_learns_dense():
+    """run_chees_warmup with learn_mass_matrix='dense': pooled moments
+    learn the (D, D) ridge, the ChEES criterion spheres with the Cholesky,
+    and the tuned trajectory decorrelates the rho=0.9 target."""
     from mcmc_tpu.tuning.chees import run_chees_warmup
 
-    t = standard_normal(3)
-    with pytest.raises(ValueError, match="diagonal metric"):
-        run_chees_warmup("hmc", t.log_prob_fn, None, jnp.zeros((8, 3)),
-                         random.PRNGKey(0), num_warmup=50,
-                         learn_mass_matrix="dense",
-                         value_and_grad_fn=t.value_and_grad_fn)
+    dim = 4
+    t = correlated_gaussian(dim, correlation=0.9)
+    init = random.normal(random.PRNGKey(3), (64, dim)) * 0.3
+    step, inv_mass, pos, info = run_chees_warmup(
+        "hmc", t.log_prob_fn, None, init, random.PRNGKey(4),
+        num_warmup=600, learn_mass_matrix="dense",
+        value_and_grad_fn=t.value_and_grad_fn,
+        exploration_steps=150, adaptation_windows=[100, 250],
+        cooldown_steps=100)
+    assert inv_mass.shape == (dim, dim)
+    assert info["mass_matrix_learned"] == "dense"
+    corr = np.asarray(inv_mass)
+    corr = corr / np.sqrt(np.outer(np.diag(corr), np.diag(corr)))
+    off = corr[~np.eye(dim, dtype=bool)]
+    assert off.min() > 0.4, corr
+    assert step > 0 and info["trajectory_length"] > 0
+    assert np.all(np.isfinite(np.asarray(pos)))
 
 
 def test_dense_warmup_compiles_two_batch_programs(caplog):
@@ -303,3 +411,28 @@ def test_dense_warmup_compiles_two_batch_programs(caplog):
     compiles = [r.message for r in caplog.records
                 if "Compiling jit(run_batch)" in r.message]
     assert 1 <= len(compiles) <= 2, compiles
+
+
+@pytest.mark.slow
+def test_cli_dense_mesh_e2e(tmp_path):
+    """--mass-matrix-mode dense with an 8-device mesh: full pipeline,
+    dense metric learned under the mesh, GSPMD sampling, gates evaluated.
+
+    NUTS rather than HMC: at tiny fixed L the exactly-whitened Gaussian
+    gives dual averaging a step-function acceptance cliff (no smooth 0.65
+    point — both mesh and single-device arms overshoot ~50% of seeds);
+    NUTS's adaptive tree depth keeps the DA response smooth."""
+    from mcmc_tpu.benchmark import run_all_benchmarks
+
+    df = run_all_benchmarks(
+        samplers=["nuts"], targets=["correlated_gaussian"],
+        grahmc_schedules=["constant"], dim=4, n_chains=32,
+        num_warmup=600, num_samples=400, seed=0,
+        output_dir=str(tmp_path), num_steps_grid=[2],
+        mass_matrix_modes=["dense"], mesh_devices=8,
+        warmup_cache=False)
+    assert len(df) == 1
+    row = df.iloc[0]
+    assert row["mass_matrix_learned"] == "dense"
+    assert row["ess_bulk_min"] > 100
+    assert row["rhat_max"] < 1.1

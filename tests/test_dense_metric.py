@@ -202,6 +202,29 @@ def test_warmup_dense_guards():
                             value_and_grad_fn=t.value_and_grad_fn)
 
 
+@pytest.mark.slow
+def test_chees_grahmc_dense_with_friction_tuning():
+    """GRAHMC + ChEES + dense: the phase-3 sequential friction tuner must
+    run on the XLA backend (fused probe kernels are diagonal-only) and
+    accept the (D, D) metric; the learned metric still captures the
+    ridge."""
+    from mcmc_tpu.tuning.chees import run_chees_warmup
+
+    dim = 4
+    t = correlated_gaussian(dim, correlation=0.9)
+    init = random.normal(random.PRNGKey(3), (64, dim)) * 0.3
+    step, inv_mass, pos, info = run_chees_warmup(
+        "grahmc", t.log_prob_fn, None, init, random.PRNGKey(4),
+        num_warmup=600, learn_mass_matrix="dense", schedule_type="tanh",
+        value_and_grad_fn=t.value_and_grad_fn)
+    assert inv_mass.shape == (dim, dim)
+    assert step > 0 and info["trajectory_length"] > 0
+    assert info.get("gamma") is not None    # phase 3 ran
+    corr = np.asarray(inv_mass)
+    corr = corr / np.sqrt(np.outer(np.diag(corr), np.diag(corr)))
+    assert corr[~np.eye(dim, dtype=bool)].min() > 0.4, corr
+
+
 def test_warmup_dense_under_mesh():
     """Dense metric learning under an 8-device chain mesh: the pooled
     moment state stays REPLICATED (per-step psum'd increments), the learned

@@ -787,9 +787,26 @@ def _round_floats(obj):
     return obj
 
 
+def _config_key(row: Dict):
+    """One row per (sampler, target, schedule, mass-matrix mode) is the
+    results-file invariant: the remaining resume-signature fields
+    (nuts backend/snapshot interval, trajectory tuner) are run-level
+    settings, so a second row under the same key can only be a stale
+    leftover from a re-run with changed settings."""
+    return (row.get("sampler"), row.get("target"), row.get("schedule"),
+            row.get("mass_matrix_learned"))
+
+
 def save_result_incremental(result: Dict, output_dir: str, is_first: bool = False):
     """Append one result to benchmark_results.{csv,json}; the CSV column order
-    is pinned in .csv_columns.json so appends stay aligned across resumes."""
+    is pinned in .csv_columns.json so appends stay aligned across resumes.
+
+    The JSON (the canonical file — analysis and resume both read it) drops
+    any prior row with the same _config_key before appending, so a config
+    re-measured under new settings (e.g. a dense NUTS row that now resolves
+    to the persistent backend) replaces its stale row instead of
+    double-counting in downstream summaries. The CSV is an append-only
+    mirror and may retain superseded rows mid-run."""
     import pandas as pd
 
     out = Path(output_dir)
@@ -825,6 +842,8 @@ def save_result_incremental(result: Dict, output_dir: str, is_first: bool = Fals
     else:
         with open(json_path) as f:
             all_results = json.load(f)
+        key = _config_key(rounded)
+        all_results = [r for r in all_results if _config_key(r) != key]
         all_results.append(rounded)
     with open(json_path, "w") as f:
         json.dump(all_results, f, indent=2)
@@ -996,6 +1015,9 @@ def run_all_benchmarks(
                             nuts_backend=nuts_backend,
                             warmup_cache_dir=warmup_cache_dir,
                             nuts_steps_per_sample=nuts_steps_per_sample)
+                    ck = _config_key(result)
+                    all_results = [r for r in all_results
+                                   if _config_key(r) != ck]
                     all_results.append(result)
                     save_result_incremental(result, output_dir, is_first=is_first)
                     is_first = False

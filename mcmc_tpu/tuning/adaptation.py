@@ -31,7 +31,7 @@ from mcmc_tpu.samplers.base import make_value_and_grad, init_chain_state
 from mcmc_tpu.tuning.welford import (
     WelfordState, welford_init, welford_update, chain_averaged_variance,
     shrink_variance, dense_moment_init, dense_moment_update,
-    dense_covariance, shrink_covariance,
+    dense_covariance, shrink_covariance, psum_increment,
 )
 from mcmc_tpu.tuning.dual_averaging import (
     da_init, da_update, da_reset, da_step_size, da_final_step_size,
@@ -457,9 +457,7 @@ def run_adaptive_warmup(
                     # increment so the replicated carry stays bit-identical
                     # on every device (the diagonal Welford state is
                     # per-chain and shards instead)
-                    w_new = jax.tree.map(
-                        lambda a, b: b + lax.psum(a - b, axis_name),
-                        w_new, w)
+                    w_new = psum_increment(w_new, w, axis_name)
                 w = jax.tree.map(
                     lambda a, b: jnp.where(live, a, b), w_new, w)
             return (k, s, w), accept_stat

@@ -57,7 +57,7 @@ from mcmc_tpu.tuning.dual_averaging import (
 from mcmc_tpu.tuning.welford import (
     welford_init, welford_update, chain_averaged_variance, shrink_variance,
     dense_moment_init, dense_moment_update, dense_covariance,
-    shrink_covariance)
+    shrink_covariance, psum_increment)
 
 Array = jnp.ndarray
 
@@ -585,9 +585,7 @@ def run_chees_warmup(
             # executes unconditionally/uniformly on every device
             w_new = dense_moment_update(wf.state, cs.position)
             if axis_name is not None:
-                w_new = jax.tree.map(
-                    lambda a, b: b + lax.psum(a - b, axis_name),
-                    w_new, wf.state)
+                w_new = psum_increment(w_new, wf.state, axis_name)
             upd = jnp.logical_and(accumulate, live)
             wf = wf._replace(state=jax.tree.map(
                 lambda a, b: jnp.where(upd, a, b), w_new, wf.state))
@@ -759,9 +757,12 @@ def run_chees_warmup(
 
         if accumulate:
             if dense_mass:
+                # per-step count (pooled count / n_chains): same shrinkage
+                # convention as run_adaptive_warmup so the two warmups
+                # produce identical metrics from identical data
                 inv_mass = shrink_covariance(
                     dense_covariance(wf.state),
-                    wf.state.count).astype(pos_dtype)
+                    wf.state.count / n_chains).astype(pos_dtype)
             else:
                 variance = chain_averaged_variance(wf.state)
                 inv_mass = shrink_variance(

@@ -104,6 +104,15 @@ def dense_moment_init(center) -> DenseMomentState:
         sum_o=jnp.zeros((d, d), center.dtype))
 
 
+def psum_increment(new, old, axis_name: str):
+    """Globalize a replicated-carry update under shard_map: each device
+    computed `new` from its LOCAL chain shard; psum the increment so the
+    carry stays bit-identical on every device (new == old + local delta,
+    so old + psum(delta) is the pooled update)."""
+    return jax.tree.map(
+        lambda a, b: b + lax.psum(a - b, axis_name), new, old)
+
+
 def dense_moment_update(state: DenseMomentState,
                         positions: jnp.ndarray) -> DenseMomentState:
     """Accumulate a (n_chains, dim) batch of draws (one MXU matmul)."""

@@ -80,6 +80,30 @@ def test_incremental_save_and_column_pinning(tmp_path):
     assert len(csv_lines) == 3  # header + 2 rows
 
 
+def test_incremental_save_replaces_stale_config_row(tmp_path):
+    """Re-measuring a config under new run-level settings (e.g. a dense
+    NUTS row whose backend resolution changed) must REPLACE its stale row
+    in the canonical JSON, not double-count it in downstream summaries."""
+    stale = {"sampler": "nuts", "target": "funnel", "schedule": None,
+             "mass_matrix_learned": "dense", "nuts_backend": "classic",
+             "min_ess": 1.0}
+    other = {"sampler": "hmc", "target": "funnel", "schedule": None,
+             "mass_matrix_learned": "dense", "min_ess": 2.0}
+    fresh = {"sampler": "nuts", "target": "funnel", "schedule": None,
+             "mass_matrix_learned": "dense", "nuts_backend": "persistent",
+             "min_ess": 3.0}
+    save_result_incremental(stale, str(tmp_path), is_first=True)
+    save_result_incremental(other, str(tmp_path), is_first=False)
+    save_result_incremental(fresh, str(tmp_path), is_first=False)
+
+    results = json.loads((tmp_path / "benchmark_results.json").read_text())
+    assert len(results) == 2
+    by_sampler = {r["sampler"]: r for r in results}
+    assert by_sampler["nuts"]["nuts_backend"] == "persistent"
+    assert by_sampler["nuts"]["min_ess"] == 3.0
+    assert by_sampler["hmc"]["min_ess"] == 2.0
+
+
 @pytest.mark.slow
 def test_run_all_benchmarks_resume(tmp_path):
     """Second invocation must skip the completed signature."""

@@ -121,8 +121,8 @@ def test_nuts_dense_runs_and_samples():
 def test_persistent_nuts_dense_runs_and_samples():
     """Persistent NUTS with the ORACLE dense metric: the XLA state machine
     is metric-polymorphic (velocity drift, dense kinetic, Cholesky
-    momentum unwhitening, velocity-space U-turn) — exact moments on the
-    rho=0.9 correlated Gaussian."""
+    momentum unwhitening, raw-momentum U-turn — invariant under
+    whitening) — exact moments on the rho=0.9 correlated Gaussian."""
     from mcmc_tpu.samplers import nuts_run_persistent
 
     dim = 4

@@ -50,6 +50,36 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _pad_dense_metric(inv_mass_matrix, dim: int, d_pad: int, dim_axis: int):
+    """Pad a dense (dim, dim) M^{-1} to the block-diagonal (d_pad, d_pad)
+    [[M^{-1}, 0], [0, I]] and return it with the layout-oriented momentum
+    unwhitening factor.
+
+    With M^{-1} = L L^T (Cholesky), p = z L^{-1} (rows = chains) has
+    covariance L^{-T} L^{-1} = M — the identical-distribution matmul form
+    of sample_momentum's triangular solve (trajectory.py:49), chosen so the
+    in-kernel draw is one MXU matmul. The identity padding block keeps the
+    padding dims decoupled (z's padding components never leak into real
+    dims; the kernel's mask zeroes them afterwards). Lane layout (ax=1)
+    consumes z @ W with W = L^{-1}; transposed (ax=0) consumes W' @ z with
+    W' = W^T = L^{-T}."""
+    from jax.scipy.linalg import solve_triangular
+
+    pad = d_pad - dim
+    invm = jnp.asarray(inv_mass_matrix, jnp.float32)
+    invm_p = jnp.pad(invm, ((0, pad), (0, pad)))
+    if pad:
+        eye_tail = jnp.concatenate(
+            [jnp.zeros(dim, jnp.float32), jnp.ones(pad, jnp.float32)])
+        invm_p = invm_p + jnp.diag(eye_tail)
+    chol = jnp.linalg.cholesky(invm_p)
+    unwhiten = solve_triangular(chol, jnp.eye(d_pad, dtype=jnp.float32),
+                                lower=True)             # L^{-1}
+    if dim_axis == 0:
+        unwhiten = unwhiten.T                           # L^{-T}
+    return invm_p, unwhiten
+
+
 def select_chain_tile(n_chains: int, d_pad: int, transitions: int,
                       chain_tile: Optional[int] = None,
                       has_data: bool = False) -> int:
@@ -124,9 +154,34 @@ def _gaussian(shape):
     return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(TWO_PI * u2)
 
 
+def _metric_ops(invm, dense: bool, ax: int):
+    """(velocity, kinetic) closures for a diagonal or dense metric.
+
+    Diagonal: invm is a broadcast row/column of M^{-1} diag entries.
+    Dense: invm is the full (d_pad, d_pad) block-diagonal M^{-1} (identity
+    in the padding block) and velocity is one MXU matmul per call —
+    (C, D) @ (D, D) in the lane layout, (D, D) @ (D, C) transposed
+    (M^{-1} is symmetric, so both orientations compute M^{-1} p)."""
+    if not dense:
+        def vel(p):
+            return p * invm
+    elif ax == 1:
+        def vel(p):
+            return jnp.dot(p, invm, preferred_element_type=jnp.float32)
+    else:
+        def vel(p):
+            return jnp.dot(invm, p, preferred_element_type=jnp.float32)
+
+    def kin(p):
+        return 0.5 * jnp.sum(p * vel(p), axis=ax, keepdims=True)
+
+    return vel, kin
+
+
 def _integrate(q0, p0, lp0, grad0, vag, eps, num_steps, friction_schedule,
-               gamma_max, steepness, invm):
-    """L conformal-leapfrog substeps entirely in VMEM (the hot loop)."""
+               gamma_max, steepness, vel):
+    """L conformal-leapfrog substeps entirely in VMEM (the hot loop).
+    `vel` maps momentum to velocity M^{-1} p (see _metric_ops)."""
     half_eps = 0.5 * eps
     total_time = eps * num_steps
 
@@ -138,7 +193,7 @@ def _integrate(q0, p0, lp0, grad0, vag, eps, num_steps, friction_schedule,
             scale = jnp.exp(-gamma_t * half_eps)
             p = p * scale
         p = p + half_eps * grad
-        q = q + eps * (p * invm)
+        q = q + eps * vel(p)
         lp, grad = vag(q)
         p = p + half_eps * grad
         if friction_schedule is not None:
@@ -150,22 +205,29 @@ def _integrate(q0, p0, lp0, grad0, vag, eps, num_steps, friction_schedule,
 
 def _make_kernel(padded_vag: Callable, num_steps: int,
                  friction_schedule: Optional[Callable],
-                 inject_randoms: bool, dim_axis: int):
+                 inject_randoms: bool, dim_axis: int, dense: bool = False):
     """Kernel body factory. Ref order:
     seed(SMEM), scalars(SMEM), q, lp, grad, inv_mass, mask
+    [, unwhiten if dense on-chip RNG]
     [, data... for data-carrying targets][, p0, u if inject_randoms]
     -> q_out, lp_out, grad_out, acc_out, dh_out.
 
     Per-chain scalars (lp, accept, dh) are (C, 1) blocks in the lane layout
     and (1, C) blocks in the transposed layout; inv_mass/mask broadcast along
-    the chain axis. Targets tagged with `data_arrays` (e.g. the hierarchical
-    logistic's design matrix) receive those arrays as whole-array VMEM refs —
-    Pallas kernels cannot capture constant arrays."""
+    the chain axis. With a dense metric inv_mass is the whole (d_pad, d_pad)
+    block-diagonal M^{-1} and unwhiten carries the layout-oriented L^{-1}
+    factor (p = L^{-1}-transformed z ~ N(0, M)) for on-chip momentum draws.
+    Targets tagged with `data_arrays` (e.g. the hierarchical logistic's
+    design matrix) receive those arrays as whole-array VMEM refs — Pallas
+    kernels cannot capture constant arrays."""
     ax = dim_axis
     n_data_refs = len(getattr(padded_vag, "data_arrays", ()))
+    has_unwhiten = dense and not inject_randoms
 
     def kernel(seed_ref, scal_ref, q_ref, lp_ref, grad_ref, invm_ref,
                mask_ref, *rest):
+        if has_unwhiten:
+            unwhiten_ref, rest = rest[0], rest[1:]
         data_vals = tuple(r[:] for r in rest[:n_data_refs])
         rest = rest[n_data_refs:]
         if data_vals:
@@ -192,24 +254,29 @@ def _make_kernel(padded_vag: Callable, num_steps: int,
         q0 = q_ref[:]
         lp0 = lp_ref[:]
         grad0 = grad_ref[:]
-        invm = invm_ref[:]          # padding filled with 1.0
+        invm = invm_ref[:]          # diag: padding 1.0; dense: identity block
         mask = mask_ref[:]
+        vel, kin = _metric_ops(invm, dense, ax)
 
         if inject_randoms:
             p0 = p0_ref[:] * mask
+        elif dense:
+            z = _gaussian(q0.shape)
+            w = unwhiten_ref[:]
+            p0 = (jnp.dot(z, w, preferred_element_type=jnp.float32)
+                  if ax == 1 else
+                  jnp.dot(w, z, preferred_element_type=jnp.float32)) * mask
         else:
             p0 = _gaussian(q0.shape) / jnp.sqrt(invm) * mask
 
-        kin0 = 0.5 * jnp.sum(p0 * p0 * invm, axis=ax, keepdims=True)
-        h0 = -lp0 + kin0
+        h0 = -lp0 + kin(p0)
 
         q1, p1, lp1, grad1 = _integrate(
             q0, p0, lp0, grad0, vag_with_data, eps, num_steps,
-            friction_schedule, gamma_max, steepness, invm)
+            friction_schedule, gamma_max, steepness, vel)
 
         p1 = -p1
-        kin1 = 0.5 * jnp.sum(p1 * p1 * invm, axis=ax, keepdims=True)
-        h1 = -lp1 + kin1
+        h1 = -lp1 + kin(p1)
         h1 = jnp.where(jnp.isfinite(h1), h1, ENERGY_OVERFLOW)
 
         log_alpha = h0 - h1
@@ -236,9 +303,10 @@ def _make_kernel(padded_vag: Callable, num_steps: int,
 
 
 def _build_call(padded_vag, num_steps, friction_schedule, n_chains, d_pad,
-                chain_tile, inject_randoms, interpret, dim_axis):
+                chain_tile, inject_randoms, interpret, dim_axis,
+                dense=False):
     kernel = _make_kernel(padded_vag, num_steps, friction_schedule,
-                          inject_randoms, dim_axis)
+                          inject_randoms, dim_axis, dense=dense)
     grid = (n_chains // chain_tile,)
 
     if dim_axis == 1:
@@ -268,20 +336,27 @@ def _build_call(padded_vag, num_steps, friction_schedule, n_chains, d_pad,
         dim_shape = (d_pad, n_chains)
         chain_shape = (1, n_chains)
 
+    # whole (d_pad, d_pad) matrix, same block for every grid tile (dense
+    # metric M^{-1} and its unwhitening factor)
+    matrix_spec = pl.BlockSpec((d_pad, d_pad), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),   # seed (1,)
         pl.BlockSpec(memory_space=pltpu.SMEM),   # scalars (3,)
         full,                                     # q
         per_chain,                                # lp
         full,                                     # grad
-        bcast_spec(d_pad if dim_axis == 0 else d_pad),  # inv_mass
-        bcast_spec(d_pad if dim_axis == 0 else d_pad),  # mask
+        matrix_spec if dense else bcast_spec(d_pad),    # inv_mass
+        bcast_spec(d_pad),                        # mask
     ]
     if dim_axis == 1:
-        in_specs[5] = pl.BlockSpec((1, d_pad), lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM)
+        if not dense:
+            in_specs[5] = pl.BlockSpec((1, d_pad), lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
         in_specs[6] = pl.BlockSpec((1, d_pad), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM)
+    if dense and not inject_randoms:
+        in_specs.append(matrix_spec)              # unwhiten (L^{-1} factor)
     for arr in getattr(padded_vag, "data_arrays", ()):
         # whole-array constant data (same block for every grid tile)
         in_specs.append(pl.BlockSpec(arr.shape,
@@ -352,6 +427,7 @@ def make_fused_grahmc_step(
 
     def fused(key, state, step_size, gamma, steepness, inv_mass_matrix):
         n_chains, dim = state.position.shape
+        dense = jnp.ndim(inv_mass_matrix) == 2
         dim_axis = choose_layout(dim) if layout == "auto" else (
             1 if layout == "lanes" else 0)
         d_pad = _round_up(dim, LANE if dim_axis == 1 else SUBLANE)
@@ -374,12 +450,12 @@ def make_fused_grahmc_step(
             tile //= 2
         tile = max(tile, 1)
 
-        cache_key = (n_chains, dim, tile, dim_axis)
+        cache_key = (n_chains, dim, tile, dim_axis, dense)
         if cache_key not in call_cache:
             call_cache[cache_key] = _build_call(
                 padded_vag, num_steps, friction_schedule, n_chains, d_pad,
                 tile, inject_randoms=not onchip_rng, interpret=interpret,
-                dim_axis=dim_axis)
+                dim_axis=dim_axis, dense=dense)
         call = call_cache[cache_key]
         data_arrays = tuple(getattr(padded_vag, "data_arrays", ()))
 
@@ -396,19 +472,31 @@ def make_fused_grahmc_step(
         grad = jnp.pad(state.grad_log_prob.astype(jnp.float32),
                        ((0, 0), (0, pad)))
         lp = state.log_prob.astype(jnp.float32)[:, None]
-        invm = jnp.pad(jnp.asarray(inv_mass_matrix, jnp.float32),
-                       (0, pad), constant_values=1.0)[None, :]
+        if dense:
+            invm, unwhiten = _pad_dense_metric(inv_mass_matrix, dim, d_pad,
+                                               dim_axis)
+        else:
+            invm = jnp.pad(jnp.asarray(inv_mass_matrix, jnp.float32),
+                           (0, pad), constant_values=1.0)[None, :]
         mask = _mask_row(dim, d_pad, dim_axis=1)
         if dim_axis == 0:
             q, grad, lp = q.T, grad.T, lp.T
-            invm, mask = invm.T, mask.T
+            mask = mask.T
+            if not dense:
+                invm = invm.T
 
+        extra = (unwhiten,) if dense and onchip_rng else ()
         if onchip_rng:
-            outs = call(seed, scalars, q, lp, grad, invm, mask, *data_arrays)
+            outs = call(seed, scalars, q, lp, grad, invm, mask, *extra,
+                        *data_arrays)
         else:
             k_mom, k_u = random.split(seed_key)
-            p0 = (random.normal(k_mom, q.shape, dtype=jnp.float32)
-                  / jnp.sqrt(invm))
+            z = random.normal(k_mom, q.shape, dtype=jnp.float32)
+            if dense:
+                p0 = (jnp.dot(z, unwhiten) if dim_axis == 1
+                      else jnp.dot(unwhiten, z))
+            else:
+                p0 = z / jnp.sqrt(invm)
             u_shape = lp.shape
             u = random.uniform(k_u, u_shape, dtype=jnp.float32)
             outs = call(seed, scalars, q, lp, grad, invm, mask, *data_arrays,
@@ -443,7 +531,8 @@ def make_fused_grahmc_step(
 
 def _make_multistep_kernel(padded_vag: Callable, num_steps: int,
                            friction_schedule: Optional[Callable],
-                           transitions: int, inject_randoms: bool):
+                           transitions: int, inject_randoms: bool,
+                           dense: bool = False):
     """T full MH transitions per kernel call, transposed layout only.
 
     Chain state (q, lp, grad) stays in VMEM across all T transitions — HBM
@@ -453,14 +542,18 @@ def _make_multistep_kernel(padded_vag: Callable, num_steps: int,
     (the same per-step collection the single-step harness produces).
 
     Ref order: seed(SMEM), scalars(SMEM), q, lp, grad, inv_mass, mask
-    [, data...][, p0_all (T,d_pad,C), u_all (T,C) if inject_randoms]
+    [, unwhiten if dense on-chip RNG][, data...]
+    [, p0_all (T,d_pad,C), u_all (T,C) if inject_randoms]
     -> q, lp, grad (aliased), acc (T,C), dh (T,C), hist_q (T,d_pad,C),
        hist_lp (T,C).
     """
     n_data_refs = len(getattr(padded_vag, "data_arrays", ()))
+    has_unwhiten = dense and not inject_randoms
 
     def kernel(seed_ref, scal_ref, q_ref, lp_ref, grad_ref, invm_ref,
                mask_ref, *rest):
+        if has_unwhiten:
+            unwhiten_ref, rest = rest[0], rest[1:]
         data_vals = tuple(r[:] for r in rest[:n_data_refs])
         rest = rest[n_data_refs:]
         if data_vals:
@@ -484,7 +577,11 @@ def _make_multistep_kernel(padded_vag: Callable, num_steps: int,
         steepness = scal_ref[2]
         invm = invm_ref[:]
         mask = mask_ref[:]
-        inv_sqrt_m = 1.0 / jnp.sqrt(invm)
+        vel, kin = _metric_ops(invm, dense, ax=0)
+        if not dense:
+            inv_sqrt_m = 1.0 / jnp.sqrt(invm)
+        elif has_unwhiten:
+            unwhiten = unwhiten_ref[:]
 
         def transition(t, carry):
             q0, lp0, grad0 = carry
@@ -492,16 +589,18 @@ def _make_multistep_kernel(padded_vag: Callable, num_steps: int,
                 p0 = jnp.reshape(p0_ref[pl.ds(t, 1), :, :], q0.shape) * mask
                 u = u_ref[pl.ds(t, 1), :]
             else:
-                p0 = _gaussian(q0.shape) * inv_sqrt_m * mask
+                z = _gaussian(q0.shape)
+                p0 = (jnp.dot(unwhiten, z,
+                              preferred_element_type=jnp.float32)
+                      if dense else z * inv_sqrt_m) * mask
                 u = _bits_to_uniform(pltpu.prng_random_bits(lp0.shape))
 
-            kin0 = 0.5 * jnp.sum(p0 * p0 * invm, axis=0, keepdims=True)
-            h0 = -lp0 + kin0
+            h0 = -lp0 + kin(p0)
             q1, p1, lp1, grad1 = _integrate(
                 q0, p0, lp0, grad0, vag, eps, num_steps,
-                friction_schedule, gamma_max, steepness, invm)
+                friction_schedule, gamma_max, steepness, vel)
             p1 = -p1
-            h1 = -lp1 + 0.5 * jnp.sum(p1 * p1 * invm, axis=0, keepdims=True)
+            h1 = -lp1 + kin(p1)
             h1 = jnp.where(jnp.isfinite(h1), h1, ENERGY_OVERFLOW)
             accept = jnp.log(u) < jnp.minimum(0.0, h0 - h1)
 
@@ -552,6 +651,7 @@ def make_fused_grahmc_multistep(
 
     def multi(key, state, step_size, gamma, steepness, inv_mass_matrix):
         n_chains, dim = state.position.shape
+        dense = jnp.ndim(inv_mass_matrix) == 2
         d_pad = _round_up(dim, SUBLANE)
         if dim not in vag_cache:
             vag_cache[dim] = make_padded_vag(value_and_grad_fn, d_pad,
@@ -561,11 +661,11 @@ def make_fused_grahmc_multistep(
         tile = select_chain_tile(n_chains, d_pad, transitions, chain_tile,
                                  has_data)
 
-        cache_key = (n_chains, dim, tile)
+        cache_key = (n_chains, dim, tile, dense)
         if cache_key not in call_cache:
             kernel = _make_multistep_kernel(
                 padded_vag, num_steps, friction_schedule, transitions,
-                inject_randoms=not onchip_rng)
+                inject_randoms=not onchip_rng, dense=dense)
             grid = (n_chains // tile,)
             full = pl.BlockSpec((d_pad, tile), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)
@@ -578,9 +678,14 @@ def make_fused_grahmc_multistep(
                                  memory_space=pltpu.VMEM)
             bcast = pl.BlockSpec((d_pad, 1), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
+            matrix_spec = pl.BlockSpec((d_pad, d_pad), lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
             in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                         pl.BlockSpec(memory_space=pltpu.SMEM),
-                        full, row, full, bcast, bcast]
+                        full, row, full,
+                        matrix_spec if dense else bcast, bcast]
+            if dense and onchip_rng:
+                in_specs.append(matrix_spec)      # unwhiten (L^{-T} here)
             for arr in getattr(padded_vag, "data_arrays", ()):
                 in_specs.append(pl.BlockSpec(
                     arr.shape,
@@ -625,15 +730,25 @@ def make_fused_grahmc_multistep(
         grad = jnp.pad(state.grad_log_prob.astype(jnp.float32),
                        ((0, 0), (0, pad))).T
         lp = state.log_prob.astype(jnp.float32)[None, :]
-        invm = jnp.pad(jnp.asarray(inv_mass_matrix, jnp.float32),
-                       (0, pad), constant_values=1.0)[:, None]
+        if dense:
+            invm, unwhiten = _pad_dense_metric(inv_mass_matrix, dim, d_pad,
+                                               dim_axis=0)
+        else:
+            invm = jnp.pad(jnp.asarray(inv_mass_matrix, jnp.float32),
+                           (0, pad), constant_values=1.0)[:, None]
         mask = _mask_row(dim, d_pad, dim_axis=0)
 
-        args = (seed, scalars, q, lp, grad, invm, mask) + data_arrays
+        extra = (unwhiten,) if dense and onchip_rng else ()
+        args = (seed, scalars, q, lp, grad, invm, mask) + extra + data_arrays
         if not onchip_rng:
             k_mom, k_u = random.split(seed_key)
-            p0 = (random.normal(k_mom, (transitions, d_pad, n_chains),
-                                jnp.float32) / jnp.sqrt(invm))
+            z = random.normal(k_mom, (transitions, d_pad, n_chains),
+                              jnp.float32)
+            if dense:
+                # per-transition unwhitening: p_t = L^{-T} z_t
+                p0 = jnp.einsum("ij,tjc->tic", unwhiten, z)
+            else:
+                p0 = z / jnp.sqrt(invm)
             u = random.uniform(k_u, (transitions, n_chains), jnp.float32)
             args = args + (p0, u)
         (q1, lp1, grad1, acc, dh, hist_q, hist_lp) = call(*args)
@@ -679,12 +794,19 @@ def make_debug_trajectory(value_and_grad_fn, num_steps: int,
     tile = n_chains
     padded_vag = make_padded_vag(value_and_grad_fn, d_pad, dim_axis)
     data_arrays = tuple(getattr(padded_vag, "data_arrays", ()))
-    call = _build_call(padded_vag, num_steps, friction_schedule, n_chains,
-                       d_pad, tile, inject_randoms=True, interpret=interpret,
-                       dim_axis=dim_axis)
+    call_cache = {}
+
+    def _call(dense):
+        if dense not in call_cache:
+            call_cache[dense] = _build_call(
+                padded_vag, num_steps, friction_schedule, n_chains, d_pad,
+                tile, inject_randoms=True, interpret=interpret,
+                dim_axis=dim_axis, dense=dense)
+        return call_cache[dense]
 
     def run(q, lp, grad, p0, u, step_size, gamma, steepness, inv_mass):
         pad = d_pad - dim
+        dense = jnp.ndim(inv_mass) == 2
         scalars = jnp.stack([jnp.asarray(step_size, jnp.float32),
                              jnp.asarray(gamma, jnp.float32),
                              jnp.asarray(steepness, jnp.float32)])
@@ -694,12 +816,18 @@ def make_debug_trajectory(value_and_grad_fn, num_steps: int,
         pp = jnp.pad(p0.astype(jnp.float32), ((0, 0), (0, pad)))
         lpp = lp.astype(jnp.float32)[:, None]
         up = u.astype(jnp.float32)[:, None]
-        invm = jnp.pad(jnp.asarray(inv_mass, jnp.float32), (0, pad),
-                       constant_values=1.0)[None, :]
+        if dense:
+            invm, _ = _pad_dense_metric(inv_mass, dim, d_pad, dim_axis)
+        else:
+            invm = jnp.pad(jnp.asarray(inv_mass, jnp.float32), (0, pad),
+                           constant_values=1.0)[None, :]
         mask = _mask_row(dim, d_pad, dim_axis=1)
         if dim_axis == 0:
             qp, gp, pp, lpp, up = qp.T, gp.T, pp.T, lpp.T, up.T
-            invm, mask = invm.T, mask.T
+            mask = mask.T
+            if not dense:
+                invm = invm.T
+        call = _call(dense)
         outs = call(seed, scalars, qp, lpp, gp, invm, mask, *data_arrays,
                     pp, up)
         q1, lp1, grad1, acc, dh, prop_q, prop_lp = outs

@@ -184,11 +184,6 @@ def grahmc_run(
     vag = make_value_and_grad(log_prob_fn, value_and_grad_fn)
     steep = steepness if steepness is not None else 1.0
 
-    if inv_mass_matrix.ndim == 2 and backend == "pallas":
-        # the fused VMEM kernels implement the diagonal metric only; a
-        # dense metric's matmuls run on the XLA path (MXU via GSPMD)
-        backend = "xla"
-
     if backend == "pallas":
         # Multi-transition fast path: T transitions per kernel call keep the
         # chain state in VMEM across transitions and amortize launch/glue

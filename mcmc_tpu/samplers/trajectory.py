@@ -29,7 +29,10 @@ Array = jnp.ndarray
 # reference extension matching Stan's dense_e). Dense velocity/whitening
 # are (C, D) @ (D, D) matmuls — MXU work on TPU, negligible next to the
 # per-substep gradient at the D <= ~100 dims this library targets. The
-# Pallas fused kernels are diagonal-only; dense runs route to the XLA path.
+# fused trajectory kernels (ops/fused_trajectory.py) implement the dense
+# metric in-kernel (VMEM-resident M^{-1} + L^{-1} matmuls); only the fused
+# NUTS window kernel stays diagonal-only and dense routes to the XLA
+# persistent machine there.
 
 
 def velocity(p: Array, inv_mass_matrix: Array) -> Array:

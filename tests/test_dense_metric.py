@@ -1,9 +1,10 @@
 """Dense (full-covariance) metric support — a beyond-reference extension
 matching Stan's dense_e (the reference implements the diagonal metric only,
 reference tuning/adaptation.py:265). XLA samplers accept a (D, D)
-inv_mass_matrix; the warmup learns it with pooled second moments; the
-Pallas fused kernels remain diagonal-only (dense routes to the XLA path,
-whose whitening matmuls are MXU work on TPU)."""
+inv_mass_matrix; the warmup learns it with pooled second moments; the fused
+trajectory kernels (HMC/GRAHMC) run the dense metric in-kernel with
+VMEM-resident M^{-1} / L^{-1} matmuls; only the fused NUTS window kernel
+stays diagonal-only (dense NUTS routes to the XLA persistent machine)."""
 
 import numpy as np
 import pytest
@@ -99,6 +100,92 @@ def test_grahmc_dense_runs_and_samples():
     s = np.asarray(res.samples).reshape(-1, dim)
     np.testing.assert_allclose(np.cov(s.T), np.asarray(t.true_cov),
                                atol=0.15)
+
+
+@pytest.mark.parametrize("layout", ["lanes", "transposed"])
+def test_fused_debug_dense_matches_xla(layout):
+    """Fused trajectory kernel with a DENSE metric == XLA trajectory math
+    bit-for-bit at the accept decision, in both block layouts (injected
+    momentum/uniforms; interpret mode on CPU)."""
+    from mcmc_tpu.ops.fused_trajectory import make_debug_trajectory
+    from mcmc_tpu.samplers import get_friction_schedule
+    from mcmc_tpu.samplers.trajectory import (integrate_trajectory,
+                                              kinetic_energy)
+
+    dim, n_chains, L = 6, 8, 5
+    t = standard_normal(dim)
+    k1, k2, k3 = random.split(random.PRNGKey(0), 3)
+    q = random.normal(k1, (n_chains, dim)).astype(jnp.float32)
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(dim, dim)).astype(np.float32)
+    invm = jnp.asarray(a @ a.T / dim + 0.5 * np.eye(dim), jnp.float32)
+    p0 = random.normal(k2, (n_chains, dim), dtype=jnp.float32)
+    u = random.uniform(k3, (n_chains,), dtype=jnp.float32)
+    lp, grad = t.value_and_grad_fn(q)
+    lp = lp.astype(jnp.float32)
+    eps, gamma, steep = 0.1, 1.0, 0.5
+    sched = get_friction_schedule("tanh")
+
+    qx, px, lpx, _ = integrate_trajectory(
+        q, p0, lp, grad.astype(jnp.float32), t.value_and_grad_fn, eps, L,
+        invm, friction_schedule=sched, gamma_max=gamma, steepness=steep)
+    h0 = -lp + kinetic_energy(p0, invm)
+    h1 = -lpx + kinetic_energy(-px, invm)
+    acc_ref = jnp.log(u) < jnp.minimum(0.0, h0 - h1)
+    q_ref = jnp.where(acc_ref[:, None], qx, q)
+
+    run = make_debug_trajectory(t.value_and_grad_fn, L, sched, n_chains,
+                                dim, layout=layout)
+    qk, _, _, acck, dhk = run(q, lp, grad, p0, u, eps, gamma, steep, invm)
+    np.testing.assert_array_equal(np.asarray(acck), np.asarray(acc_ref))
+    np.testing.assert_allclose(np.asarray(qk), np.asarray(q_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dhk), np.asarray(h1 - h0),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_fused_grahmc_run_dense_multistep_moments():
+    """grahmc_run(backend='pallas') with an ORACLE dense metric routes
+    through the fused MULTISTEP kernel (transposed layout, T transitions
+    per call) and recovers the rho=0.9 covariance."""
+    from mcmc_tpu.samplers import grahmc_run
+    from mcmc_tpu.samplers.grahmc import NO_FRICTION
+
+    dim = 4
+    t = correlated_gaussian(dim, correlation=0.9)
+    init = random.normal(random.PRNGKey(5), (64, dim)) * 0.3
+    res = grahmc_run(random.PRNGKey(6), t.log_prob_fn, init, 0.5, 8, 0.0,
+                     1.0, num_samples=500, burn_in=100,
+                     inv_mass_matrix=jnp.asarray(t.true_cov, jnp.float32),
+                     friction_schedule=NO_FRICTION,
+                     value_and_grad_fn=t.value_and_grad_fn,
+                     backend="pallas")
+    assert float(np.mean(res.accept_rate)) > 0.8   # oracle metric, eps 0.5
+    s = np.asarray(res.samples).reshape(-1, dim)
+    np.testing.assert_allclose(np.cov(s.T), np.asarray(t.true_cov),
+                               atol=0.15)
+
+
+def test_fused_grahmc_run_dense_single_step_moments():
+    """Same with track_proposals=True, which disables the multistep
+    auto-select — covers the single-step fused kernel's dense path and the
+    proposal-endpoint export under a dense metric."""
+    from mcmc_tpu.samplers import grahmc_run
+    from mcmc_tpu.samplers.grahmc import NO_FRICTION
+
+    dim = 4
+    t = correlated_gaussian(dim, correlation=0.9)
+    init = random.normal(random.PRNGKey(7), (64, dim)) * 0.3
+    res = grahmc_run(random.PRNGKey(8), t.log_prob_fn, init, 0.5, 8, 0.0,
+                     1.0, num_samples=500, burn_in=100,
+                     inv_mass_matrix=jnp.asarray(t.true_cov, jnp.float32),
+                     friction_schedule=NO_FRICTION, track_proposals=True,
+                     value_and_grad_fn=t.value_and_grad_fn,
+                     backend="pallas")
+    s = np.asarray(res.samples).reshape(-1, dim)
+    np.testing.assert_allclose(np.cov(s.T), np.asarray(t.true_cov),
+                               atol=0.15)
+    assert "proposal_positions" in res.info  # ESJD plumbing alive
 
 
 def test_nuts_dense_runs_and_samples():

@@ -198,9 +198,10 @@ def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
         backend = _resolve_backend(sampler, target)
     if nuts_backend == "auto":
         nuts_backend = _resolve_nuts_backend(nuts_backend, target)
-    # dense (D, D) metrics bypass the fused shard_map paths (the Pallas
-    # kernels are diagonal-only): GSPMD partitions the XLA samplers over the
-    # warmup-sharded positions instead, with the metric replicated
+    # dense (D, D) metrics run in-kernel on the fused HMC/GRAHMC shard_map
+    # path (the trajectory kernels carry M^{-1}/L^{-1} in VMEM); only the
+    # fused persistent-NUTS windows stay diagonal-only, so dense NUTS under
+    # a mesh runs GSPMD over the XLA persistent machine instead
     dense_metric = inv_mass is not None and jnp.ndim(inv_mass) == 2
     if (mesh is not None and sampler == "nuts"
             and nuts_backend == "persistent" and not dense_metric
@@ -215,7 +216,7 @@ def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
             steps_per_sample=nuts_steps_per_sample, burn_in_steps=0,
             inv_mass_matrix=inv_mass, max_tree_depth=10,
             collect_chains_per_device=n_local)
-    if (mesh is not None and backend == "pallas" and not dense_metric
+    if (mesh is not None and backend == "pallas"
             and sampler in ("hmc", "grahmc", "rahmc")):
         from mcmc_tpu.parallel.fused_sharded import grahmc_run_sharded
         is_hmc = sampler == "hmc"

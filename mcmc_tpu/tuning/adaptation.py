@@ -413,8 +413,9 @@ def run_adaptive_warmup(
         from mcmc_tpu.ops.padded_targets import auto_pallas_backend
         backend = ("pallas" if sampler in ("grahmc", "rahmc")
                    and auto_pallas_backend(value_and_grad_fn) else "xla")
-    if dense_mass and backend == "pallas":
-        backend = "xla"   # fused kernels implement the diagonal metric only
+    # dense + pallas is served by the fused trajectory kernels (in-kernel
+    # M^{-1}/L^{-1} matmuls); only the fused NUTS windows remain
+    # diagonal-only (guarded above)
 
     if sampler in ("grahmc", "rahmc"):
         gamma = kwargs.get("gamma", 1.0)

@@ -397,8 +397,8 @@ def chees_run(
     if backend == "auto":
         from mcmc_tpu.ops.padded_targets import auto_pallas_backend
         backend = "pallas" if auto_pallas_backend(value_and_grad_fn) else "xla"
-    if inv_mass.ndim == 2 and backend == "pallas":
-        backend = "xla"   # fused kernels implement the diagonal metric only
+    # dense metrics run in-kernel on the pallas backend (fused trajectory
+    # kernels carry the (D, D) M^{-1} and its L^{-1} factor in VMEM)
 
     total = burn_in + num_samples
     h = halton_sequence(total, halton_offset)
@@ -807,11 +807,10 @@ def run_chees_warmup(
         from mcmc_tpu.tuning.sequential import sequential_tune_grahmc
         # same backend resolution as run_adaptive_warmup: fused Pallas
         # probes on TPU when the target has a kernel specialization
+        # (dense metrics included — the fused kernels carry them in VMEM)
         from mcmc_tpu.ops.padded_targets import auto_pallas_backend
-        # fused probe kernels implement the diagonal metric only; dense
-        # phase-3 probes run the XLA grahmc_step (whitening matmuls = MXU)
         seq_backend = ("pallas" if auto_pallas_backend(value_and_grad_fn)
-                       and not dense_mass else "xla")
+                       else "xla")
         step_size, tuned_gamma, steepness, _hist = sequential_tune_grahmc(
             key=random.fold_in(key[0] if mesh is not None else key, 999),
             log_prob_fn=target_log_prob,

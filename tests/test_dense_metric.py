@@ -275,6 +275,47 @@ def test_warmup_learns_dense_metric():
     assert step > 0 and np.isfinite(np.asarray(pos)).all()
 
 
+def test_warmup_dense_pallas_backend():
+    """run_adaptive_warmup with learn_mass_matrix='dense' and the PALLAS
+    backend runs its window scans through the fused kernel (no xla
+    downgrade) and still learns a (D, D) metric aligned with the target
+    covariance."""
+    from mcmc_tpu.tuning import run_adaptive_warmup
+
+    dim = 4
+    t = correlated_gaussian(dim, correlation=0.9)
+    init = random.normal(random.PRNGKey(0), (32, dim)) * 0.3
+    step, inv_mass, pos, info = run_adaptive_warmup(
+        "grahmc", t.log_prob_fn, None, init, random.PRNGKey(1),
+        num_warmup=400, learn_mass_matrix="dense", backend="pallas",
+        value_and_grad_fn=t.value_and_grad_fn, schedule_type="constant")
+    assert inv_mass.shape == (dim, dim)
+    assert np.isfinite(step) and step > 0
+    # learned off-diagonal correlation has the right sign structure
+    corr = np.asarray(inv_mass)
+    assert corr[0, 1] > 0
+    assert np.all(np.isfinite(np.asarray(pos)))
+
+
+def test_chees_run_pallas_dense_interpret():
+    """chees_run accepts a dense metric on the PALLAS backend: the
+    quantized fused kernels carry the (D, D) M^{-1} in VMEM (interpret
+    mode on CPU, same kernel body as TPU)."""
+    from mcmc_tpu.tuning.chees import chees_run
+
+    dim = 4
+    t = correlated_gaussian(dim, correlation=0.9)
+    init = random.normal(random.PRNGKey(2), (16, dim)).astype(jnp.float32)
+    res = chees_run(random.PRNGKey(3), t.log_prob_fn, init, step_size=0.4,
+                    trajectory_length=2.0, num_samples=48,
+                    inv_mass_matrix=jnp.asarray(t.true_cov, jnp.float32),
+                    value_and_grad_fn=t.value_and_grad_fn,
+                    backend="pallas", jitter_levels=3)
+    assert res.info["jitter_backend"] == "pallas"
+    assert np.isfinite(np.asarray(res.samples)).all()
+    assert 0.0 < float(res.accept_rate.mean()) <= 1.0
+
+
 def test_warmup_dense_guards():
     from mcmc_tpu.tuning import run_adaptive_warmup
 
@@ -349,18 +390,28 @@ def test_warmup_dense_under_mesh():
                                np.asarray(inv_mass1), atol=0.35)
 
 
-def test_mesh_dense_sampling_bypasses_fused_paths(monkeypatch):
-    """_sample with a mesh and a dense metric must NOT dispatch the fused
-    shard_map paths (diagonal-only kernels) — GSPMD over the XLA sampler
-    runs instead and produces finite sharded draws."""
+def test_mesh_dense_sampling_routing(monkeypatch):
+    """_sample with a mesh and a dense metric: HMC/GRAHMC DO dispatch the
+    fused shard_map path (the trajectory kernels run dense in-kernel);
+    dense NUTS must NOT (the fused persistent windows are diagonal-only) —
+    GSPMD over the XLA machine runs instead. Both produce finite draws."""
     import mcmc_tpu.benchmark.runner as runner_mod
     from mcmc_tpu.parallel import make_mesh, shard_chains
+    import mcmc_tpu.parallel.fused_sharded as fs
+
+    seen = []
+    real_grahmc_sharded = fs.grahmc_run_sharded
+
+    def spy(*a, **k):
+        seen.append("grahmc_sharded")
+        return real_grahmc_sharded(*a, **k)
 
     def boom(*a, **k):
-        raise AssertionError("fused shard_map path must not run for dense")
+        raise AssertionError(
+            "fused NUTS shard_map path must not run for dense")
 
     monkeypatch.setattr("mcmc_tpu.parallel.fused_sharded.grahmc_run_sharded",
-                        boom)
+                        spy)
     monkeypatch.setattr(
         "mcmc_tpu.parallel.fused_sharded.nuts_persistent_run_sharded", boom)
 
@@ -379,6 +430,7 @@ def test_mesh_dense_sampling_bypasses_fused_paths(monkeypatch):
             nuts_backend=nuts_backend, nuts_steps_per_sample=8)
         assert res.samples.shape[0] == 8
         assert np.all(np.isfinite(np.asarray(res.samples)))
+    assert seen == ["grahmc_sharded"]
 
 
 def test_warmup_persistent_nuts_dense():

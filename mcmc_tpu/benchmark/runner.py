@@ -198,13 +198,11 @@ def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
         backend = _resolve_backend(sampler, target)
     if nuts_backend == "auto":
         nuts_backend = _resolve_nuts_backend(nuts_backend, target)
-    # dense (D, D) metrics run in-kernel on the fused HMC/GRAHMC shard_map
-    # path (the trajectory kernels carry M^{-1}/L^{-1} in VMEM); only the
-    # fused persistent-NUTS windows stay diagonal-only, so dense NUTS under
-    # a mesh runs GSPMD over the XLA persistent machine instead
-    dense_metric = inv_mass is not None and jnp.ndim(inv_mass) == 2
+    # dense (D, D) metrics run in-kernel on every fused shard_map path —
+    # the trajectory kernels AND the persistent-NUTS window kernel carry
+    # M^{-1} plus its unwhitening factor in VMEM
     if (mesh is not None and sampler == "nuts"
-            and nuts_backend == "persistent" and not dense_metric
+            and nuts_backend == "persistent"
             and getattr(target.value_and_grad_fn, "pallas_info", None)):
         # fused persistent-NUTS windows shard_mapped per device (GSPMD over
         # the XLA machine works too, but compiles ~150x slower)

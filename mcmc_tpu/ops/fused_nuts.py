@@ -43,6 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mcmc_tpu.ops.fused_trajectory import (_bits_to_uniform, _gaussian,
+                                           _metric_ops, _pad_dense_metric,
                                            seed_words_from_key)
 from mcmc_tpu.ops.memo import memoize_on_target
 from mcmc_tpu.ops.padded_targets import make_padded_vag, _mask_row
@@ -114,12 +115,19 @@ def pack_state(position, log_prob, grad, d_pad):
 
 def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
                  inject_randoms: bool, n_data_refs: int,
-                 steps_per_iter: int = 1):
+                 steps_per_iter: int = 1, dense: bool = False):
     """Kernel body. Ref order:
     seed(SMEM int32[2]), scalars(SMEM f32[2]: step_size, delta_max),
-    13 full arrays, rows, inv_mass, mask [, data...]
+    13 full arrays, rows, inv_mass, mask [, unwhiten if dense] [, data...]
     [, p0_all, dir_all, dir2_all, swap_all, slice_all if inject_randoms]
     -> 13 full arrays out, rows out (all aliased to their inputs).
+
+    With dense=True, inv_mass is the whole (d_pad, d_pad) block-diagonal
+    M^{-1}, velocity/kinetic are in-VMEM MXU matmuls, and the momentum
+    refresh unwhitens the normal rows with the L^{-T} factor (one matmul;
+    same form as the XLA machine's dense unwhiten, so injected-randomness
+    parity holds). The U-turn test is the raw-momentum dq.p — metric-free —
+    so the termination logic is untouched.
 
     steps_per_iter (W): leapfrog slots executed per machine iteration. The
     expensive bookkeeping (fresh-start seeding, boundary stores, proposal
@@ -138,6 +146,8 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
         rows_ref = refs[N_FULL]
         invm_ref, mask_ref = refs[N_FULL + 1], refs[N_FULL + 2]
         rest = refs[N_FULL + 3:]
+        if dense:
+            unwhiten_ref, rest = rest[0], rest[1:]
         data_vals = tuple(r[:] for r in rest[:n_data_refs])
         rest = rest[n_data_refs:]
         if data_vals:
@@ -159,9 +169,13 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
 
         eps0 = scal_ref[0]
         delta_max = scal_ref[1]
-        invm = invm_ref[:]          # (d_pad, 1); padding filled with 1.0
+        invm = invm_ref[:]   # diag: (d_pad, 1), padding 1.0; dense: (d, d)
         mask = mask_ref[:]          # (d_pad, 1)
-        inv_sqrt_m = 1.0 / jnp.sqrt(invm)
+        vel, kin = _metric_ops(invm, dense, ax=0)
+        if dense:
+            unwhiten = unwhiten_ref[:]
+        else:
+            inv_sqrt_m = 1.0 / jnp.sqrt(invm)
 
         full0 = tuple(r[:] for r in full_in)
         rows0 = rows_ref[:]
@@ -195,8 +209,12 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
 
             # --- 1. fresh-transition init (chains flagged needs_start) ----
             st = needs_start > 0.5
-            p0 = p0_row * inv_sqrt_m * mask
-            h0_new = -lp + 0.5 * jnp.sum(p0 * p0 * invm, axis=0, keepdims=True)
+            if dense:
+                p0 = jnp.dot(unwhiten, p0_row,
+                             preferred_element_type=jnp.float32) * mask
+            else:
+                p0 = p0_row * inv_sqrt_m * mask
+            h0_new = -lp + kin(p0)
             log_u_new = jnp.log(slice_u) - h0_new
             dir_new = jnp.where(dir_bit, 1.0, -1.0)
 
@@ -231,10 +249,10 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
             h_c = h0
             for k in range(steps_per_iter):
                 p = p_c + 0.5 * eps * g_c
-                qn = q_c + eps * (p * invm)
+                qn = q_c + eps * vel(p)
                 lp_n, grad_n = vag(qn)
                 p = p + 0.5 * eps * grad_n
-                h = -lp_n + 0.5 * jnp.sum(p * p * invm, axis=0, keepdims=True)
+                h = -lp_n + kin(p)
                 alpha = jnp.exp(jnp.minimum(0.0, h0 - h))
                 if k == 0:
                     q_c, p_c, g_c = qn, p, grad_n
@@ -340,10 +358,12 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
 
 
 def _build_call(padded_vag, n_iters, max_tree_depth, n_chains, d_pad,
-                chain_tile, inject_randoms, interpret, steps_per_iter=1):
+                chain_tile, inject_randoms, interpret, steps_per_iter=1,
+                dense=False):
     n_data_refs = len(getattr(padded_vag, "data_arrays", ()))
     kernel = _make_kernel(padded_vag, n_iters, max_tree_depth,
-                          inject_randoms, n_data_refs, steps_per_iter)
+                          inject_randoms, n_data_refs, steps_per_iter,
+                          dense=dense)
     grid = (n_chains // chain_tile,)
 
     full = pl.BlockSpec((d_pad, chain_tile), lambda i: (0, i),
@@ -352,8 +372,13 @@ def _build_call(padded_vag, n_iters, max_tree_depth, n_chains, d_pad,
                              memory_space=pltpu.VMEM)
     bcast = pl.BlockSpec((d_pad, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
+    matrix_spec = pl.BlockSpec((d_pad, d_pad), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
 
-    in_specs = ([full] * N_FULL + [rows_spec, bcast, bcast])
+    in_specs = ([full] * N_FULL
+                + [rows_spec, matrix_spec if dense else bcast, bcast])
+    if dense:
+        in_specs.append(matrix_spec)              # unwhiten (L^{-T})
     for arr in getattr(padded_vag, "data_arrays", ()):
         in_specs.append(pl.BlockSpec(
             arr.shape, lambda i, _rank=len(arr.shape): (0,) * _rank,
@@ -396,6 +421,7 @@ def make_fused_nuts_window(
     chain_tile: Optional[int] = None,
     interpret: Optional[bool] = None,
     steps_per_iter: int = 1,
+    dense: bool = False,
 ):
     """Build window(key, tstate, step_size, inv_mass_matrix) -> tstate:
     `n_iters` persistent-NUTS machine iterations (each executing up to
@@ -405,6 +431,10 @@ def make_fused_nuts_window(
     Off-TPU the kernel runs in interpreter mode with host-generated
     (threefry) randomness injected — same kernel body, same physics — since
     the interpreter stubs the on-chip PRNG.
+
+    dense=True builds the kernel for a (dim, dim) inv_mass_matrix
+    (VMEM-resident M^{-1} + L^{-T} matmuls); the window then expects a
+    dense metric at every call.
     """
     if value_and_grad_fn is None:
         raise TypeError("the fused NUTS window requires an analytic "
@@ -425,17 +455,24 @@ def make_fused_nuts_window(
     tile = max(tile, 1)
     call = _build_call(padded_vag, n_iters, max_tree_depth, n_chains, d_pad,
                        tile, inject_randoms=not onchip_rng,
-                       interpret=interpret, steps_per_iter=steps_per_iter)
+                       interpret=interpret, steps_per_iter=steps_per_iter,
+                       dense=dense)
     mask = _mask_row(dim, d_pad, dim_axis=0)
 
     def window(key, ts: TState, step_size, inv_mass_matrix):
         scalars = jnp.stack([jnp.asarray(step_size, jnp.float32),
                              jnp.asarray(delta_max, jnp.float32)])
         seed = seed_words_from_key(key)
-        invm = jnp.pad(jnp.asarray(inv_mass_matrix, jnp.float32),
-                       (0, d_pad - dim), constant_values=1.0)[:, None]
+        if dense:
+            invm, unwhiten = _pad_dense_metric(inv_mass_matrix, dim, d_pad,
+                                               dim_axis=0)
+            metric_args = (invm, mask, unwhiten)
+        else:
+            invm = jnp.pad(jnp.asarray(inv_mass_matrix, jnp.float32),
+                           (0, d_pad - dim), constant_values=1.0)[:, None]
+            metric_args = (invm, mask)
         args = tuple(getattr(ts, f) for f in _FULL_FIELDS) + (
-            ts.rows, invm, mask) + data_arrays
+            ts.rows,) + metric_args + data_arrays
         if not onchip_rng:
             kp, kd, kd2, ks, ku, kr = random.split(key, 6)
             p0 = random.normal(kp, (n_iters, d_pad, n_chains), jnp.float32)

@@ -145,13 +145,19 @@ def _make_window_step(value_and_grad_batched, step_size, inv_mass,
     dense = inv_mass.ndim == 2
     if dense:
         from jax.scipy.linalg import solve_triangular
-        # p ~ N(0, M): with M^{-1} = L L^T, p = L^{-T} z has covariance M —
-        # identical math to trajectory.sample_momentum, but applied to the
-        # pre-drawn scan-xs normals the persistent machine uses.
+        # p ~ N(0, M): with M^{-1} = L L^T, p = z L^{-1} has covariance
+        # L^{-T} L^{-1} = M — the same matmul form the fused window kernel
+        # uses (ops/fused_nuts.py computes L^{-T} @ z on transposed blocks),
+        # so injected-randomness parity between the two machines holds.
+        # The factor is loop-invariant; XLA hoists the solve out of the
+        # window scan.
         chol = jnp.linalg.cholesky(inv_mass)
+        l_inv = solve_triangular(
+            chol, jnp.eye(inv_mass.shape[0], dtype=inv_mass.dtype),
+            lower=True)
 
         def unwhiten(z):
-            return solve_triangular(chol, z.T, lower=True, trans="T").T
+            return z @ l_inv
     else:
         def unwhiten(z):
             return z / jnp.sqrt(inv_mass)
@@ -369,20 +375,7 @@ def nuts_run_persistent(
     useful grads/s at W=1; slot masking only costs throughput when trees
     are shallow, never correctness).
     """
-    dense = (inv_mass_matrix is not None
-             and jnp.ndim(inv_mass_matrix) == 2)
-    if dense:
-        # the fused VMEM window kernel (ops/fused_nuts.py) implements the
-        # diagonal metric only; dense runs on the XLA state machine, which
-        # is metric-polymorphic (_make_window_step)
-        if backend == "pallas":
-            raise ValueError(
-                "the fused persistent-NUTS kernel implements the diagonal "
-                "metric only; use backend='xla' (or 'auto') for a dense "
-                "inv_mass_matrix")
-        resolved = "xla"
-    else:
-        resolved = _resolve_backend(backend, value_and_grad_fn)
+    resolved = _resolve_backend(backend, value_and_grad_fn)
     if resolved == "pallas":
         if steps_per_iter is None:
             steps_per_iter = next(
@@ -516,6 +509,7 @@ def _run_persistent_pallas(key, log_prob_fn, init_position, step_size,
         jnp.asarray(state0.log_prob, jnp.float32),
         state0.grad_log_prob.astype(jnp.float32), d_pad)
 
+    dense = jnp.ndim(inv_mass_matrix) == 2
     if steps_per_sample % steps_per_iter or (
             burn_in_steps % steps_per_iter):
         raise ValueError("steps_per_sample and burn_in_steps must be "
@@ -523,13 +517,14 @@ def _run_persistent_pallas(key, log_prob_fn, init_position, step_size,
     window_sample = fused_nuts.make_fused_nuts_window(
         value_and_grad_fn, steps_per_sample // steps_per_iter,
         max_tree_depth, C, D, delta_max=float(delta_max),
-        chain_tile=chain_tile, steps_per_iter=steps_per_iter)
+        chain_tile=chain_tile, steps_per_iter=steps_per_iter, dense=dense)
 
     if burn_in_steps > 0:
         window_burn = fused_nuts.make_fused_nuts_window(
             value_and_grad_fn, burn_in_steps // steps_per_iter,
             max_tree_depth, C, D, delta_max=float(delta_max),
-            chain_tile=chain_tile, steps_per_iter=steps_per_iter)
+            chain_tile=chain_tile, steps_per_iter=steps_per_iter,
+            dense=dense)
         key, bk = random.split(key)
         ts = window_burn(bk, ts, step_size, inv_mass_matrix)
         rows = ts.rows

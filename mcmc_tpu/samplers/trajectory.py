@@ -28,11 +28,11 @@ Array = jnp.ndarray
 # mode) or DENSE (shape (D, D), a full inverse mass matrix — a beyond-
 # reference extension matching Stan's dense_e). Dense velocity/whitening
 # are (C, D) @ (D, D) matmuls — MXU work on TPU, negligible next to the
-# per-substep gradient at the D <= ~100 dims this library targets. The
-# fused trajectory kernels (ops/fused_trajectory.py) implement the dense
-# metric in-kernel (VMEM-resident M^{-1} + L^{-1} matmuls); only the fused
-# NUTS window kernel stays diagonal-only and dense routes to the XLA
-# persistent machine there.
+# per-substep gradient at the D <= ~100 dims this library targets. Every
+# fused kernel implements the dense metric in-kernel with VMEM-resident
+# M^{-1} + L^{-1} matmuls: the trajectory kernels
+# (ops/fused_trajectory.py) and the persistent-NUTS window kernel
+# (ops/fused_nuts.py).
 
 
 def velocity(p: Array, inv_mass_matrix: Array) -> Array:

@@ -171,6 +171,8 @@ def _make_step_fn(sampler: str, log_prob_fn, value_and_grad_fn, kwargs,
             W = next(w for w in (4, 2, 1) if G % w == 0)
             meta = {"windows": {}}
 
+            dense = bool(kwargs.get("dense_metric"))
+
             def _window_for(C, D):
                 # keyed by the traced chain count: under shard_map warmup the
                 # step sees the device-LOCAL shard, so the kernel must be
@@ -178,7 +180,7 @@ def _make_step_fn(sampler: str, log_prob_fn, value_and_grad_fn, kwargs,
                 if C not in meta["windows"]:
                     meta["windows"][C] = fused_nuts.make_fused_nuts_window(
                         vag_b, G // W, max_tree_depth, C, D,
-                        steps_per_iter=W)
+                        steps_per_iter=W, dense=dense)
                 return meta["windows"][C]
 
             def make_state(pos):
@@ -401,21 +403,16 @@ def run_adaptive_warmup(
     # Stan's dense_e; XLA samplers only).
     dense_mass = learn_mass_matrix == "dense"
     if dense_mass:
-        if sampler == "nuts" and backend == "persistent":
-            # the XLA persistent machine is metric-polymorphic; only the
-            # fused VMEM window kernel is diagonal-only
-            if kwargs.get("fused_warmup"):
-                raise ValueError("the fused persistent-NUTS warmup windows "
-                                 "implement the diagonal metric only")
-            kwargs = dict(kwargs, fused_warmup=False)
+        # every warmup path is dense-capable: the XLA machines are
+        # metric-polymorphic and the fused kernels (trajectory AND NUTS
+        # windows) carry the (D, D) metric in VMEM. The flag tells the
+        # fused-NUTS window factory to build the dense kernel variant.
+        kwargs = dict(kwargs, dense_metric=True)
 
     if backend == "auto":
         from mcmc_tpu.ops.padded_targets import auto_pallas_backend
         backend = ("pallas" if sampler in ("grahmc", "rahmc")
                    and auto_pallas_backend(value_and_grad_fn) else "xla")
-    # dense + pallas is served by the fused trajectory kernels (in-kernel
-    # M^{-1}/L^{-1} matmuls); only the fused NUTS windows remain
-    # diagonal-only (guarded above)
 
     if sampler in ("grahmc", "rahmc"):
         gamma = kwargs.get("gamma", 1.0)

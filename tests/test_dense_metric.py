@@ -1,10 +1,9 @@
 """Dense (full-covariance) metric support — a beyond-reference extension
 matching Stan's dense_e (the reference implements the diagonal metric only,
 reference tuning/adaptation.py:265). XLA samplers accept a (D, D)
-inv_mass_matrix; the warmup learns it with pooled second moments; the fused
-trajectory kernels (HMC/GRAHMC) run the dense metric in-kernel with
-VMEM-resident M^{-1} / L^{-1} matmuls; only the fused NUTS window kernel
-stays diagonal-only (dense NUTS routes to the XLA persistent machine)."""
+inv_mass_matrix; the warmup learns it with pooled second moments; every
+fused kernel (HMC/GRAHMC trajectories AND the persistent-NUTS window) runs
+the dense metric in-kernel with VMEM-resident M^{-1} / L^{-1} matmuls."""
 
 import numpy as np
 import pytest
@@ -228,26 +227,30 @@ def test_persistent_nuts_dense_runs_and_samples():
     assert float(res.accept_rate.mean()) > 0.6
 
 
-def test_persistent_nuts_dense_rejects_pallas_backend():
-    """The fused VMEM window kernel stays diagonal-only; an explicit
-    pallas request with a dense metric must raise, and 'auto' must route
-    to the XLA machine instead."""
+def test_persistent_nuts_dense_pallas_backend_moments():
+    """Persistent NUTS on the PALLAS backend with an ORACLE dense metric:
+    the fused window kernel carries the (D, D) M^{-1} plus its L^{-T}
+    unwhitening factor in VMEM (interpret mode on CPU, same kernel body as
+    TPU) — exact moments on the rho=0.9 correlated Gaussian. Bit-level
+    parity with the XLA machine is pinned separately in
+    tests/test_fused_nuts.py::test_fused_window_dense_matches_xla_machine."""
     from mcmc_tpu.samplers import nuts_run_persistent
 
-    t = standard_normal(3)
-    with pytest.raises(ValueError, match="diagonal"):
-        nuts_run_persistent(
-            random.PRNGKey(0), t.log_prob_fn, jnp.zeros((8, 3)),
-            step_size=0.3, num_samples=4,
-            inv_mass_matrix=jnp.eye(3), backend="pallas",
-            value_and_grad_fn=t.value_and_grad_fn)
-    # auto: accepted, runs the XLA machine
+    dim = 4
+    t = correlated_gaussian(dim, correlation=0.9)
+    init = (random.normal(random.PRNGKey(5), (64, dim)) * 0.3).astype(
+        jnp.float32)
     res = nuts_run_persistent(
-        random.PRNGKey(0), t.log_prob_fn, jnp.zeros((8, 3)),
-        step_size=0.3, num_samples=4,
-        inv_mass_matrix=jnp.eye(3),
+        random.PRNGKey(6), t.log_prob_fn, init, step_size=0.5,
+        num_samples=400, steps_per_sample=8, burn_in_steps=64,
+        inv_mass_matrix=jnp.asarray(t.true_cov, jnp.float32),
+        max_tree_depth=8, backend="pallas",
         value_and_grad_fn=t.value_and_grad_fn)
-    assert res.samples.shape == (4, 8, 3)
+    s = np.asarray(res.samples).reshape(-1, dim)
+    np.testing.assert_allclose(np.cov(s.T), np.asarray(t.true_cov),
+                               atol=0.15)
+    assert abs(s.mean()) < 0.05
+    assert float(res.accept_rate.mean()) > 0.6   # whitened dynamics
 
 
 @pytest.mark.slow
@@ -316,25 +319,30 @@ def test_chees_run_pallas_dense_interpret():
     assert 0.0 < float(res.accept_rate.mean()) <= 1.0
 
 
-def test_warmup_dense_guards():
+def test_warmup_dense_fused_windows():
+    """Forcing the fused persistent-NUTS warmup windows with a dense metric
+    works: the window factory builds the dense kernel variant (was a
+    diagonal-only ValueError before the kernel grew VMEM metric matmuls)."""
     from mcmc_tpu.tuning import run_adaptive_warmup
 
     t = standard_normal(3)
-    init = jnp.zeros((8, 3))
-    # explicitly forcing the fused (diagonal-only) windows with dense raises
-    with pytest.raises(ValueError, match="diagonal metric"):
-        run_adaptive_warmup("nuts", t.log_prob_fn, None, init,
-                            random.PRNGKey(0), num_warmup=50,
-                            learn_mass_matrix="dense", backend="persistent",
-                            fused_warmup=True,
-                            value_and_grad_fn=t.value_and_grad_fn)
+    init = random.normal(random.PRNGKey(9), (8, 3)) * 0.2
+    step, inv_mass, pos, info = run_adaptive_warmup(
+        "nuts", t.log_prob_fn, None, init, random.PRNGKey(0),
+        num_warmup=150, learn_mass_matrix="dense", backend="persistent",
+        fused_warmup=True, value_and_grad_fn=t.value_and_grad_fn,
+        exploration_steps=50, adaptation_windows=[25, 50],
+        cooldown_steps=25)
+    assert inv_mass.shape == (3, 3)
+    assert info["mass_matrix_learned"] == "dense"
+    assert step > 0 and np.isfinite(np.asarray(pos)).all()
 
 
 @pytest.mark.slow
 def test_chees_grahmc_dense_with_friction_tuning():
-    """GRAHMC + ChEES + dense: the phase-3 sequential friction tuner must
-    run on the XLA backend (fused probe kernels are diagonal-only) and
-    accept the (D, D) metric; the learned metric still captures the
+    """GRAHMC + ChEES + dense: the phase-3 sequential friction tuner
+    accepts the (D, D) metric (fused probe kernels carry it in VMEM on
+    TPU; XLA probes on CPU); the learned metric still captures the
     ridge."""
     from mcmc_tpu.tuning.chees import run_chees_warmup
 
@@ -391,29 +399,31 @@ def test_warmup_dense_under_mesh():
 
 
 def test_mesh_dense_sampling_routing(monkeypatch):
-    """_sample with a mesh and a dense metric: HMC/GRAHMC DO dispatch the
-    fused shard_map path (the trajectory kernels run dense in-kernel);
-    dense NUTS must NOT (the fused persistent windows are diagonal-only) —
-    GSPMD over the XLA machine runs instead. Both produce finite draws."""
+    """_sample with a mesh and a dense metric dispatches the fused
+    shard_map path for EVERY sampler — the trajectory kernels AND the
+    persistent-NUTS window kernel run the (D, D) metric in-kernel. Both
+    produce finite draws."""
     import mcmc_tpu.benchmark.runner as runner_mod
     from mcmc_tpu.parallel import make_mesh, shard_chains
     import mcmc_tpu.parallel.fused_sharded as fs
 
     seen = []
     real_grahmc_sharded = fs.grahmc_run_sharded
+    real_nuts_sharded = fs.nuts_persistent_run_sharded
 
-    def spy(*a, **k):
+    def spy_grahmc(*a, **k):
         seen.append("grahmc_sharded")
         return real_grahmc_sharded(*a, **k)
 
-    def boom(*a, **k):
-        raise AssertionError(
-            "fused NUTS shard_map path must not run for dense")
+    def spy_nuts(*a, **k):
+        seen.append("nuts_sharded")
+        return real_nuts_sharded(*a, **k)
 
     monkeypatch.setattr("mcmc_tpu.parallel.fused_sharded.grahmc_run_sharded",
-                        spy)
+                        spy_grahmc)
     monkeypatch.setattr(
-        "mcmc_tpu.parallel.fused_sharded.nuts_persistent_run_sharded", boom)
+        "mcmc_tpu.parallel.fused_sharded.nuts_persistent_run_sharded",
+        spy_nuts)
 
     dim = 4
     t = correlated_gaussian(dim, correlation=0.9)
@@ -430,12 +440,12 @@ def test_mesh_dense_sampling_routing(monkeypatch):
             nuts_backend=nuts_backend, nuts_steps_per_sample=8)
         assert res.samples.shape[0] == 8
         assert np.all(np.isfinite(np.asarray(res.samples)))
-    assert seen == ["grahmc_sharded"]
+    assert seen == ["grahmc_sharded", "nuts_sharded"]
 
 
 def test_warmup_persistent_nuts_dense():
-    """Persistent-NUTS warmup with a dense metric runs on the XLA machine
-    (the fused windows are forced off) and returns a (D, D) metric."""
+    """Persistent-NUTS warmup with a dense metric (default backend
+    resolution — XLA machine on CPU) returns a (D, D) metric."""
     from mcmc_tpu.tuning import run_adaptive_warmup
 
     dim = 3

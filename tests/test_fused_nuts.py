@@ -25,7 +25,7 @@ F32 = jnp.float32
 
 
 def _run_both(target, dim, n_chains, n_iters, step_size, seed=0,
-              max_tree_depth=6):
+              max_tree_depth=6, inv_mass=None):
     """Run the fused window and the XLA machine on identical random streams;
     return (TState, _PState)."""
     key = random.PRNGKey(seed)
@@ -36,13 +36,14 @@ def _run_both(target, dim, n_chains, n_iters, step_size, seed=0,
     q0 = state0.position.astype(F32)
     lp0 = jnp.asarray(state0.log_prob, F32)
     g0 = state0.grad_log_prob.astype(F32)
-    inv_mass = jnp.ones(dim, F32)
+    if inv_mass is None:
+        inv_mass = jnp.ones(dim, F32)
 
     d_pad = fused_nuts._round_up(dim, fused_nuts.SUBLANE)
     ts = fused_nuts.pack_state(q0, lp0, g0, d_pad)
     window = fused_nuts.make_fused_nuts_window(
         target.value_and_grad_fn, n_iters, max_tree_depth, n_chains, dim,
-        interpret=True)
+        interpret=True, dense=jnp.ndim(inv_mass) == 2)
     ts = window(key, ts, step_size, inv_mass)
 
     # identical draws, converted to the XLA machine's xs layout
@@ -68,14 +69,7 @@ def _run_both(target, dim, n_chains, n_iters, step_size, seed=0,
     return ts, ps
 
 
-@pytest.mark.parametrize("factory,dim,step", [
-    (standard_normal, 7, 0.5),
-    (neals_funnel, 10, 0.2),
-])
-def test_fused_window_matches_xla_machine(factory, dim, step):
-    target = factory(dim)
-    ts, ps = _run_both(target, dim, n_chains=16, n_iters=48, step_size=step)
-
+def _assert_machine_parity(ts, ps, dim):
     def tvals(a):  # kernel layout -> (C, D)
         return np.asarray(a[:dim].T)
 
@@ -116,6 +110,32 @@ def test_fused_window_matches_xla_machine(factory, dim, step):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(rows[fused_nuts.R_LP_RES],
                                np.asarray(ps.lp_res), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("factory,dim,step", [
+    (standard_normal, 7, 0.5),
+    (neals_funnel, 10, 0.2),
+])
+def test_fused_window_matches_xla_machine(factory, dim, step):
+    target = factory(dim)
+    ts, ps = _run_both(target, dim, n_chains=16, n_iters=48, step_size=step)
+    _assert_machine_parity(ts, ps, dim)
+
+
+def test_fused_window_dense_matches_xla_machine():
+    """DENSE metric parity: the kernel's VMEM L^{-T} @ z unwhitening /
+    M^{-1} p velocity matmuls must reproduce the XLA machine's
+    metric-polymorphic window step (z @ L^{-1}, dense kinetic) on identical
+    injected random streams — same discrete machine state, same continuous
+    state to f32 round-off."""
+    dim = 6
+    target = standard_normal(dim)
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(dim, dim)).astype(np.float32)
+    inv_mass = jnp.asarray(a @ a.T / dim + 0.5 * np.eye(dim), F32)
+    ts, ps = _run_both(target, dim, n_chains=16, n_iters=48, step_size=0.3,
+                       inv_mass=inv_mass)
+    _assert_machine_parity(ts, ps, dim)
 
 
 def test_pallas_backend_schema_and_determinism():

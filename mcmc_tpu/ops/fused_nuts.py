@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mcmc_tpu.ops.fused_trajectory import (_bits_to_uniform, _gaussian,
                                            _metric_ops, _pad_dense_metric,
-                                           seed_words_from_key)
+                                           seed_words_from_key, unwhiten_op)
 from mcmc_tpu.ops.memo import memoize_on_target
 from mcmc_tpu.ops.padded_targets import make_padded_vag, _mask_row
 
@@ -210,8 +210,7 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
             # --- 1. fresh-transition init (chains flagged needs_start) ----
             st = needs_start > 0.5
             if dense:
-                p0 = jnp.dot(unwhiten, p0_row,
-                             preferred_element_type=jnp.float32) * mask
+                p0 = unwhiten_op(unwhiten, 0)(p0_row) * mask
             else:
                 p0 = p0_row * inv_sqrt_m * mask
             h0_new = -lp + kin(p0)

@@ -50,34 +50,50 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _pad_dense_metric(inv_mass_matrix, dim: int, d_pad: int, dim_axis: int):
+def _pad_dense_block(inv_mass_matrix, dim: int, d_pad: int):
     """Pad a dense (dim, dim) M^{-1} to the block-diagonal (d_pad, d_pad)
-    [[M^{-1}, 0], [0, I]] and return it with the layout-oriented momentum
-    unwhitening factor.
-
-    With M^{-1} = L L^T (Cholesky), p = z L^{-1} (rows = chains) has
-    covariance L^{-T} L^{-1} = M — the identical-distribution matmul form
-    of sample_momentum's triangular solve (trajectory.py:49), chosen so the
-    in-kernel draw is one MXU matmul. The identity padding block keeps the
-    padding dims decoupled (z's padding components never leak into real
-    dims; the kernel's mask zeroes them afterwards). Lane layout (ax=1)
-    consumes z @ W with W = L^{-1}; transposed (ax=0) consumes W' @ z with
-    W' = W^T = L^{-T}."""
-    from jax.scipy.linalg import solve_triangular
-
+    [[M^{-1}, 0], [0, I]]. The identity padding block keeps the padding
+    dims decoupled (momentum padding components never leak into real dims;
+    the kernel's mask zeroes them afterwards)."""
     pad = d_pad - dim
-    invm = jnp.asarray(inv_mass_matrix, jnp.float32)
-    invm_p = jnp.pad(invm, ((0, pad), (0, pad)))
+    invm_p = jnp.pad(jnp.asarray(inv_mass_matrix, jnp.float32),
+                     ((0, pad), (0, pad)))
     if pad:
         eye_tail = jnp.concatenate(
             [jnp.zeros(dim, jnp.float32), jnp.ones(pad, jnp.float32)])
         invm_p = invm_p + jnp.diag(eye_tail)
+    return invm_p
+
+
+def _pad_dense_metric(inv_mass_matrix, dim: int, d_pad: int, dim_axis: int):
+    """_pad_dense_block plus the layout-oriented momentum unwhitening factor.
+
+    With M^{-1} = L L^T (Cholesky), p = z L^{-1} (rows = chains) has
+    covariance L^{-T} L^{-1} = M — the identical-distribution matmul form
+    of sample_momentum's triangular solve (trajectory.py:49), chosen so the
+    in-kernel draw is one MXU matmul. Lane layout (ax=1) consumes z @ W
+    with W = L^{-1}; transposed (ax=0) consumes W' @ z with W' = W^T =
+    L^{-T}; apply with unwhiten_op."""
+    from jax.scipy.linalg import solve_triangular
+
+    invm_p = _pad_dense_block(inv_mass_matrix, dim, d_pad)
     chol = jnp.linalg.cholesky(invm_p)
     unwhiten = solve_triangular(chol, jnp.eye(d_pad, dtype=jnp.float32),
                                 lower=True)             # L^{-1}
     if dim_axis == 0:
         unwhiten = unwhiten.T                           # L^{-T}
     return invm_p, unwhiten
+
+
+def unwhiten_op(w, ax: int):
+    """z -> momentum-with-covariance-M closure for _pad_dense_metric's
+    layout-oriented factor: z @ W in the lane layout (ax=1, W = L^{-1}),
+    W' @ z transposed (ax=0, W' = L^{-T}). The ONE place that pairs the
+    factor's orientation with its matmul; vmap it for batched (T, ...)
+    draws."""
+    if ax == 1:
+        return lambda z: jnp.dot(z, w, preferred_element_type=jnp.float32)
+    return lambda z: jnp.dot(w, z, preferred_element_type=jnp.float32)
 
 
 def select_chain_tile(n_chains: int, d_pad: int, transitions: int,
@@ -262,10 +278,7 @@ def _make_kernel(padded_vag: Callable, num_steps: int,
             p0 = p0_ref[:] * mask
         elif dense:
             z = _gaussian(q0.shape)
-            w = unwhiten_ref[:]
-            p0 = (jnp.dot(z, w, preferred_element_type=jnp.float32)
-                  if ax == 1 else
-                  jnp.dot(w, z, preferred_element_type=jnp.float32)) * mask
+            p0 = unwhiten_op(unwhiten_ref[:], ax)(z) * mask
         else:
             p0 = _gaussian(q0.shape) / jnp.sqrt(invm) * mask
 
@@ -493,8 +506,7 @@ def make_fused_grahmc_step(
             k_mom, k_u = random.split(seed_key)
             z = random.normal(k_mom, q.shape, dtype=jnp.float32)
             if dense:
-                p0 = (jnp.dot(z, unwhiten) if dim_axis == 1
-                      else jnp.dot(unwhiten, z))
+                p0 = unwhiten_op(unwhiten, dim_axis)(z)
             else:
                 p0 = z / jnp.sqrt(invm)
             u_shape = lp.shape
@@ -590,8 +602,7 @@ def _make_multistep_kernel(padded_vag: Callable, num_steps: int,
                 u = u_ref[pl.ds(t, 1), :]
             else:
                 z = _gaussian(q0.shape)
-                p0 = (jnp.dot(unwhiten, z,
-                              preferred_element_type=jnp.float32)
+                p0 = (unwhiten_op(unwhiten, 0)(z)
                       if dense else z * inv_sqrt_m) * mask
                 u = _bits_to_uniform(pltpu.prng_random_bits(lp0.shape))
 
@@ -746,7 +757,7 @@ def make_fused_grahmc_multistep(
                               jnp.float32)
             if dense:
                 # per-transition unwhitening: p_t = L^{-T} z_t
-                p0 = jnp.einsum("ij,tjc->tic", unwhiten, z)
+                p0 = jax.vmap(unwhiten_op(unwhiten, 0))(z)
             else:
                 p0 = z / jnp.sqrt(invm)
             u = random.uniform(k_u, (transitions, n_chains), jnp.float32)
@@ -817,7 +828,7 @@ def make_debug_trajectory(value_and_grad_fn, num_steps: int,
         lpp = lp.astype(jnp.float32)[:, None]
         up = u.astype(jnp.float32)[:, None]
         if dense:
-            invm, _ = _pad_dense_metric(inv_mass, dim, d_pad, dim_axis)
+            invm = _pad_dense_block(inv_mass, dim, d_pad)
         else:
             invm = jnp.pad(jnp.asarray(inv_mass, jnp.float32), (0, pad),
                            constant_values=1.0)[None, :]

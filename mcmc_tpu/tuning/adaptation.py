@@ -400,7 +400,7 @@ def run_adaptive_warmup(
 
     # learn_mass_matrix: False (identity), True (diagonal, reference
     # parity), or "dense" (full covariance metric — beyond-reference,
-    # Stan's dense_e; XLA samplers only).
+    # Stan's dense_e).
     dense_mass = learn_mass_matrix == "dense"
     if dense_mass:
         # every warmup path is dense-capable: the XLA machines are

@@ -59,7 +59,7 @@ def main():
                         help="Mass matrix: learn (diagonal, reference "
                         "parity), identity, both, or 'dense' (full "
                         "covariance metric — beyond-reference, Stan's "
-                        "dense_e; XLA samplers + classic NUTS only)")
+                        "dense_e; runs in-kernel on every fused TPU path)")
     parser.add_argument("--track-convergence", action="store_true",
                         help="Track W2 at log-spaced checkpoints")
     parser.add_argument("--convergence-base", type=float, default=1.5,

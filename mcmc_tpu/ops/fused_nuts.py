@@ -43,7 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mcmc_tpu.ops.fused_trajectory import (_bits_to_uniform, _gaussian,
-                                           _metric_ops, _pad_dense_metric,
+                                           _metric_ops, _resolve_dense_metric,
                                            seed_words_from_key, unwhiten_op)
 from mcmc_tpu.ops.memo import memoize_on_target
 from mcmc_tpu.ops.padded_targets import make_padded_vag, _mask_row
@@ -118,9 +118,11 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
                  steps_per_iter: int = 1, dense: bool = False):
     """Kernel body. Ref order:
     seed(SMEM int32[2]), scalars(SMEM f32[2]: step_size, delta_max),
-    13 full arrays, rows, inv_mass, mask [, unwhiten if dense] [, data...]
-    [, p0_all, dir_all, dir2_all, swap_all, slice_all if inject_randoms]
-    -> 13 full arrays out, rows out (all aliased to their inputs).
+    N_FULL (=14, _FULL_FIELDS) full arrays, rows, inv_mass, mask
+    [, unwhiten if dense] [, data...]
+    [, p0_all, dir_all, dir2_all, swap_all, slice_all, res_all
+       if inject_randoms]
+    -> N_FULL full arrays out, rows out (all aliased to their inputs).
 
     With dense=True, inv_mass is the whole (d_pad, d_pad) block-diagonal
     M^{-1}, velocity/kinetic are in-VMEM MXU matmuls, and the momentum
@@ -463,8 +465,8 @@ def make_fused_nuts_window(
                              jnp.asarray(delta_max, jnp.float32)])
         seed = seed_words_from_key(key)
         if dense:
-            invm, unwhiten = _pad_dense_metric(inv_mass_matrix, dim, d_pad,
-                                               dim_axis=0)
+            invm, unwhiten = _resolve_dense_metric(inv_mass_matrix, dim,
+                                                   d_pad, dim_axis=0)
             metric_args = (invm, mask, unwhiten)
         else:
             invm = jnp.pad(jnp.asarray(inv_mass_matrix, jnp.float32),

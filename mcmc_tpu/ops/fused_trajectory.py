@@ -28,7 +28,7 @@ bitwise-level trajectory comparison in tests.
 """
 
 import math
-from typing import Callable, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -65,24 +65,79 @@ def _pad_dense_block(inv_mass_matrix, dim: int, d_pad: int):
     return invm_p
 
 
-def _pad_dense_metric(inv_mass_matrix, dim: int, d_pad: int, dim_axis: int):
-    """_pad_dense_block plus the layout-oriented momentum unwhitening factor.
+def _factor_dense_metric(inv_mass_matrix, dim: int, d_pad: int):
+    """_pad_dense_block plus the momentum unwhitening factor L^{-1}.
 
     With M^{-1} = L L^T (Cholesky), p = z L^{-1} (rows = chains) has
     covariance L^{-T} L^{-1} = M — the identical-distribution matmul form
     of sample_momentum's triangular solve (trajectory.py:49), chosen so the
-    in-kernel draw is one MXU matmul. Lane layout (ax=1) consumes z @ W
-    with W = L^{-1}; transposed (ax=0) consumes W' @ z with W' = W^T =
-    L^{-T}; apply with unwhiten_op."""
+    in-kernel draw is one MXU matmul."""
     from jax.scipy.linalg import solve_triangular
 
     invm_p = _pad_dense_block(inv_mass_matrix, dim, d_pad)
     chol = jnp.linalg.cholesky(invm_p)
-    unwhiten = solve_triangular(chol, jnp.eye(d_pad, dtype=jnp.float32),
-                                lower=True)             # L^{-1}
-    if dim_axis == 0:
-        unwhiten = unwhiten.T                           # L^{-T}
-    return invm_p, unwhiten
+    l_inv = solve_triangular(chol, jnp.eye(d_pad, dtype=jnp.float32),
+                             lower=True)
+    return invm_p, l_inv
+
+
+def _pad_dense_metric(inv_mass_matrix, dim: int, d_pad: int, dim_axis: int):
+    """_factor_dense_metric with the factor oriented for the block layout.
+
+    Lane layout (ax=1) consumes z @ W with W = L^{-1}; transposed (ax=0)
+    consumes W' @ z with W' = W^T = L^{-T}; apply with unwhiten_op."""
+    invm_p, l_inv = _factor_dense_metric(inv_mass_matrix, dim, d_pad)
+    return invm_p, (l_inv if dim_axis == 1 else l_inv.T)
+
+
+class PreparedDenseMetric(NamedTuple):
+    """A dense M^{-1} factored ONCE for reuse across fused-kernel calls.
+
+    The fused closures accept this anywhere they accept a raw (dim, dim)
+    inv_mass_matrix. The point: inside `lax.switch` branches (ChEES
+    quantized-jitter sampling) XLA's while-loop invariant code motion
+    cannot hoist instructions out of the nested branch computations, so a
+    raw dense metric would pay the Cholesky + triangular solve on EVERY
+    draw; preparing up front moves the factorization outside the scan.
+    Build with prepare_dense_metric using the same layout the consuming
+    kernel uses (d_pad is shape-validated at the call)."""
+    invm: jax.Array      # (d_pad, d_pad) block-diagonal padded M^{-1}
+    l_inv: jax.Array     # lower-triangular L^{-1} (layout-neutral)
+
+
+def prepare_dense_metric(inv_mass_matrix, dim: int, layout: str = "auto"):
+    """Factor a dense (dim, dim) M^{-1} once, outside any sampling loop.
+
+    layout must match the consuming kernel: 'auto' follows choose_layout
+    (make_fused_grahmc_step's default); the multi-transition and NUTS
+    window kernels are transposed-layout ('transposed') only."""
+    dim_axis = choose_layout(dim) if layout == "auto" else (
+        1 if layout == "lanes" else 0)
+    d_pad = _round_up(dim, LANE if dim_axis == 1 else SUBLANE)
+    return PreparedDenseMetric(*_factor_dense_metric(
+        inv_mass_matrix, dim, d_pad))
+
+
+def is_dense_metric(inv_mass_matrix) -> bool:
+    """True for a raw (D, D) matrix or a PreparedDenseMetric."""
+    return (isinstance(inv_mass_matrix, PreparedDenseMetric)
+            or jnp.ndim(inv_mass_matrix) == 2)
+
+
+def _resolve_dense_metric(inv_mass_matrix, dim: int, d_pad: int,
+                          dim_axis: int):
+    """(padded M^{-1}, layout-oriented unwhitening factor) from either a
+    raw dense matrix (factored here, per call) or a PreparedDenseMetric
+    (factored once by the caller)."""
+    if isinstance(inv_mass_matrix, PreparedDenseMetric):
+        if inv_mass_matrix.invm.shape != (d_pad, d_pad):
+            raise ValueError(
+                f"PreparedDenseMetric was built for d_pad "
+                f"{inv_mass_matrix.invm.shape[0]}; this kernel needs "
+                f"{d_pad} — prepare with the consuming kernel's layout")
+        l_inv = inv_mass_matrix.l_inv
+        return inv_mass_matrix.invm, (l_inv if dim_axis == 1 else l_inv.T)
+    return _pad_dense_metric(inv_mass_matrix, dim, d_pad, dim_axis)
 
 
 def unwhiten_op(w, ax: int):
@@ -440,7 +495,7 @@ def make_fused_grahmc_step(
 
     def fused(key, state, step_size, gamma, steepness, inv_mass_matrix):
         n_chains, dim = state.position.shape
-        dense = jnp.ndim(inv_mass_matrix) == 2
+        dense = is_dense_metric(inv_mass_matrix)
         dim_axis = choose_layout(dim) if layout == "auto" else (
             1 if layout == "lanes" else 0)
         d_pad = _round_up(dim, LANE if dim_axis == 1 else SUBLANE)
@@ -486,8 +541,8 @@ def make_fused_grahmc_step(
                        ((0, 0), (0, pad)))
         lp = state.log_prob.astype(jnp.float32)[:, None]
         if dense:
-            invm, unwhiten = _pad_dense_metric(inv_mass_matrix, dim, d_pad,
-                                               dim_axis)
+            invm, unwhiten = _resolve_dense_metric(inv_mass_matrix, dim,
+                                                   d_pad, dim_axis)
         else:
             invm = jnp.pad(jnp.asarray(inv_mass_matrix, jnp.float32),
                            (0, pad), constant_values=1.0)[None, :]
@@ -662,7 +717,7 @@ def make_fused_grahmc_multistep(
 
     def multi(key, state, step_size, gamma, steepness, inv_mass_matrix):
         n_chains, dim = state.position.shape
-        dense = jnp.ndim(inv_mass_matrix) == 2
+        dense = is_dense_metric(inv_mass_matrix)
         d_pad = _round_up(dim, SUBLANE)
         if dim not in vag_cache:
             vag_cache[dim] = make_padded_vag(value_and_grad_fn, d_pad,
@@ -742,8 +797,8 @@ def make_fused_grahmc_multistep(
                        ((0, 0), (0, pad))).T
         lp = state.log_prob.astype(jnp.float32)[None, :]
         if dense:
-            invm, unwhiten = _pad_dense_metric(inv_mass_matrix, dim, d_pad,
-                                               dim_axis=0)
+            invm, unwhiten = _resolve_dense_metric(inv_mass_matrix, dim,
+                                                   d_pad, dim_axis=0)
         else:
             invm = jnp.pad(jnp.asarray(inv_mass_matrix, jnp.float32),
                            (0, pad), constant_values=1.0)[:, None]

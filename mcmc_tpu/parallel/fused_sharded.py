@@ -64,6 +64,11 @@ def grahmc_run_sharded(
     if inv_mass_matrix is None:
         inv_mass_matrix = jnp.ones(dim, jnp.float32)
     inv_mass_matrix = jnp.asarray(inv_mass_matrix, jnp.float32)
+    if jnp.ndim(inv_mass_matrix) == 2:
+        # factor the dense metric once, replicated to every device (the
+        # P() in_spec below is a pytree-prefix spec, covering both leaves)
+        from mcmc_tpu.ops.fused_trajectory import prepare_dense_metric
+        inv_mass_matrix = prepare_dense_metric(inv_mass_matrix, dim)
 
     fused = make_fused_grahmc_step(
         target.log_prob_fn, target.value_and_grad_fn, num_steps,

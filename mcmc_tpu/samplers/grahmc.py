@@ -195,8 +195,15 @@ def grahmc_run(
         # isn't requested, the window sizes divide, and the transposed
         # layout is the right one.
         from mcmc_tpu.ops.fused_trajectory import (choose_layout,
-                                                   make_fused_grahmc_multistep)
+                                                   make_fused_grahmc_multistep,
+                                                   prepare_dense_metric)
         n_chains_static, n_dim_static = state.position.shape
+        if jnp.ndim(inv_mass_matrix) == 2:
+            # factor the dense metric ONCE for the whole run (the multistep
+            # kernel only auto-selects when choose_layout is transposed, so
+            # "auto" yields the right d_pad for either kernel)
+            inv_mass_matrix = prepare_dense_metric(inv_mass_matrix,
+                                                   n_dim_static)
         trans_per_call = 1
         if (not track_proposals and choose_layout(n_dim_static) == 0
                 and n_chains_static <= 4096):

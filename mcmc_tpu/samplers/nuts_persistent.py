@@ -510,6 +510,13 @@ def _run_persistent_pallas(key, log_prob_fn, init_position, step_size,
         state0.grad_log_prob.astype(jnp.float32), d_pad)
 
     dense = jnp.ndim(inv_mass_matrix) == 2
+    if dense:
+        # factor the metric ONCE for the whole run rather than relying on
+        # XLA to hoist the Cholesky out of the sampling scan (the window
+        # kernel is transposed-layout, hence layout="transposed")
+        from mcmc_tpu.ops.fused_trajectory import prepare_dense_metric
+        inv_mass_matrix = prepare_dense_metric(inv_mass_matrix, D,
+                                               layout="transposed")
     if steps_per_sample % steps_per_iter or (
             burn_in_steps % steps_per_iter):
         raise ValueError("steps_per_sample and burn_in_steps must be "

@@ -399,6 +399,12 @@ def chees_run(
         backend = "pallas" if auto_pallas_backend(value_and_grad_fn) else "xla"
     # dense metrics run in-kernel on the pallas backend (fused trajectory
     # kernels carry the (D, D) M^{-1} and its L^{-1} factor in VMEM)
+    if backend == "pallas" and jnp.ndim(inv_mass) == 2:
+        # factor ONCE, outside the sampling scan: XLA cannot hoist a
+        # Cholesky out of the per-draw lax.switch branch computations
+        # (see PreparedDenseMetric)
+        from mcmc_tpu.ops.fused_trajectory import prepare_dense_metric
+        inv_mass = prepare_dense_metric(inv_mass, n_dim)
 
     total = burn_in + num_samples
     h = halton_sequence(total, halton_offset)

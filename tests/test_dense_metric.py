@@ -187,6 +187,40 @@ def test_fused_grahmc_run_dense_single_step_moments():
     assert "proposal_positions" in res.info  # ESJD plumbing alive
 
 
+def test_prepared_dense_metric_matches_raw():
+    """PreparedDenseMetric (factored once, outside the sampling loop) is
+    bit-identical to passing the raw (D, D) matrix: same key -> same
+    injected randomness -> same transition. The prepared form exists so
+    ChEES's per-draw lax.switch branches don't re-run the Cholesky +
+    triangular solve every draw (XLA LICM can't hoist out of nested
+    branch computations)."""
+    from mcmc_tpu.ops.fused_trajectory import (
+        make_fused_grahmc_step, prepare_dense_metric)
+    from mcmc_tpu.samplers.base import init_chain_state
+
+    dim = 4
+    t = correlated_gaussian(dim, correlation=0.9)
+    init = random.normal(random.PRNGKey(11), (16, dim)).astype(jnp.float32)
+    cs = init_chain_state(init, t.log_prob_fn, t.value_and_grad_fn,
+                          needs_grad=True)
+    fused = make_fused_grahmc_step(t.log_prob_fn, t.value_and_grad_fn, 6,
+                                   None)
+    raw = jnp.asarray(t.true_cov, jnp.float32)
+    prepared = prepare_dense_metric(raw, dim)
+    args = (random.PRNGKey(12), cs, jnp.float32(0.4), jnp.float32(0.0),
+            jnp.float32(1.0))
+    _, s_raw, (acc_raw, *_) = fused(*args, raw)
+    _, s_prep, (acc_prep, *_) = fused(*args, prepared)
+    np.testing.assert_array_equal(np.asarray(s_raw.position),
+                                  np.asarray(s_prep.position))
+    np.testing.assert_array_equal(np.asarray(acc_raw), np.asarray(acc_prep))
+
+    # a metric prepared for the wrong layout (wrong d_pad) is rejected
+    wrong = prepare_dense_metric(raw, dim, layout="lanes")  # d_pad 128
+    with pytest.raises(ValueError, match="d_pad"):
+        fused(*args, wrong)
+
+
 def test_nuts_dense_runs_and_samples():
     """Classic NUTS with a dense metric: exact moments on the correlated
     Gaussian (the U-turn test stays the reference's q-space criterion)."""

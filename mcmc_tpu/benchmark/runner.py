@@ -186,7 +186,8 @@ def _resolve_mesh(n_chains: int, mesh_devices="auto"):
 def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
             inv_mass, schedule_type, warmup_info, backend: str = "auto",
             mesh=None, nuts_backend: str = "auto",
-            nuts_steps_per_sample: int = 64):
+            nuts_steps_per_sample: int = 64,
+            nuts_proposal: str = "endpoint"):
     """Phase 2 dispatch. Returns a RunResult.
 
     With a mesh, XLA samplers run GSPMD-partitioned over the chain axis
@@ -203,6 +204,10 @@ def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
     # M^{-1} plus its unwhitening factor in VMEM
     if (mesh is not None and sampler == "nuts"
             and nuts_backend == "persistent"
+            # the fused window kernel implements the endpoint (reference
+            # parity) scheme only; multinomial falls through to the GSPMD
+            # XLA machine below
+            and nuts_proposal == "endpoint"
             and getattr(target.value_and_grad_fn, "pallas_info", None)):
         # fused persistent-NUTS windows shard_mapped per device (GSPMD over
         # the XLA machine works too, but compiles ~150x slower)
@@ -249,7 +254,8 @@ def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
                 num_samples=num_samples,
                 steps_per_sample=nuts_steps_per_sample, burn_in_steps=0,
                 inv_mass_matrix=inv_mass, max_tree_depth=10,
-                value_and_grad_fn=target.value_and_grad_fn)
+                value_and_grad_fn=target.value_and_grad_fn,
+                proposal_scheme=nuts_proposal)
         return nuts_run(key, target.log_prob_fn, position, step_size=step_size,
                         num_samples=num_samples, burn_in=0,
                         inv_mass_matrix=inv_mass, max_tree_depth=10,
@@ -283,6 +289,7 @@ def run_single_benchmark_with_L(
     warmup_cache_dir: Optional[str] = None,
     nuts_steps_per_sample: int = 64,
     trajectory_tuner: str = "grid",
+    nuts_proposal: str = "endpoint",
 ) -> Dict:
     """One warmup+sample+diagnose+gate pipeline at a fixed trajectory length.
 
@@ -433,7 +440,8 @@ def run_single_benchmark_with_L(
                                   num_steps, batch, inv_mass, schedule_type,
                                   warmup_info, mesh=mesh,
                                   nuts_backend=nuts_backend,
-                                  nuts_steps_per_sample=nuts_steps_per_sample)
+                                  nuts_steps_per_sample=nuts_steps_per_sample,
+                                  nuts_proposal=nuts_proposal)
                 position = res.final_state.position
                 pieces.append(res)
                 cumulative = jnp.concatenate([p.samples for p in pieces], axis=0)
@@ -469,7 +477,8 @@ def run_single_benchmark_with_L(
                               num_steps, num_samples, inv_mass, schedule_type,
                               warmup_info, mesh=mesh,
                               nuts_backend=nuts_backend,
-                              nuts_steps_per_sample=nuts_steps_per_sample)
+                              nuts_steps_per_sample=nuts_steps_per_sample,
+                              nuts_proposal=nuts_proposal)
             samples = res.samples
             accept_rate = float(res.accept_rate.mean())
             total_div = int(res.info["total_divergences"])
@@ -512,6 +521,7 @@ def run_single_benchmark_with_L(
                                 "nuts_backend": nuts_backend}
             if nuts_backend == "persistent":
                 sampler_metadata["nuts_steps_per_sample"] = nuts_steps_per_sample
+                sampler_metadata["nuts_proposal"] = nuts_proposal
         else:
             sampler_metadata = {"step_size": step_size, "num_steps": num_steps,
                                 "gamma": warmup_info.get("gamma", 1.0),
@@ -850,7 +860,7 @@ def save_result_incremental(result: Dict, output_dir: str, is_first: bool = Fals
 
 def _resume_signature(sampler, target_name, schedule, learn_mass,
                       nuts_backend=None, nuts_steps_per_sample=None,
-                      trajectory_tuner=None):
+                      trajectory_tuner=None, nuts_proposal=None):
     """Completed-set key for resume-by-signature.
 
     NUTS rows additionally key on the resolved backend and (for the
@@ -870,7 +880,11 @@ def _resume_signature(sampler, target_name, schedule, learn_mass,
     if sampler == "nuts":
         sig += (nuts_backend,
                 nuts_steps_per_sample if nuts_backend == "persistent"
-                else None)
+                else None,
+                # proposal scheme only exists on the persistent machine;
+                # pre-multinomial rows resolve to None == "endpoint"
+                (nuts_proposal or "endpoint")
+                if nuts_backend == "persistent" else None)
     elif sampler in ("hmc", "grahmc", "rahmc"):
         sig += ("chees" if trajectory_tuner == "chees" else None,)
     return sig
@@ -895,6 +909,7 @@ def run_all_benchmarks(
     warmup_cache: bool = True,
     nuts_steps_per_sample: int = 64,
     trajectory_tuner: str = "grid",
+    nuts_proposal: str = "endpoint",
 ):
     """Iterate target x sampler x mass-mode (x schedule for GRAHMC) with
     resume-by-signature and incremental saving. Returns a DataFrame.
@@ -934,7 +949,8 @@ def run_all_benchmarks(
                               r.get("schedule"), r.get("mass_matrix_learned"),
                               r.get("nuts_backend"),
                               r.get("nuts_steps_per_sample"),
-                              r.get("trajectory_tuner"))
+                              r.get("trajectory_tuner"),
+                              r.get("nuts_proposal"))
             for r in all_results}
         print(f"RESUMING: {len(all_results)} existing results, skipping "
               f"{len(completed)} completed configurations")
@@ -963,7 +979,8 @@ def run_all_benchmarks(
                                                               target)
                         sig = _resume_signature(
                             sampler, target.name, schedule, learn_mass,
-                            resolved_nuts, nuts_steps_per_sample)
+                            resolved_nuts, nuts_steps_per_sample,
+                            nuts_proposal=nuts_proposal)
                     else:
                         sig = _resume_signature(
                             sampler, target.name, schedule, learn_mass,
@@ -1013,7 +1030,8 @@ def run_all_benchmarks(
                             20, learn_mass, mesh_devices=mesh_devices,
                             nuts_backend=nuts_backend,
                             warmup_cache_dir=warmup_cache_dir,
-                            nuts_steps_per_sample=nuts_steps_per_sample)
+                            nuts_steps_per_sample=nuts_steps_per_sample,
+                            nuts_proposal=nuts_proposal)
                     ck = _config_key(result)
                     all_results = [r for r in all_results
                                    if _config_key(r) != ck]

@@ -105,12 +105,36 @@ class _PState(NamedTuple):
     q_res: Array
     lp_res: Array
     k_res: Array              # int32, completions this window
+    # multinomial proposal scheme only (None under the endpoint scheme):
+    # running subtree proposal + log weights (Betancourt 2017, Stan's
+    # default) — see _make_window_step's proposal_scheme
+    q_sub: Optional[Array] = None
+    lp_sub: Optional[Array] = None
+    g_sub: Optional[Array] = None
+    lw_tree: Optional[Array] = None   # log sum of e^{h0-h} over the tree
+    lw_sub: Optional[Array] = None    # ... over the current subtree
+    div_sub: Optional[Array] = None   # bool, any divergent LEAF this subtree
+    turn_sub: Optional[Array] = None  # bool, any internal U-turn this subtree
+    # iterative-NUTS checkpoint stacks, (C, max_tree_depth, D): state of
+    # every live aligned-block start within the current subtree, enabling
+    # the FULL recursive U-turn check set without recursion (see
+    # _make_window_step's proposal_scheme notes)
+    q_stk: Optional[Array] = None
+    p_stk: Optional[Array] = None
 
 
-def _init_pstate(q, lp, grad, e_dtype):
+def _init_pstate(q, lp, grad, e_dtype, multinomial: bool = False,
+                 max_tree_depth: int = 10):
     C, D = q.shape
     z = jnp.zeros((C,), e_dtype)
     zi = jnp.zeros((C,), jnp.int32)
+    extra = {}
+    if multinomial:
+        stk = jnp.zeros((C, max_tree_depth, D), q.dtype)
+        extra = dict(q_sub=q, lp_sub=lp, g_sub=grad, lw_tree=z, lw_sub=z,
+                     div_sub=jnp.zeros((C,), bool),
+                     turn_sub=jnp.zeros((C,), bool),
+                     q_stk=stk, p_stk=stk)
     return _PState(
         q=q, lp=lp, grad=grad,
         q_l=q, p_l=jnp.zeros_like(q), g_l=grad,
@@ -123,12 +147,13 @@ def _init_pstate(q, lp, grad, e_dtype):
         diverged=jnp.zeros((C,), bool),
         needs_start=jnp.ones((C,), bool),
         transitions=zi, divergences=zi, alpha_acc=z, depth_acc=zi,
-        q_res=q, lp_res=lp, k_res=zi,
+        q_res=q, lp_res=lp, k_res=zi, **extra,
     )
 
 
 def _make_window_step(value_and_grad_batched, step_size, inv_mass,
-                      max_tree_depth, delta_max, e_dtype):
+                      max_tree_depth, delta_max, e_dtype,
+                      proposal_scheme: str = "endpoint"):
     """One global iteration: (state, (p0, dir_bit, swap_u, slice_u)) -> state.
 
     value_and_grad_batched: (C, D) -> ((C,), (C, D)).
@@ -140,7 +165,32 @@ def _make_window_step(value_and_grad_batched, step_size, inv_mass,
     Cholesky factor that XLA hoists out of the window scan); the U-turn
     test stays the raw-momentum dq.p for both metrics (see the in-line
     note below).
+
+    proposal_scheme selects how the transition's proposal is drawn from the
+    trajectory:
+      - 'endpoint' (default): reference parity — subtree validity checked
+        only at the subtree ENDPOINT, a valid endpoint counts the whole
+        2^depth subtree, and only endpoint states are proposable (reference
+        NUTS.py:319-336). Measurably underdispersed: marginal variance
+        0.967 vs 1.0 on the 4D standard normal at mean depth ~3, identical
+        to the reference (BASELINE.md bias audit #1).
+      - 'multinomial': per-LEAF progressive multinomial weighting
+        (Betancourt 2017 §A.4, Stan's default scheme). Every leapfrog's
+        state enters a weighted reservoir with weight e^{h0-h} (exactly
+        multinomial over the subtree's leaves), subtrees merge into the
+        trajectory proposal via the biased swap
+        P(take subtree) = min(1, W_sub/W_tree), a divergent LEAF (not just
+        endpoint) poisons its subtree (weight excluded, trajectory
+        terminates), and the FULL recursive sub-U-turn check set runs via
+        the iterative checkpoint-stack formulation (see the in-line note) —
+        textbook semantics, unlike the reference. Cost: 3 extra (C, D)
+        state arrays + 2 (C, max_tree_depth, D) checkpoint stacks + 4
+        scalars per chain; one extra uniform stream is reused from the
+        (unused) slice stream.
     """
+    multinomial = proposal_scheme == "multinomial"
+    if not multinomial and proposal_scheme != "endpoint":
+        raise ValueError(f"unknown proposal_scheme: {proposal_scheme!r}")
     delta_max = jnp.asarray(delta_max, e_dtype)
     dense = inv_mass.ndim == 2
     if dense:
@@ -197,6 +247,18 @@ def _make_window_step(value_and_grad_batched, step_size, inv_mass,
             diverged=jnp.where(st, False, s.diverged),
             needs_start=jnp.zeros_like(st),
         )
+        if multinomial:
+            neg_inf = jnp.asarray(-jnp.inf, e_dtype)
+            s = s._replace(
+                q_sub=w(st, s.q, s.q_sub),
+                lp_sub=jnp.where(st, s.lp, s.lp_sub),
+                g_sub=w(st, s.grad, s.g_sub),
+                # the initial state is the root tree with weight e^0 = 1
+                lw_tree=jnp.where(st, jnp.asarray(0.0, e_dtype), s.lw_tree),
+                lw_sub=jnp.where(st, neg_inf, s.lw_sub),
+                div_sub=jnp.where(st, False, s.div_sub),
+                turn_sub=jnp.where(st, False, s.turn_sub),
+            )
 
         # --- 2. one leapfrog for every chain ------------------------------
         eps = (s.direction * jnp.asarray(step_size, pos_dtype))[:, None]
@@ -215,6 +277,66 @@ def _make_window_step(value_and_grad_batched, step_size, inv_mass,
             steps_left=s.steps_left - 1,
         )
 
+        if multinomial:
+            # per-leaf weighted reservoir over the current subtree: replace
+            # the subtree proposal w.p. w_leaf / W_sub-so-far — marginally
+            # exactly multinomial among the subtree's leaves. The slice
+            # stream (unused by this scheme) supplies the uniform.
+            lw_leaf = jnp.where(jnp.isfinite(h), s.h0 - h,
+                                jnp.asarray(-jnp.inf, e_dtype))
+            div_leaf = ~jnp.isfinite(h) | ((h - s.h0) > delta_max)
+            lw_sub_new = jnp.logaddexp(s.lw_sub, lw_leaf)
+            # -inf - -inf = nan: the comparison is then False, as required
+            take_leaf = slice_u < jnp.exp(lw_leaf - lw_sub_new)
+            # full iterative sub-U-turn recursion (the checkpoint-stack
+            # formulation of Stan's recursive build_tree checks; Phan &
+            # Pradhan's iterative NUTS). Within the current subtree, leaf
+            # index i (0-based): even leaves STORE their state at stack
+            # slot popcount(i >> 1); odd leaves CHECK the U-turn criterion
+            # against every live aligned-block start — slots
+            # [popcount(i>>1) - trailing_ones(i) + 1 .. popcount(i>>1)],
+            # exactly the recursion's check set (block [k 2^j, (k+1) 2^j - 1]
+            # fires at its last leaf against its first). A subtree with ANY
+            # internal U-turn is INVALID — discarded whole (no swap, no
+            # weight merge) and the trajectory terminates, matching Stan's
+            # valid_subtree semantics. Without these checks the
+            # u-turn-causing final subtree (whose leaves sit at the
+            # trajectory's turning points — extreme |q|) merges with
+            # ~min(1, W_sub/W_tree) probability and the chain OVERdisperses
+            # (measured +7.5% marginal variance on the 4D standard normal;
+            # top-level-only checking still leaves -2.3%).
+            i_leaf = (jnp.int32(1) << s.depth) - s.steps_left - 1
+            even = (i_leaf & 1) == 0
+            slot = lax.population_count(i_leaf >> 1)
+            t_ones = lax.population_count(i_leaf ^ (i_leaf + 1)) - 1
+            srange = jnp.arange(s.q_stk.shape[1], dtype=jnp.int32)[None, :]
+            store = even[:, None] & (srange == slot[:, None])   # (C, S)
+            q_stk = jnp.where(store[..., None], q[:, None, :], s.q_stk)
+            p_stk = jnp.where(store[..., None], p[:, None, :], s.p_stk)
+            check = (~even[:, None]
+                     & (srange >= (slot - t_ones + 1)[:, None])
+                     & (srange <= slot[:, None]))                # (C, S)
+            # the HG criterion needs the SPATIAL right-minus-left
+            # displacement; a backward-built subtree's current leaf is
+            # spatially LEFT of its checkpoints, so orient by the subtree's
+            # integration direction (constant within a subtree). Both
+            # endpoint momenta are OR-checked, so their labeling is free.
+            dq_all = ((q[:, None, :] - q_stk)
+                      * s.direction[:, None, None])              # (C, S, D)
+            turning = check & (
+                (jnp.sum(dq_all * p_stk, axis=-1) < 0)
+                | (jnp.sum(dq_all * p[:, None, :], axis=-1) < 0))
+            s = s._replace(
+                q_sub=w(take_leaf, q, s.q_sub),
+                lp_sub=jnp.where(take_leaf, lp, s.lp_sub),
+                g_sub=w(take_leaf, grad, s.g_sub),
+                lw_sub=lw_sub_new,
+                div_sub=s.div_sub | div_leaf,
+                turn_sub=s.turn_sub | jnp.any(turning, axis=1),
+                q_stk=q_stk, p_stk=p_stk,
+            )
+            sub_uturn = s.turn_sub
+
         # --- 3. subtree-boundary bookkeeping -------------------------------
         bd = s.steps_left <= 0
         in_slice = s.log_u <= -h
@@ -230,22 +352,42 @@ def _make_window_step(value_and_grad_batched, step_size, inv_mass,
             g_r=w(bd & go_right, grad, s.g_r),
         )
 
-        # endpoint-validity proposal swap (reference NUTS.py:319-336)
-        subtree_size = jnp.int32(1) << s.depth
-        n_new = jnp.where(valid, subtree_size, 0)
-        total = s.n_valid + jnp.where(bd, n_new, 0)
-        swap_prob = jnp.where(
-            valid & (total > 0),
-            n_new.astype(jnp.float32) / jnp.maximum(total, 1).astype(jnp.float32),
-            0.0)
-        take = bd & (swap_u < swap_prob)
-        s = s._replace(
-            q_prop=w(take, q, s.q_prop),
-            lp_prop=jnp.where(take, lp, s.lp_prop),
-            g_prop=w(take, grad, s.g_prop),
-            n_valid=total,
-            diverged=s.diverged | (bd & div_new),
-        )
+        if multinomial:
+            # biased progressive subtree merge (Stan): the finished subtree
+            # replaces the trajectory proposal w.p. min(1, W_sub / W_tree);
+            # a subtree containing a divergent leaf is discarded entirely
+            # (its weight never merges; the trajectory terminates below)
+            sub_ok = bd & ~s.div_sub & ~s.turn_sub & jnp.isfinite(s.lw_sub)
+            ratio = jnp.exp(jnp.minimum(jnp.asarray(0.0, e_dtype),
+                                        s.lw_sub - s.lw_tree))
+            take = sub_ok & (swap_u < ratio)
+            s = s._replace(
+                q_prop=w(take, s.q_sub, s.q_prop),
+                lp_prop=jnp.where(take, s.lp_sub, s.lp_prop),
+                g_prop=w(take, s.g_sub, s.g_prop),
+                lw_tree=jnp.where(sub_ok,
+                                  jnp.logaddexp(s.lw_tree, s.lw_sub),
+                                  s.lw_tree),
+                diverged=s.diverged | (bd & s.div_sub),
+            )
+        else:
+            # endpoint-validity proposal swap (reference NUTS.py:319-336)
+            subtree_size = jnp.int32(1) << s.depth
+            n_new = jnp.where(valid, subtree_size, 0)
+            total = s.n_valid + jnp.where(bd, n_new, 0)
+            swap_prob = jnp.where(
+                valid & (total > 0),
+                n_new.astype(jnp.float32)
+                / jnp.maximum(total, 1).astype(jnp.float32),
+                0.0)
+            take = bd & (swap_u < swap_prob)
+            s = s._replace(
+                q_prop=w(take, q, s.q_prop),
+                lp_prop=jnp.where(take, lp, s.lp_prop),
+                g_prop=w(take, grad, s.g_prop),
+                n_valid=total,
+                diverged=s.diverged | (bd & div_new),
+            )
 
         # termination: reference while cond is evaluated AFTER the doubling —
         # depth+1 >= max ∨ u_turn(tree) ∨ diverged
@@ -258,7 +400,10 @@ def _make_window_step(value_and_grad_batched, step_size, inv_mass,
         # the velocity-space alternative.
         u_turn = ((jnp.sum(dq * s.p_l, axis=-1) < 0)
                   | (jnp.sum(dq * s.p_r, axis=-1) < 0))
-        term = bd & ((s.depth + 1 >= max_tree_depth) | u_turn | s.diverged)
+        term_cond = (s.depth + 1 >= max_tree_depth) | u_turn | s.diverged
+        if multinomial:
+            term_cond = term_cond | sub_uturn   # invalid subtree: stop here
+        term = bd & term_cond
         cont = bd & ~term
 
         # transition completes: adopt proposal, log stats, flag fresh start
@@ -298,6 +443,15 @@ def _make_window_step(value_and_grad_batched, step_size, inv_mass,
             p_c=w(nxt_right, s.p_r, w(nxt_left, s.p_l, s.p_c)),
             g_c=w(nxt_right, s.g_r, w(nxt_left, s.g_l, s.g_c)),
         )
+        if multinomial:
+            # fresh subtree: empty weight reservoir (its first leaf always
+            # replaces q_sub, so the stale contents are never observable)
+            s = s._replace(
+                lw_sub=jnp.where(cont, jnp.asarray(-jnp.inf, e_dtype),
+                                 s.lw_sub),
+                div_sub=jnp.where(cont, False, s.div_sub),
+                turn_sub=jnp.where(cont, False, s.turn_sub),
+            )
         return s, None
 
     return step
@@ -327,7 +481,8 @@ def _count_dtype():
 @partial(jax.jit, static_argnames=(
     "log_prob_fn", "num_samples", "steps_per_sample", "burn_in_steps",
     "max_tree_depth", "delta_max", "value_and_grad_fn", "collect_chains",
-    "backend", "chain_tile", "steps_per_iter", "snapshot_mode"))
+    "backend", "chain_tile", "steps_per_iter", "snapshot_mode",
+    "proposal_scheme"))
 def nuts_run_persistent(
     key,
     log_prob_fn,
@@ -345,6 +500,7 @@ def nuts_run_persistent(
     chain_tile: Optional[int] = None,
     steps_per_iter: Optional[int] = None,
     snapshot_mode: str = "uniform",
+    proposal_scheme: str = "endpoint",
 ) -> RunResult:
     """Asynchronous NUTS: `num_samples` snapshots, one every
     `steps_per_sample` global leapfrog iterations.
@@ -374,9 +530,25 @@ def nuts_run_persistent(
     (4 measured optimal on v5e at tuned operating points: 345M vs 220M
     useful grads/s at W=1; slot masking only costs throughput when trees
     are shallow, never correctness).
+
+    proposal_scheme: 'endpoint' (default, reference parity — measurably
+    ~3% underdispersed, BASELINE.md bias audit) or 'multinomial' (per-leaf
+    progressive weighting, Stan's scheme — recovers the bias; see
+    _make_window_step). 'multinomial' runs on the XLA machine: the fused
+    VMEM window kernel implements the reference-parity endpoint scheme
+    only, so 'auto' resolves to 'xla' and backend='pallas' raises.
     """
-    resolved = _resolve_backend(backend, value_and_grad_fn)
+    if proposal_scheme not in ("endpoint", "multinomial"):
+        raise ValueError(f"unknown proposal_scheme: {proposal_scheme!r}")
+    multinomial = proposal_scheme == "multinomial"
+    resolved = ("xla" if multinomial and backend == "auto"
+                else _resolve_backend(backend, value_and_grad_fn))
     if resolved == "pallas":
+        if multinomial:
+            raise ValueError(
+                "proposal_scheme='multinomial' is implemented on the XLA "
+                "machine only (the fused window kernel is endpoint-scheme, "
+                "reference parity); use backend='xla' or 'auto'")
         if steps_per_iter is None:
             steps_per_iter = next(
                 w for w in (4, 2, 1)
@@ -405,10 +577,12 @@ def nuts_run_persistent(
         vag_batched = jax.vmap(single)
 
     step = _make_window_step(vag_batched, step_size, inv_mass,
-                             max_tree_depth, delta_max, e_dtype)
+                             max_tree_depth, delta_max, e_dtype,
+                             proposal_scheme=proposal_scheme)
 
     ps = _init_pstate(state0.position, jnp.asarray(state0.log_prob, e_dtype),
-                      state0.grad_log_prob, e_dtype)
+                      state0.grad_log_prob, e_dtype,
+                      multinomial=multinomial, max_tree_depth=max_tree_depth)
 
     def draw_window(k, n):
         kp, kd, kd2, ks, ku, kr = random.split(k, 6)

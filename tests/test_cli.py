@@ -369,6 +369,29 @@ def test_nuts_steps_per_sample_flag_threads_to_persistent_path():
     assert 0 < r["n_gradients"] <= 200 * 16 * 8
 
 
+def test_nuts_proposal_flag_threads_to_persistent_path():
+    """--nuts-proposal multinomial routes the persistent sampling phase
+    through the Stan-scheme XLA machine; the row records the scheme and
+    the moments pass the z-gate at this budget."""
+    t = get_target("standard_normal", dim=4)
+    r = run_single_benchmark_with_L(
+        "nuts", t, "standard_normal", random.PRNGKey(31), n_chains=8,
+        num_warmup=200, num_samples=300, schedule_type="constant",
+        num_steps=20, nuts_backend="persistent",
+        nuts_proposal="multinomial")
+    assert r.get("error") is None
+    assert r["nuts_proposal"] == "multinomial"
+    assert 0 < r["n_gradients"] <= 300 * 64 * 8
+    # resume keys distinguish the scheme (pre-multinomial rows == endpoint)
+    from mcmc_tpu.benchmark.runner import _resume_signature
+    assert (_resume_signature("nuts", "T", None, True, "persistent", 64,
+                              nuts_proposal="multinomial")
+            != _resume_signature("nuts", "T", None, True, "persistent", 64))
+    assert (_resume_signature("nuts", "T", None, True, "persistent", 64,
+                              nuts_proposal="endpoint")
+            == _resume_signature("nuts", "T", None, True, "persistent", 64))
+
+
 def test_resume_signature_keys_nuts_settings():
     """Resume keys must distinguish NUTS backend/interval (review finding).
 

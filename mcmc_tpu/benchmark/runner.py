@@ -204,13 +204,10 @@ def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
     # M^{-1} plus its unwhitening factor in VMEM
     if (mesh is not None and sampler == "nuts"
             and nuts_backend == "persistent"
-            # the fused window kernel implements the endpoint (reference
-            # parity) scheme only; multinomial falls through to the GSPMD
-            # XLA machine below
-            and nuts_proposal == "endpoint"
             and getattr(target.value_and_grad_fn, "pallas_info", None)):
         # fused persistent-NUTS windows shard_mapped per device (GSPMD over
-        # the XLA machine works too, but compiles ~150x slower)
+        # the XLA machine works too, but compiles ~150x slower); both
+        # proposal schemes run in-kernel (ops/fused_nuts.py)
         from mcmc_tpu.parallel.fused_sharded import nuts_persistent_run_sharded
         n_local = position.shape[0] // mesh.devices.size
         return nuts_persistent_run_sharded(
@@ -218,7 +215,8 @@ def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
             num_samples=num_samples,
             steps_per_sample=nuts_steps_per_sample, burn_in_steps=0,
             inv_mass_matrix=inv_mass, max_tree_depth=10,
-            collect_chains_per_device=n_local)
+            collect_chains_per_device=n_local,
+            proposal_scheme=nuts_proposal)
     if (mesh is not None and backend == "pallas"
             and sampler in ("hmc", "grahmc", "rahmc")):
         from mcmc_tpu.parallel.fused_sharded import grahmc_run_sharded

@@ -59,8 +59,15 @@ R_LP, R_LP_PROP, R_H0, R_LOG_U, R_SUM_ALPHA, R_N_VALID, R_N_STEPS, R_DEPTH, \
 N_LIVE_ROWS = 20
 N_FULL = 14  # position-like (d_pad, C) state arrays
 
+# multinomial proposal scheme only: 5 extra scalar rows (25 live, padded to
+# 32) and 2 extra full arrays (subtree reservoir) + 2 checkpoint stacks
+R_LP_SUB, R_LW_TREE, R_LW_SUB, R_DIV_SUB, R_TURN_SUB = range(20, 25)
+N_LIVE_ROWS_MULTI = 25
+ROWS_MULTI = 32
+
 _FULL_FIELDS = ("q", "grad", "q_l", "p_l", "g_l", "q_r", "p_r", "g_r",
                 "q_prop", "g_prop", "q_c", "p_c", "g_c", "q_res")
+_FULL_FIELDS_MULTI = _FULL_FIELDS + ("q_sub", "g_sub")
 
 
 class TState(NamedTuple):
@@ -68,6 +75,10 @@ class TState(NamedTuple):
 
     14 transposed/padded (d_pad, C) float32 position-like arrays + one
     (ROWS, C) float32 block of per-chain scalar rows (indices R_*).
+    Under the multinomial proposal scheme the rows block is (ROWS_MULTI, C)
+    and four extra arrays carry the subtree reservoir (q_sub, g_sub) and
+    the iterative sub-U-turn checkpoint stacks ((S * d_pad, C), slot s at
+    rows [s*d_pad, (s+1)*d_pad)).
     """
     q: jnp.ndarray
     grad: jnp.ndarray
@@ -84,13 +95,18 @@ class TState(NamedTuple):
     g_c: jnp.ndarray
     q_res: jnp.ndarray
     rows: jnp.ndarray
+    q_sub: Optional[jnp.ndarray] = None
+    g_sub: Optional[jnp.ndarray] = None
+    q_stk: Optional[jnp.ndarray] = None
+    p_stk: Optional[jnp.ndarray] = None
 
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def pack_state(position, log_prob, grad, d_pad):
+def pack_state(position, log_prob, grad, d_pad, multinomial: bool = False,
+               max_tree_depth: int = 10):
     """Fresh kernel-layout state from (C, D) f32 position/grad + (C,) lp."""
     C, D = position.shape
     pad = d_pad - D
@@ -101,28 +117,37 @@ def pack_state(position, log_prob, grad, d_pad):
     q = t(position)
     g = t(grad)
     z = jnp.zeros_like(q)
-    rows = jnp.zeros((ROWS, C), jnp.float32)
+    rows = jnp.zeros((ROWS_MULTI if multinomial else ROWS, C), jnp.float32)
     rows = rows.at[R_LP].set(log_prob.astype(jnp.float32))
     rows = rows.at[R_LP_PROP].set(log_prob.astype(jnp.float32))
     rows = rows.at[R_DIRECTION].set(1.0)
     rows = rows.at[R_NEEDS_START].set(1.0)
     rows = rows.at[R_SUBTREE].set(1.0)
     rows = rows.at[R_LP_RES].set(log_prob.astype(jnp.float32))
+    extra = {}
+    if multinomial:
+        # needs_start=1 everywhere, so the first iteration's fresh-start
+        # section overwrites every multinomial field before it is read
+        rows = rows.at[R_LP_SUB].set(log_prob.astype(jnp.float32))
+        stk = jnp.zeros((max_tree_depth * d_pad, C), jnp.float32)
+        extra = dict(q_sub=q, g_sub=g, q_stk=stk, p_stk=stk)
     return TState(q=q, grad=g, q_l=q, p_l=z, g_l=g, q_r=q, p_r=z, g_r=g,
                   q_prop=q, g_prop=g, q_c=q, p_c=z, g_c=g, q_res=q,
-                  rows=rows)
+                  rows=rows, **extra)
 
 
 def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
                  inject_randoms: bool, n_data_refs: int,
-                 steps_per_iter: int = 1, dense: bool = False):
+                 steps_per_iter: int = 1, dense: bool = False,
+                 multinomial: bool = False):
     """Kernel body. Ref order:
     seed(SMEM int32[2]), scalars(SMEM f32[2]: step_size, delta_max),
-    N_FULL (=14, _FULL_FIELDS) full arrays, rows, inv_mass, mask
+    n_full (14 endpoint / 16 multinomial, _FULL_FIELDS[_MULTI]) full arrays
+    [, q_stk, p_stk checkpoint stacks if multinomial], rows, inv_mass, mask
     [, unwhiten if dense] [, data...]
     [, p0_all, dir_all, dir2_all, swap_all, slice_all, res_all
        if inject_randoms]
-    -> N_FULL full arrays out, rows out (all aliased to their inputs).
+    -> the same state arrays out (all aliased to their inputs).
 
     With dense=True, inv_mass is the whole (d_pad, d_pad) block-diagonal
     M^{-1}, velocity/kinetic are in-VMEM MXU matmuls, and the momentum
@@ -141,13 +166,34 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
     between bookkeeping passes, never where subtree boundaries fall.
     Since ~97%% of leapfrogs occur inside subtrees of size >= 2 (mean tree
     depth ~4 on tuned runs), slot waste is small for W in {2,4}.
+
+    multinomial=True implements the Stan proposal scheme of the XLA machine
+    (nuts_persistent._make_window_step's proposal_scheme='multinomial'):
+    per-LEAF weighted reservoir (one uniform per SLOT — the injected slice
+    stream becomes (n_iters * W, C), indexed i*W+k), biased subtree merges
+    min(1, W_sub/W_tree), per-leaf divergence checks, and the iterative
+    sub-U-turn checkpoint stacks (S = max_tree_depth slots of (d_pad, C)
+    carried in VMEM). All counters stay f32; the leaf-index bit fields
+    (parity, popcount, trailing-ones) are computed by floor/halve loops,
+    exact for indices < 2^max_tree_depth << 2^24.
     """
+    n_full = len(_FULL_FIELDS_MULTI) if multinomial else N_FULL
+    n_live = N_LIVE_ROWS_MULTI if multinomial else N_LIVE_ROWS
+    n_slots = max_tree_depth
+    # a Python float, NOT jnp.float32(...): the latter is a jax Array the
+    # kernel would close over ("captures constants" trace error)
+    neg_inf = float("-inf")
 
     def kernel(seed_ref, scal_ref, *refs):
-        full_in = refs[:N_FULL]
-        rows_ref = refs[N_FULL]
-        invm_ref, mask_ref = refs[N_FULL + 1], refs[N_FULL + 2]
-        rest = refs[N_FULL + 3:]
+        full_in = refs[:n_full]
+        q_d_pad = full_in[0].shape[0]
+        rest = refs[n_full:]
+        if multinomial:
+            qstk_in, pstk_in = rest[0], rest[1]
+            rest = rest[2:]
+        rows_ref = rest[0]
+        invm_ref, mask_ref = rest[1], rest[2]
+        rest = rest[3:]
         if dense:
             unwhiten_ref, rest = rest[0], rest[1:]
         data_vals = tuple(r[:] for r in rest[:n_data_refs])
@@ -166,8 +212,12 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
         else:
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 7919,
                             seed_ref[1])
-        full_out = rest[:N_FULL]
-        rows_out = rest[N_FULL]
+        full_out = rest[:n_full]
+        rest = rest[n_full:]
+        if multinomial:
+            qstk_out, pstk_out = rest[0], rest[1]
+            rest = rest[2:]
+        rows_out = rest[0]
 
         eps0 = scal_ref[0]
         delta_max = scal_ref[1]
@@ -180,16 +230,33 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
             inv_sqrt_m = 1.0 / jnp.sqrt(invm)
 
         full0 = tuple(r[:] for r in full_in)
+        stack_carry0 = ()
+        if multinomial:
+            stack_carry0 = tuple(
+                qstk_in[pl.ds(s * q_d_pad, q_d_pad), :]
+                for s in range(n_slots)) + tuple(
+                pstk_in[pl.ds(s * q_d_pad, q_d_pad), :]
+                for s in range(n_slots))
         rows0 = rows_ref[:]
-        row_carry0 = tuple(rows0[i:i + 1, :] for i in range(N_LIVE_ROWS))
+        row_carry0 = tuple(rows0[i:i + 1, :] for i in range(n_live))
 
         def body(i, carry):
             (q, grad, q_l, p_l, g_l, q_r, p_r, g_r, q_prop, g_prop,
              q_c, p_c, g_c, q_res) = carry[:N_FULL]
+            idx = N_FULL
+            if multinomial:
+                q_sub, g_sub = carry[idx], carry[idx + 1]
+                idx += 2
+                q_stks = list(carry[idx:idx + n_slots])
+                p_stks = list(carry[idx + n_slots:idx + 2 * n_slots])
+                idx += 2 * n_slots
             (lp, lp_prop, h0, log_u, sum_alpha, n_valid, n_steps, depth,
              steps_left, direction, diverged, needs_start, transitions,
              divergences, alpha_acc, depth_acc, subtree, exec_acc,
-             lp_res, k_res) = carry[N_FULL:]
+             lp_res, k_res) = carry[idx:idx + N_LIVE_ROWS]
+            if multinomial:
+                (lp_sub, lw_tree, lw_sub, div_sub,
+                 turn_sub) = carry[idx + N_LIVE_ROWS:]
 
             row_shape = lp.shape
             if inject_randoms:
@@ -197,7 +264,12 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
                 dir_bit = dir_ref[pl.ds(i, 1), :] > 0.5
                 dir2_bit = dir2_ref[pl.ds(i, 1), :] > 0.5
                 swap_u = swap_ref[pl.ds(i, 1), :]
-                slice_u = slice_ref[pl.ds(i, 1), :]
+                # multinomial consumes one slice uniform per SLOT (leaf);
+                # the endpoint scheme one per iteration
+                if multinomial:
+                    slice_u = slice_ref[pl.ds(i * steps_per_iter, 1), :]
+                else:
+                    slice_u = slice_ref[pl.ds(i, 1), :]
                 res_u = res_ref[pl.ds(i, 1), :]
             else:
                 p0_row = _gaussian(q.shape)
@@ -241,6 +313,16 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
             subtree = jnp.where(st, 1.0, subtree)
             direction = jnp.where(st, dir_new, direction)
             diverged = jnp.where(st, 0.0, diverged)
+            if multinomial:
+                # root tree: the initial state is its own proposal with
+                # weight e^0 = 1; the subtree reservoir starts empty
+                q_sub = jnp.where(st, q, q_sub)
+                g_sub = jnp.where(st, grad, g_sub)
+                lp_sub = jnp.where(st, lp, lp_sub)
+                lw_tree = jnp.where(st, 0.0, lw_tree)
+                lw_sub = jnp.where(st, neg_inf, lw_sub)
+                div_sub = jnp.where(st, 0.0, div_sub)
+                turn_sub = jnp.where(st, 0.0, turn_sub)
 
             # --- 2. W leapfrog slots for every chain -----------------------
             # slot 0 is always live; later slots freeze chains whose subtree
@@ -256,6 +338,7 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
                 h = -lp_n + kin(p)
                 alpha = jnp.exp(jnp.minimum(0.0, h0 - h))
                 if k == 0:
+                    live = None                          # slot 0 always live
                     q_c, p_c, g_c = qn, p, grad_n
                     lp_c, h_c = lp_n, h
                     sum_alpha = sum_alpha + alpha
@@ -263,7 +346,7 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
                     exec_acc = exec_acc + 1.0
                     steps_left = steps_left - 1.0
                 else:
-                    m = steps_left > 0.0
+                    live = m = steps_left > 0.0
                     q_c = jnp.where(m, qn, q_c)
                     p_c = jnp.where(m, p, p_c)
                     g_c = jnp.where(m, grad_n, g_c)
@@ -275,11 +358,81 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
                     exec_acc = exec_acc + mf
                     steps_left = steps_left - mf
 
+                if multinomial:
+                    # per-leaf weighted reservoir + sub-U-turn checkpoint
+                    # stacks — mirrors nuts_persistent._make_window_step's
+                    # multinomial section on the slot's leaf (qn, p, h)
+                    def lv(cond):
+                        return cond if live is None else (live & cond)
+
+                    if k == 0:
+                        su = slice_u
+                    elif inject_randoms:
+                        su = slice_ref[pl.ds(i * steps_per_iter + k, 1), :]
+                    else:
+                        su = _bits_to_uniform(
+                            pltpu.prng_random_bits(row_shape))
+                    fin_h = jnp.isfinite(h)
+                    lw_leaf = jnp.where(fin_h, h0 - h, neg_inf)
+                    div_leaf = (~fin_h) | ((h - h0) > delta_max)
+                    # logaddexp with -inf support (both -inf stays -inf; a
+                    # naive max+log1p(exp(mn-mx)) would produce nan there)
+                    mx = jnp.maximum(lw_sub, lw_leaf)
+                    mn = jnp.minimum(lw_sub, lw_leaf)
+                    lse = jnp.where(mx == neg_inf, neg_inf,
+                                    mx + jnp.log1p(jnp.exp(mn - mx)))
+                    # lw_leaf - lse is nan when both are -inf: the < is
+                    # then False, as required (no take of a dead leaf)
+                    take_leaf = lv(su < jnp.exp(lw_leaf - lse))
+                    q_sub = jnp.where(take_leaf, qn, q_sub)
+                    g_sub = jnp.where(take_leaf, grad_n, g_sub)
+                    lp_sub = jnp.where(take_leaf, lp_n, lp_sub)
+                    lw_sub = lse if live is None else jnp.where(
+                        live, lse, lw_sub)
+                    div_sub = jnp.where(lv(div_leaf), 1.0, div_sub)
+
+                    # leaf index within the current subtree, then its bit
+                    # fields via exact f32 floor/halve loops (i < 2^S <<
+                    # 2^24): parity, slot = popcount(i >> 1), t_ones =
+                    # trailing ones of i (see the XLA machine's notes)
+                    i_leaf = subtree - steps_left - 1.0
+                    bit0 = i_leaf - 2.0 * jnp.floor(i_leaf * 0.5)
+                    even = bit0 < 0.5
+                    slot_f = jnp.zeros_like(i_leaf)
+                    vv = jnp.floor(i_leaf * 0.5)
+                    t_ones = jnp.zeros_like(i_leaf)
+                    run = bit0
+                    vv2 = vv
+                    for _ in range(n_slots):
+                        slot_f = slot_f + (vv - 2.0 * jnp.floor(vv * 0.5))
+                        vv = jnp.floor(vv * 0.5)
+                        t_ones = t_ones + run
+                        run = run * (vv2 - 2.0 * jnp.floor(vv2 * 0.5))
+                        vv2 = jnp.floor(vv2 * 0.5)
+
+                    # even leaves STORE at stack slot popcount(i>>1); odd
+                    # leaves CHECK slots [slot - t_ones + 1 .. slot] — the
+                    # full recursive check set, oriented by the subtree's
+                    # integration direction (spatial right-minus-left)
+                    lo = slot_f - t_ones + 1.0
+                    store_b = lv(even)
+                    chk_b = lv(~even)
+                    for si in range(n_slots):
+                        sf = float(si)
+                        store = store_b & (slot_f == sf)
+                        q_stks[si] = jnp.where(store, qn, q_stks[si])
+                        p_stks[si] = jnp.where(store, p, p_stks[si])
+                        chk = chk_b & (lo <= sf) & (sf <= slot_f)
+                        dq_s = (qn - q_stks[si]) * direction
+                        turning = chk & (
+                            (jnp.sum(dq_s * p_stks[si], axis=0,
+                                     keepdims=True) < 0.0)
+                            | (jnp.sum(dq_s * p, axis=0,
+                                       keepdims=True) < 0.0))
+                        turn_sub = jnp.where(turning, 1.0, turn_sub)
+
             # --- 3. subtree-boundary bookkeeping ----------------------------
             bd = steps_left <= 0.0
-            in_slice = log_u <= -h_c
-            div_new = (h_c - h0) > delta_max
-            valid = bd & in_slice & ~div_new
             go_right = direction > 0.0
 
             q_l = jnp.where(bd & ~go_right, q_c, q_l)
@@ -289,25 +442,53 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
             p_r = jnp.where(bd & go_right, p_c, p_r)
             g_r = jnp.where(bd & go_right, g_c, g_r)
 
-            # endpoint-validity proposal swap (reference NUTS.py:319-336)
-            n_new = jnp.where(valid, subtree, 0.0)
-            total = n_valid + jnp.where(bd, n_new, 0.0)
-            swap_prob = jnp.where(valid & (total > 0.0),
-                                  n_new / jnp.maximum(total, 1.0), 0.0)
-            take = bd & (swap_u < swap_prob)
-            q_prop = jnp.where(take, q_c, q_prop)
-            lp_prop = jnp.where(take, lp_c, lp_prop)
-            g_prop = jnp.where(take, g_c, g_prop)
-            n_valid = total
-            diverged = jnp.maximum(diverged, (bd & div_new).astype(jnp.float32))
+            if multinomial:
+                # biased progressive subtree merge (Stan): the finished
+                # subtree replaces the trajectory proposal w.p.
+                # min(1, W_sub/W_tree); a subtree with a divergent leaf or
+                # an internal U-turn is discarded whole (no weight merge)
+                turn_b = turn_sub > 0.5
+                sub_ok = (bd & (div_sub < 0.5) & ~turn_b
+                          & jnp.isfinite(lw_sub))
+                ratio = jnp.exp(jnp.minimum(0.0, lw_sub - lw_tree))
+                take = sub_ok & (swap_u < ratio)
+                q_prop = jnp.where(take, q_sub, q_prop)
+                lp_prop = jnp.where(take, lp_sub, lp_prop)
+                g_prop = jnp.where(take, g_sub, g_prop)
+                mx2 = jnp.maximum(lw_tree, lw_sub)
+                mn2 = jnp.minimum(lw_tree, lw_sub)
+                lse2 = jnp.where(mx2 == neg_inf, neg_inf,
+                                 mx2 + jnp.log1p(jnp.exp(mn2 - mx2)))
+                lw_tree = jnp.where(sub_ok, lse2, lw_tree)
+                diverged = jnp.maximum(
+                    diverged, jnp.where(bd & (div_sub > 0.5), 1.0, 0.0))
+            else:
+                in_slice = log_u <= -h_c
+                div_new = (h_c - h0) > delta_max
+                valid = bd & in_slice & ~div_new
+                # endpoint-validity proposal swap (reference NUTS.py:319-336)
+                n_new = jnp.where(valid, subtree, 0.0)
+                total = n_valid + jnp.where(bd, n_new, 0.0)
+                swap_prob = jnp.where(valid & (total > 0.0),
+                                      n_new / jnp.maximum(total, 1.0), 0.0)
+                take = bd & (swap_u < swap_prob)
+                q_prop = jnp.where(take, q_c, q_prop)
+                lp_prop = jnp.where(take, lp_c, lp_prop)
+                g_prop = jnp.where(take, g_c, g_prop)
+                n_valid = total
+                diverged = jnp.maximum(diverged,
+                                       (bd & div_new).astype(jnp.float32))
 
             # termination (evaluated after the doubling, reference while cond)
             dq = q_r - q_l
             u_turn = ((jnp.sum(dq * p_l, axis=0, keepdims=True) < 0.0)
                       | (jnp.sum(dq * p_r, axis=0, keepdims=True) < 0.0))
             div_b = diverged > 0.5
-            term = bd & ((depth + 1.0 >= float(max_tree_depth)) | u_turn
+            term_cond = ((depth + 1.0 >= float(max_tree_depth)) | u_turn
                          | div_b)
+            if multinomial:
+                term_cond = term_cond | turn_b   # invalid subtree: stop here
+            term = bd & term_cond
             cont = bd & ~term
 
             mean_alpha = sum_alpha / jnp.maximum(n_steps, 1.0)
@@ -342,41 +523,71 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
             p_c = jnp.where(nxt_right, p_r, jnp.where(nxt_left, p_l, p_c))
             g_c = jnp.where(nxt_right, g_r, jnp.where(nxt_left, g_l, g_c))
 
-            return (q, grad, q_l, p_l, g_l, q_r, p_r, g_r, q_prop, g_prop,
-                    q_c, p_c, g_c, q_res, lp, lp_prop, h0, log_u, sum_alpha,
-                    n_valid, n_steps, depth, steps_left, direction, diverged,
-                    needs_start, transitions, divergences, alpha_acc,
-                    depth_acc, subtree, exec_acc, lp_res, k_res)
+            extra = ()
+            if multinomial:
+                # fresh subtree: empty weight reservoir (its first leaf
+                # always replaces q_sub — stale contents never observable)
+                lw_sub = jnp.where(cont, neg_inf, lw_sub)
+                div_sub = jnp.where(cont, 0.0, div_sub)
+                turn_sub = jnp.where(cont, 0.0, turn_sub)
+                extra = ((q_sub, g_sub) + tuple(q_stks) + tuple(p_stks),
+                         (lp_sub, lw_tree, lw_sub, div_sub, turn_sub))
 
-        out = lax.fori_loop(0, n_iters, body, full0 + row_carry0)
-        for ref, val in zip(full_out, out[:N_FULL]):
+            return (q, grad, q_l, p_l, g_l, q_r, p_r, g_r, q_prop, g_prop,
+                    q_c, p_c, g_c, q_res) \
+                + (extra[0] if multinomial else ()) \
+                + (lp, lp_prop, h0, log_u, sum_alpha,
+                   n_valid, n_steps, depth, steps_left, direction, diverged,
+                   needs_start, transitions, divergences, alpha_acc,
+                   depth_acc, subtree, exec_acc, lp_res, k_res) \
+                + (extra[1] if multinomial else ())
+
+        # carry order == body's unpack order: n_full full arrays (incl.
+        # q_sub/g_sub when multinomial), 2S stack blocks, n_live rows
+        out = lax.fori_loop(0, n_iters, body,
+                            full0 + stack_carry0 + row_carry0)
+        for ref, val in zip(full_out, out[:n_full]):
             ref[:] = val
-        pad_rows = jnp.zeros((ROWS - N_LIVE_ROWS,) + out[N_FULL].shape[1:],
+        idx = n_full
+        if multinomial:
+            qstk_out[:] = jnp.concatenate(out[idx:idx + n_slots], axis=0)
+            pstk_out[:] = jnp.concatenate(
+                out[idx + n_slots:idx + 2 * n_slots], axis=0)
+            idx += 2 * n_slots
+        rows_total = ROWS_MULTI if multinomial else ROWS
+        pad_rows = jnp.zeros((rows_total - n_live,) + out[idx].shape[1:],
                              jnp.float32)
-        rows_out[:] = jnp.concatenate(list(out[N_FULL:]) + [pad_rows], axis=0)
+        rows_out[:] = jnp.concatenate(list(out[idx:idx + n_live])
+                                      + [pad_rows], axis=0)
 
     return kernel
 
 
 def _build_call(padded_vag, n_iters, max_tree_depth, n_chains, d_pad,
                 chain_tile, inject_randoms, interpret, steps_per_iter=1,
-                dense=False):
+                dense=False, multinomial=False):
     n_data_refs = len(getattr(padded_vag, "data_arrays", ()))
     kernel = _make_kernel(padded_vag, n_iters, max_tree_depth,
                           inject_randoms, n_data_refs, steps_per_iter,
-                          dense=dense)
+                          dense=dense, multinomial=multinomial)
     grid = (n_chains // chain_tile,)
+    n_full = len(_FULL_FIELDS_MULTI) if multinomial else N_FULL
+    rows_total = ROWS_MULTI if multinomial else ROWS
+    stk_d = max_tree_depth * d_pad
 
     full = pl.BlockSpec((d_pad, chain_tile), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
-    rows_spec = pl.BlockSpec((ROWS, chain_tile), lambda i: (0, i),
+    stack_spec = pl.BlockSpec((stk_d, chain_tile), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+    rows_spec = pl.BlockSpec((rows_total, chain_tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
     bcast = pl.BlockSpec((d_pad, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     matrix_spec = pl.BlockSpec((d_pad, d_pad), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)
 
-    in_specs = ([full] * N_FULL
+    in_specs = ([full] * n_full
+                + ([stack_spec, stack_spec] if multinomial else [])
                 + [rows_spec, matrix_spec if dense else bcast, bcast])
     if dense:
         in_specs.append(matrix_spec)              # unwhiten (L^{-T})
@@ -384,20 +595,32 @@ def _build_call(padded_vag, n_iters, max_tree_depth, n_chains, d_pad,
         in_specs.append(pl.BlockSpec(
             arr.shape, lambda i, _rank=len(arr.shape): (0,) * _rank,
             memory_space=pltpu.VMEM))
+    # multinomial consumes one slice uniform per slot: (n_iters * W, C)
+    n_slice = n_iters * steps_per_iter if multinomial else n_iters
     if inject_randoms:
         in_specs += [
             pl.BlockSpec((n_iters, d_pad, chain_tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec((n_iters, chain_tile), lambda i: (0, i),
-                          memory_space=pltpu.VMEM)] * 5
+                          memory_space=pltpu.VMEM)] * 3 \
+          + [pl.BlockSpec((n_slice, chain_tile), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)] \
+          + [pl.BlockSpec((n_iters, chain_tile), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)]
 
     out_shape = ([jax.ShapeDtypeStruct((d_pad, n_chains), jnp.float32)]
-                 * N_FULL
-                 + [jax.ShapeDtypeStruct((ROWS, n_chains), jnp.float32)])
-    out_specs = [full] * N_FULL + [rows_spec]
+                 * n_full
+                 + ([jax.ShapeDtypeStruct((stk_d, n_chains), jnp.float32)]
+                    * 2 if multinomial else [])
+                 + [jax.ShapeDtypeStruct((rows_total, n_chains),
+                                         jnp.float32)])
+    out_specs = ([full] * n_full
+                 + ([stack_spec, stack_spec] if multinomial else [])
+                 + [rows_spec])
     # state arrays update in place: input k (after the 2 SMEM prefix args,
     # which do not count) aliases output k
-    aliases = {k: k for k in range(N_FULL + 1)}
+    n_state = n_full + (2 if multinomial else 0) + 1
+    aliases = {k: k for k in range(n_state)}
 
     return pl.pallas_call(
         kernel,
@@ -423,6 +646,7 @@ def make_fused_nuts_window(
     interpret: Optional[bool] = None,
     steps_per_iter: int = 1,
     dense: bool = False,
+    proposal_scheme: str = "endpoint",
 ):
     """Build window(key, tstate, step_size, inv_mass_matrix) -> tstate:
     `n_iters` persistent-NUTS machine iterations (each executing up to
@@ -436,10 +660,19 @@ def make_fused_nuts_window(
     dense=True builds the kernel for a (dim, dim) inv_mass_matrix
     (VMEM-resident M^{-1} + L^{-T} matmuls); the window then expects a
     dense metric at every call.
+
+    proposal_scheme='multinomial' builds the Stan-scheme machine (per-leaf
+    weighted reservoir, biased subtree merges, iterative sub-U-turn
+    checkpoint stacks — see _make_kernel); the TState must then be packed
+    with pack_state(multinomial=True, max_tree_depth=...), which adds the
+    reservoir arrays and two (max_tree_depth * d_pad, C) stacks.
     """
     if value_and_grad_fn is None:
         raise TypeError("the fused NUTS window requires an analytic "
                         "value_and_grad_fn from mcmc_tpu.targets")
+    if proposal_scheme not in ("endpoint", "multinomial"):
+        raise ValueError(f"unknown proposal_scheme: {proposal_scheme!r}")
+    multinomial = proposal_scheme == "multinomial"
     on_tpu = jax.default_backend() == "tpu"
     if interpret is None:
         interpret = not on_tpu
@@ -450,6 +683,12 @@ def make_fused_nuts_window(
     data_arrays = tuple(getattr(padded_vag, "data_arrays", ()))
     tile = chain_tile or 256   # measured optimum on v5e (229M leapfrogs/s
     # at 4096 chains x 50D funnel; 512 -> 223M; >=1024 exceeds scoped VMEM)
+    if chain_tile is None and multinomial:
+        # the 2S checkpoint-stack blocks dominate VMEM at larger dims:
+        # keep the live state under ~4 MiB per tile
+        n_arrays = len(_FULL_FIELDS_MULTI) + 2 * max_tree_depth
+        while tile > 32 and n_arrays * d_pad * tile * 4 > (4 << 20):
+            tile //= 2
     tile = min(tile, n_chains)
     while n_chains % tile:
         tile //= 2
@@ -457,8 +696,11 @@ def make_fused_nuts_window(
     call = _build_call(padded_vag, n_iters, max_tree_depth, n_chains, d_pad,
                        tile, inject_randoms=not onchip_rng,
                        interpret=interpret, steps_per_iter=steps_per_iter,
-                       dense=dense)
+                       dense=dense, multinomial=multinomial)
     mask = _mask_row(dim, d_pad, dim_axis=0)
+    full_fields = _FULL_FIELDS_MULTI if multinomial else _FULL_FIELDS
+    n_full = len(full_fields)
+    n_slice = n_iters * steps_per_iter if multinomial else n_iters
 
     def window(key, ts: TState, step_size, inv_mass_matrix):
         scalars = jnp.stack([jnp.asarray(step_size, jnp.float32),
@@ -472,8 +714,10 @@ def make_fused_nuts_window(
             invm = jnp.pad(jnp.asarray(inv_mass_matrix, jnp.float32),
                            (0, d_pad - dim), constant_values=1.0)[:, None]
             metric_args = (invm, mask)
-        args = tuple(getattr(ts, f) for f in _FULL_FIELDS) + (
-            ts.rows,) + metric_args + data_arrays
+        args = tuple(getattr(ts, f) for f in full_fields)
+        if multinomial:
+            args += (ts.q_stk, ts.p_stk)
+        args += (ts.rows,) + metric_args + data_arrays
         if not onchip_rng:
             kp, kd, kd2, ks, ku, kr = random.split(key, 6)
             p0 = random.normal(kp, (n_iters, d_pad, n_chains), jnp.float32)
@@ -482,11 +726,15 @@ def make_fused_nuts_window(
             dirs2 = random.bernoulli(kd2, 0.5, (n_iters, n_chains)
                                      ).astype(jnp.float32)
             swaps = random.uniform(ks, (n_iters, n_chains), jnp.float32)
-            slices = random.uniform(ku, (n_iters, n_chains), jnp.float32,
+            slices = random.uniform(ku, (n_slice, n_chains), jnp.float32,
                                     minval=jnp.finfo(jnp.float32).tiny)
             ress = random.uniform(kr, (n_iters, n_chains), jnp.float32)
             args = args + (p0, dirs, dirs2, swaps, slices, ress)
         outs = call(seed, scalars, *args)
+        if multinomial:
+            return TState(*outs[:N_FULL], rows=outs[n_full + 2],
+                          q_sub=outs[N_FULL], g_sub=outs[N_FULL + 1],
+                          q_stk=outs[n_full], p_stk=outs[n_full + 1])
         return TState(*outs)
 
     return window

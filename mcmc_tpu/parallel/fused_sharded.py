@@ -158,6 +158,7 @@ def nuts_persistent_run_sharded(
     collect_chains_per_device: int = 8,
     chain_tile: Optional[int] = None,
     steps_per_iter: Optional[int] = None,
+    proposal_scheme: str = "endpoint",
 ) -> RunResult:
     """Persistent NUTS through the fused window kernel, chains sharded over
     `mesh`'s chain axis.
@@ -218,7 +219,7 @@ def nuts_persistent_run_sharded(
             key, target.log_prob_fn, local_pos, eps, num_samples,
             steps_per_sample, burn_in_steps, inv_mass, max_tree_depth,
             delta_max, target.value_and_grad_fn, collect_chains_per_device,
-            chain_tile, steps_per_iter)
+            chain_tile, steps_per_iter, proposal_scheme=proposal_scheme)
         # lift the per-shard scalar totals to global psums
         total_div = lax.psum(res.info["total_divergences"], CHAIN_AXIS)
         total_trans = lax.psum(jnp.sum(res.info["transitions"]), CHAIN_AXIS)

@@ -534,21 +534,16 @@ def nuts_run_persistent(
     proposal_scheme: 'endpoint' (default, reference parity — measurably
     ~3% underdispersed, BASELINE.md bias audit) or 'multinomial' (per-leaf
     progressive weighting, Stan's scheme — recovers the bias; see
-    _make_window_step). 'multinomial' runs on the XLA machine: the fused
-    VMEM window kernel implements the reference-parity endpoint scheme
-    only, so 'auto' resolves to 'xla' and backend='pallas' raises.
+    _make_window_step). Both schemes run on both backends; the fused VMEM
+    window kernel carries the multinomial reservoir and its sub-U-turn
+    checkpoint stacks in VMEM (ops/fused_nuts.py, injected-randomness
+    parity pinned in tests/test_fused_nuts.py).
     """
     if proposal_scheme not in ("endpoint", "multinomial"):
         raise ValueError(f"unknown proposal_scheme: {proposal_scheme!r}")
     multinomial = proposal_scheme == "multinomial"
-    resolved = ("xla" if multinomial and backend == "auto"
-                else _resolve_backend(backend, value_and_grad_fn))
+    resolved = _resolve_backend(backend, value_and_grad_fn)
     if resolved == "pallas":
-        if multinomial:
-            raise ValueError(
-                "proposal_scheme='multinomial' is implemented on the XLA "
-                "machine only (the fused window kernel is endpoint-scheme, "
-                "reference parity); use backend='xla' or 'auto'")
         if steps_per_iter is None:
             steps_per_iter = next(
                 w for w in (4, 2, 1)
@@ -557,7 +552,7 @@ def nuts_run_persistent(
             key, log_prob_fn, init_position, step_size, num_samples,
             steps_per_sample, burn_in_steps, inv_mass_matrix, max_tree_depth,
             delta_max, value_and_grad_fn, collect_chains, chain_tile,
-            steps_per_iter, snapshot_mode)
+            steps_per_iter, snapshot_mode, proposal_scheme)
     if steps_per_iter not in (None, 1):
         raise ValueError("steps_per_iter > 1 requires the pallas backend")
     state0 = init_chain_state(init_position, log_prob_fn, value_and_grad_fn,
@@ -658,17 +653,20 @@ def _run_persistent_pallas(key, log_prob_fn, init_position, step_size,
                            num_samples, steps_per_sample, burn_in_steps,
                            inv_mass_matrix, max_tree_depth, delta_max,
                            value_and_grad_fn, collect_chains, chain_tile,
-                           steps_per_iter=1, snapshot_mode="uniform"):
+                           steps_per_iter=1, snapshot_mode="uniform",
+                           proposal_scheme="endpoint"):
     """Persistent NUTS through the fused VMEM window kernel.
 
     Identical machine semantics to the XLA scan (verified by an
     injected-randomness parity test); float32 throughout (TPU fast path).
     Each snapshot window is ONE pallas_call — the 14 (C, D) state arrays
-    cross HBM once per `steps_per_sample` leapfrogs instead of once per
-    leapfrog, which is what bounds the XLA path.
+    (18 + 2 checkpoint stacks under the multinomial scheme) cross HBM once
+    per `steps_per_sample` leapfrogs instead of once per leapfrog, which is
+    what bounds the XLA path.
     """
     from mcmc_tpu.ops import fused_nuts
 
+    multinomial = proposal_scheme == "multinomial"
     state0 = init_chain_state(init_position, log_prob_fn, value_and_grad_fn,
                               needs_grad=True)
     C, D = state0.position.shape
@@ -681,7 +679,8 @@ def _run_persistent_pallas(key, log_prob_fn, init_position, step_size,
     ts = fused_nuts.pack_state(
         state0.position.astype(jnp.float32),
         jnp.asarray(state0.log_prob, jnp.float32),
-        state0.grad_log_prob.astype(jnp.float32), d_pad)
+        state0.grad_log_prob.astype(jnp.float32), d_pad,
+        multinomial=multinomial, max_tree_depth=max_tree_depth)
 
     dense = jnp.ndim(inv_mass_matrix) == 2
     if dense:
@@ -698,14 +697,15 @@ def _run_persistent_pallas(key, log_prob_fn, init_position, step_size,
     window_sample = fused_nuts.make_fused_nuts_window(
         value_and_grad_fn, steps_per_sample // steps_per_iter,
         max_tree_depth, C, D, delta_max=float(delta_max),
-        chain_tile=chain_tile, steps_per_iter=steps_per_iter, dense=dense)
+        chain_tile=chain_tile, steps_per_iter=steps_per_iter, dense=dense,
+        proposal_scheme=proposal_scheme)
 
     if burn_in_steps > 0:
         window_burn = fused_nuts.make_fused_nuts_window(
             value_and_grad_fn, burn_in_steps // steps_per_iter,
             max_tree_depth, C, D, delta_max=float(delta_max),
             chain_tile=chain_tile, steps_per_iter=steps_per_iter,
-            dense=dense)
+            dense=dense, proposal_scheme=proposal_scheme)
         key, bk = random.split(key)
         ts = window_burn(bk, ts, step_size, inv_mass_matrix)
         rows = ts.rows

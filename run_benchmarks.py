@@ -89,8 +89,9 @@ def main():
                         "endpoints only, measurably ~3%% underdispersed) or "
                         "'multinomial' (per-leaf progressive weighting with "
                         "the full iterative sub-U-turn check set — Stan "
-                        "semantics, recovers exact marginals; runs on the "
-                        "XLA machine, ignored by the classic backend)")
+                        "semantics, recovers exact marginals; runs on both "
+                        "the XLA machine and the fused VMEM window kernel, "
+                        "ignored by the classic backend)")
     parser.add_argument("--trajectory-tuner", type=str, default="grid",
                         choices=["grid", "chees"],
                         help="Trajectory-length selection for HMC/GRAHMC: "

@@ -25,9 +25,10 @@ F32 = jnp.float32
 
 
 def _run_both(target, dim, n_chains, n_iters, step_size, seed=0,
-              max_tree_depth=6, inv_mass=None):
+              max_tree_depth=6, inv_mass=None, proposal_scheme="endpoint"):
     """Run the fused window and the XLA machine on identical random streams;
     return (TState, _PState)."""
+    multinomial = proposal_scheme == "multinomial"
     key = random.PRNGKey(seed)
     init = (random.normal(random.PRNGKey(seed + 100), (n_chains, dim))
             * 0.5).astype(F32)
@@ -40,10 +41,12 @@ def _run_both(target, dim, n_chains, n_iters, step_size, seed=0,
         inv_mass = jnp.ones(dim, F32)
 
     d_pad = fused_nuts._round_up(dim, fused_nuts.SUBLANE)
-    ts = fused_nuts.pack_state(q0, lp0, g0, d_pad)
+    ts = fused_nuts.pack_state(q0, lp0, g0, d_pad, multinomial=multinomial,
+                               max_tree_depth=max_tree_depth)
     window = fused_nuts.make_fused_nuts_window(
         target.value_and_grad_fn, n_iters, max_tree_depth, n_chains, dim,
-        interpret=True, dense=jnp.ndim(inv_mass) == 2)
+        interpret=True, dense=jnp.ndim(inv_mass) == 2,
+        proposal_scheme=proposal_scheme)
     ts = window(key, ts, step_size, inv_mass)
 
     # identical draws, converted to the XLA machine's xs layout
@@ -63,8 +66,10 @@ def _run_both(target, dim, n_chains, n_iters, step_size, seed=0,
         return jnp.asarray(lp, F32), g.astype(F32)
 
     step = _make_window_step(vag_f32, jnp.asarray(step_size, F32), inv_mass,
-                             max_tree_depth, 1000.0, F32)
-    ps = _init_pstate(q0, lp0, g0, F32)
+                             max_tree_depth, 1000.0, F32,
+                             proposal_scheme=proposal_scheme)
+    ps = _init_pstate(q0, lp0, g0, F32, multinomial=multinomial,
+                      max_tree_depth=max_tree_depth)
     ps = lax.scan(step, ps, xs)[0]
     return ts, ps
 
@@ -136,6 +141,55 @@ def test_fused_window_dense_matches_xla_machine():
     ts, ps = _run_both(target, dim, n_chains=16, n_iters=48, step_size=0.3,
                        inv_mass=inv_mass)
     _assert_machine_parity(ts, ps, dim)
+
+
+def _assert_multinomial_parity(ts, ps, dim):
+    """Extra multinomial machine state: reservoir, log weights, subtree
+    validity flags — kernel vs XLA machine on identical streams."""
+    rows = np.asarray(ts.rows)
+    np.testing.assert_allclose(np.asarray(ts.q_sub[:dim].T),
+                               np.asarray(ps.q_sub), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(rows[fused_nuts.R_LP_SUB],
+                               np.asarray(ps.lp_sub), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(rows[fused_nuts.R_LW_TREE],
+                               np.asarray(ps.lw_tree), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(rows[fused_nuts.R_LW_SUB],
+                               np.asarray(ps.lw_sub), rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(rows[fused_nuts.R_DIV_SUB],
+                                  np.asarray(ps.div_sub, np.float32))
+    np.testing.assert_array_equal(rows[fused_nuts.R_TURN_SUB],
+                                  np.asarray(ps.turn_sub, np.float32))
+
+
+@pytest.mark.parametrize("factory,dim,step", [
+    (standard_normal, 7, 0.5),
+    (neals_funnel, 10, 0.2),
+])
+def test_fused_window_multinomial_matches_xla_machine(factory, dim, step):
+    """Stan-scheme parity: the kernel's per-leaf weighted reservoir, biased
+    subtree merges and iterative sub-U-turn checkpoint stacks must
+    reproduce the XLA multinomial machine iteration-for-iteration on
+    identical injected random streams — including the f32 floor/halve
+    bit fields (parity/popcount/trailing-ones) matching the XLA machine's
+    int32 population_count formulation."""
+    target = factory(dim)
+    ts, ps = _run_both(target, dim, n_chains=16, n_iters=48, step_size=step,
+                       proposal_scheme="multinomial")
+    _assert_machine_parity(ts, ps, dim)
+    _assert_multinomial_parity(ts, ps, dim)
+
+
+def test_fused_window_multinomial_dense_matches_xla_machine():
+    """Multinomial scheme composes with the dense metric in-kernel."""
+    dim = 6
+    target = standard_normal(dim)
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(dim, dim)).astype(np.float32)
+    inv_mass = jnp.asarray(a @ a.T / dim + 0.5 * np.eye(dim), F32)
+    ts, ps = _run_both(target, dim, n_chains=16, n_iters=48, step_size=0.3,
+                       inv_mass=inv_mass, proposal_scheme="multinomial")
+    _assert_machine_parity(ts, ps, dim)
+    _assert_multinomial_parity(ts, ps, dim)
 
 
 def test_pallas_backend_schema_and_determinism():

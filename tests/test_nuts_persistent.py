@@ -224,28 +224,44 @@ def test_multinomial_scheme_recovers_exact_variance():
 
 
 def test_multinomial_scheme_backend_rules():
-    """multinomial runs on the XLA machine only: backend='pallas' raises,
-    'auto' resolves to xla (no crash) even for pallas-capable targets."""
+    """multinomial runs on BOTH backends (the fused window kernel carries
+    the reservoir + checkpoint stacks in VMEM since round 3); unknown
+    schemes raise."""
     t = standard_normal(4)
     init = random.normal(random.PRNGKey(1), (8, 4)) * 0.1
-    with pytest.raises(ValueError, match="multinomial"):
-        nuts_run_persistent(random.PRNGKey(0), t.log_prob_fn, init,
-                            step_size=0.5, num_samples=4,
-                            steps_per_sample=8, backend="pallas",
-                            value_and_grad_fn=t.value_and_grad_fn,
-                            proposal_scheme="multinomial")
-    res = nuts_run_persistent(random.PRNGKey(0), t.log_prob_fn, init,
-                              step_size=0.5, num_samples=4,
-                              steps_per_sample=8, backend="auto",
-                              value_and_grad_fn=t.value_and_grad_fn,
-                              proposal_scheme="multinomial")
-    assert res.samples.shape == (4, 8, 4)
+    for backend in ("xla", "pallas", "auto"):
+        res = nuts_run_persistent(random.PRNGKey(0), t.log_prob_fn, init,
+                                  step_size=0.5, num_samples=4,
+                                  steps_per_sample=8, backend=backend,
+                                  value_and_grad_fn=t.value_and_grad_fn,
+                                  proposal_scheme="multinomial")
+        assert res.samples.shape == (4, 8, 4)
+        assert np.all(np.isfinite(np.asarray(res.samples)))
     with pytest.raises(ValueError, match="proposal_scheme"):
         nuts_run_persistent(random.PRNGKey(0), t.log_prob_fn, init,
                             step_size=0.5, num_samples=4,
                             steps_per_sample=8,
                             value_and_grad_fn=t.value_and_grad_fn,
                             proposal_scheme="bogus")
+
+
+@pytest.mark.slow
+def test_multinomial_pallas_recovers_exact_variance():
+    """The fused-kernel multinomial machine (W=4 slot unroll) recovers the
+    exact marginal variance like the XLA machine does — the statistical
+    endpoint of the parity chain (test_fused_nuts pins bit-level parity
+    at W=1)."""
+    t = standard_normal(4)
+    init = random.normal(random.PRNGKey(5), (64, 4)) * 0.3
+    r = nuts_run_persistent(random.PRNGKey(7), t.log_prob_fn, init,
+                            step_size=0.5, num_samples=800,
+                            steps_per_sample=64, burn_in_steps=256,
+                            max_tree_depth=8, backend="pallas",
+                            value_and_grad_fn=t.value_and_grad_fn,
+                            proposal_scheme="multinomial")
+    m = np.asarray(r.samples).reshape(-1, 4)
+    assert np.all(np.isfinite(m))
+    assert 0.97 < float(m.var(0).mean()) < 1.03
 
 
 def test_multinomial_scheme_with_dense_metric():

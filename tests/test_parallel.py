@@ -207,6 +207,30 @@ def test_fused_persistent_nuts_sharded_over_mesh():
     assert np.all(np.abs(flat.var(0) - 1.0) < 0.4)
 
 
+def test_fused_persistent_nuts_multinomial_sharded_over_mesh():
+    """The Stan multinomial proposal scheme runs through the same fused
+    shard_map path (reservoir + checkpoint stacks live per-device in
+    VMEM); the CLI's mesh dispatch forwards --nuts-proposal here."""
+    from mcmc_tpu.parallel import make_mesh
+    from mcmc_tpu.parallel.fused_sharded import nuts_persistent_run_sharded
+    from mcmc_tpu.targets import standard_normal
+
+    t = standard_normal(5)
+    mesh = make_mesh()
+    init = (random.normal(random.PRNGKey(40), (32, 5)) * 0.3
+            ).astype(jnp.float32)
+    res = nuts_persistent_run_sharded(
+        random.PRNGKey(41), t, init, mesh, step_size=0.4, num_samples=40,
+        steps_per_sample=16, burn_in_steps=16, collect_chains_per_device=2,
+        proposal_scheme="multinomial")
+    assert res.samples.shape == (40, 16, 5)
+    flat = np.asarray(res.samples).reshape(-1, 5)
+    assert np.all(np.isfinite(flat))
+    assert np.all(np.abs(flat.mean(0)) < 0.3)
+    assert np.all(np.abs(flat.var(0) - 1.0) < 0.4)
+    assert np.all(np.asarray(res.info["transitions"]) >= 1)
+
+
 def test_warmup_mesh_dispatches_fused_sharded(monkeypatch):
     """Under a mesh, run_adaptive_warmup routes window scans through the
     shard_map runner with the FUSED GRAHMC kernel per device (VERDICT r2 #3:

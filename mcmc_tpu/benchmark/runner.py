@@ -72,7 +72,7 @@ def _grid_summary(r: Dict) -> Dict:
 def _warmup(sampler, target, target_name, key, init_pos, num_warmup,
             schedule_type, num_steps, learn_mass_matrix, verbose=True,
             backend="auto", nuts_backend="auto", mesh=None,
-            trajectory_tuner="grid"):
+            trajectory_tuner="grid", nuts_proposal="endpoint"):
     """Phase 1 dispatch. Returns (step_size, inv_mass, position, warmup_info).
 
     trajectory_tuner='chees' (hmc/grahmc) replaces the fixed-L windowed
@@ -107,6 +107,11 @@ def _warmup(sampler, target, target_name, key, init_pos, num_warmup,
         kwargs["num_steps"] = num_steps
     elif sampler == "nuts":
         kwargs["max_tree_depth"] = 15   # wider during warmup (reference :533)
+        # the persistent warmup machine runs the SAME proposal scheme as
+        # phase 2: the multinomial machine also terminates on sub-U-turns /
+        # per-leaf divergences, so tuning on the endpoint machine would
+        # adapt to slightly different trajectory dynamics (review finding)
+        kwargs["nuts_proposal"] = nuts_proposal
     elif sampler in ("grahmc", "rahmc"):
         kwargs["num_steps"] = num_steps
         kwargs["gamma"] = 1.0
@@ -346,7 +351,12 @@ def run_single_benchmark_with_L(
                 0 if use_chees else num_steps,
                 learn_mass_matrix, n_chains, target.dim,
                 num_warmup=num_warmup,
-                backend=(nuts_backend if sampler == "nuts" else
+                # endpoint keeps the pre-scheme signature so existing
+                # caches stay valid; multinomial gets a distinct key (its
+                # warmup runs the multinomial machine)
+                backend=((nuts_backend if nuts_proposal == "endpoint"
+                          else f"{nuts_backend}-{nuts_proposal}")
+                         if sampler == "nuts" else
                          "chees" if use_chees else ""))
             cached = load_warmup(warmup_cache_dir, warmup_sig)
             if (cached is not None and use_chees
@@ -370,7 +380,8 @@ def run_single_benchmark_with_L(
                 sampler, target, target_name, warm_key, init_pos, num_warmup,
                 schedule_type, num_steps, learn_mass_matrix,
                 backend="auto", nuts_backend=nuts_backend, mesh=mesh,
-                trajectory_tuner=trajectory_tuner)
+                trajectory_tuner=trajectory_tuner,
+                nuts_proposal=nuts_proposal)
             warmup_restored = False
             if warmup_cache_dir is not None:
                 from mcmc_tpu.utils.checkpoint import save_warmup
@@ -797,9 +808,12 @@ def _round_floats(obj):
 def _config_key(row: Dict):
     """One row per (sampler, target, schedule, mass-matrix mode) is the
     results-file invariant: the remaining resume-signature fields
-    (nuts backend/snapshot interval, trajectory tuner) are run-level
-    settings, so a second row under the same key can only be a stale
-    leftover from a re-run with changed settings."""
+    (nuts backend/snapshot interval/proposal scheme, trajectory tuner)
+    are run-level settings, so a second row under the same key can only
+    be a stale leftover from a re-run with changed settings — a re-run
+    with e.g. the other --nuts-proposal re-measures (resume signature
+    differs) and REPLACES the row; use separate output dirs to compare
+    schemes side by side."""
     return (row.get("sampler"), row.get("target"), row.get("schedule"),
             row.get("mass_matrix_learned"))
 

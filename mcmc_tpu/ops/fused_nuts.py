@@ -184,6 +184,15 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
     # kernel would close over ("captures constants" trace error)
     neg_inf = float("-inf")
 
+    def _lse(a, b):
+        # -inf-safe logsumexp: both -inf stays -inf (the naive
+        # max + log1p(exp(min - max)) yields nan there); one -inf operand
+        # reduces to the finite one via exp(-inf) = 0
+        mx = jnp.maximum(a, b)
+        mn = jnp.minimum(a, b)
+        return jnp.where(mx == neg_inf, neg_inf,
+                         mx + jnp.log1p(jnp.exp(mn - mx)))
+
     def kernel(seed_ref, scal_ref, *refs):
         full_in = refs[:n_full]
         q_d_pad = full_in[0].shape[0]
@@ -375,12 +384,7 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
                     fin_h = jnp.isfinite(h)
                     lw_leaf = jnp.where(fin_h, h0 - h, neg_inf)
                     div_leaf = (~fin_h) | ((h - h0) > delta_max)
-                    # logaddexp with -inf support (both -inf stays -inf; a
-                    # naive max+log1p(exp(mn-mx)) would produce nan there)
-                    mx = jnp.maximum(lw_sub, lw_leaf)
-                    mn = jnp.minimum(lw_sub, lw_leaf)
-                    lse = jnp.where(mx == neg_inf, neg_inf,
-                                    mx + jnp.log1p(jnp.exp(mn - mx)))
+                    lse = _lse(lw_sub, lw_leaf)
                     # lw_leaf - lse is nan when both are -inf: the < is
                     # then False, as required (no take of a dead leaf)
                     take_leaf = lv(su < jnp.exp(lw_leaf - lse))
@@ -455,11 +459,7 @@ def _make_kernel(padded_vag: Callable, n_iters: int, max_tree_depth: int,
                 q_prop = jnp.where(take, q_sub, q_prop)
                 lp_prop = jnp.where(take, lp_sub, lp_prop)
                 g_prop = jnp.where(take, g_sub, g_prop)
-                mx2 = jnp.maximum(lw_tree, lw_sub)
-                mn2 = jnp.minimum(lw_tree, lw_sub)
-                lse2 = jnp.where(mx2 == neg_inf, neg_inf,
-                                 mx2 + jnp.log1p(jnp.exp(mn2 - mx2)))
-                lw_tree = jnp.where(sub_ok, lse2, lw_tree)
+                lw_tree = jnp.where(sub_ok, _lse(lw_tree, lw_sub), lw_tree)
                 diverged = jnp.maximum(
                     diverged, jnp.where(bd & (div_sub > 0.5), 1.0, 0.0))
             else:

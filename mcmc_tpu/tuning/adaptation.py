@@ -147,6 +147,11 @@ def _make_step_fn(sampler: str, log_prob_fn, value_and_grad_fn, kwargs,
             _init_pstate, _make_window_step)
         max_tree_depth = kwargs.get("max_tree_depth", 10)
         G = kwargs.get("steps_per_warmup_step", 32)
+        # warmup runs the SAME proposal scheme as sampling (the multinomial
+        # machine also terminates on sub-U-turns / per-leaf divergences, so
+        # step/mass adapt to the dynamics phase 2 will actually run)
+        scheme = kwargs.get("nuts_proposal", "endpoint")
+        multinomial = scheme == "multinomial"
 
         if value_and_grad_fn is not None:
             vag_b = value_and_grad_fn
@@ -180,7 +185,8 @@ def _make_step_fn(sampler: str, log_prob_fn, value_and_grad_fn, kwargs,
                 if C not in meta["windows"]:
                     meta["windows"][C] = fused_nuts.make_fused_nuts_window(
                         vag_b, G // W, max_tree_depth, C, D,
-                        steps_per_iter=W, dense=dense)
+                        steps_per_iter=W, dense=dense,
+                        proposal_scheme=scheme)
                 return meta["windows"][C]
 
             def make_state(pos):
@@ -196,7 +202,8 @@ def _make_step_fn(sampler: str, log_prob_fn, value_and_grad_fn, kwargs,
                 return fused_nuts.pack_state(
                     cs.position.astype(jnp.float32),
                     jnp.asarray(cs.log_prob, jnp.float32),
-                    cs.grad_log_prob.astype(jnp.float32), d_pad)
+                    cs.grad_log_prob.astype(jnp.float32), d_pad,
+                    multinomial=multinomial, max_tree_depth=max_tree_depth)
 
             def step(key, ts, step_size, inv_mass):
                 key, sub = random.split(key)
@@ -217,13 +224,16 @@ def _make_step_fn(sampler: str, log_prob_fn, value_and_grad_fn, kwargs,
             cs = _chain_state(pos)
             return _init_pstate(cs.position,
                                 jnp.asarray(cs.log_prob, e_dtype),
-                                cs.grad_log_prob, e_dtype)
+                                cs.grad_log_prob, e_dtype,
+                                multinomial=multinomial,
+                                max_tree_depth=max_tree_depth)
 
         def step(key, ps, step_size, inv_mass):
             e_dtype = ps.sum_alpha.dtype
             wstep = _make_window_step(vag_b, step_size,
                                       jnp.asarray(inv_mass, ps.q.dtype),
-                                      max_tree_depth, 1000.0, e_dtype)
+                                      max_tree_depth, 1000.0, e_dtype,
+                                      proposal_scheme=scheme)
             key, sub = random.split(key)
             C, D = ps.q.shape
             kp, kd, kd2, ks, ku, kr = random.split(sub, 6)

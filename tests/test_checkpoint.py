@@ -101,9 +101,14 @@ def test_warmup_signature_distinguishes_budget_and_backend():
         warmup_signature(**base, num_warmup=200, backend="classic"),
         warmup_signature(**base, num_warmup=2500, backend="classic"),
         warmup_signature(**base, num_warmup=2500, backend="persistent"),
+        # a multinomial-scheme warmup runs a different machine (sub-U-turn
+        # termination): its checkpoint must not satisfy an endpoint run —
+        # the runner keys it as "<backend>-multinomial"
+        warmup_signature(**base, num_warmup=2500,
+                         backend="persistent-multinomial"),
         warmup_signature(**base),
     }
-    assert len(sigs) == 4
+    assert len(sigs) == 5
 
 
 def test_load_warmup_foreign_sidecar_returns_none(tmp_path):

@@ -192,6 +192,36 @@ def test_fused_window_multinomial_dense_matches_xla_machine():
     _assert_multinomial_parity(ts, ps, dim)
 
 
+def test_multinomial_steps_per_iter_unroll():
+    """W=4 multinomial: slot freezing and the per-slot slice indexing
+    (i*W+k) keep the machine consistent — counters within bounds,
+    reservoir draws present, moments sane, deterministic. (Bit-level
+    parity vs the XLA machine is pinned at W=1 above; trajectories at
+    W>1 consume different uniform positions so cross-W bit equality is
+    not defined.)"""
+    t = standard_normal(5)
+    pos = (random.normal(random.PRNGKey(1), (32, 5)) * 0.1).astype(F32)
+    kw = dict(step_size=0.4, num_samples=48, steps_per_sample=16,
+              burn_in_steps=32, value_and_grad_fn=t.value_and_grad_fn,
+              backend="pallas", proposal_scheme="multinomial")
+    res4 = nuts_run_persistent(random.PRNGKey(0), t.log_prob_fn, pos,
+                               steps_per_iter=4, **kw)
+    slots = (32 + 48 * 16) * 32
+    exec4 = int(res4.info["n_leapfrogs"])
+    assert int(res4.info["n_leapfrog_slots"]) == slots
+    # slot 0 of every iteration always executes; later slots may freeze
+    assert slots // 4 <= exec4 <= slots
+    assert np.all(np.asarray(res4.info["transitions"]) >= 1)
+    flat = np.asarray(res4.samples).reshape(-1, 5)
+    assert np.all(np.isfinite(flat))
+    assert np.all(np.abs(flat.mean(0)) < 0.2)
+    assert np.all(np.abs(flat.var(0) - 1.0) < 0.35)
+    res4b = nuts_run_persistent(random.PRNGKey(0), t.log_prob_fn, pos,
+                                steps_per_iter=4, **kw)
+    np.testing.assert_array_equal(np.asarray(res4.samples),
+                                  np.asarray(res4b.samples))
+
+
 def test_pallas_backend_schema_and_determinism():
     t = standard_normal(4)
     pos = (random.normal(random.PRNGKey(1), (8, 4)) * 0.1).astype(F32)

@@ -266,6 +266,46 @@ def test_warmup_nuts_persistent_fused_path():
     assert np.all(np.asarray(inv_mass) > 0)
 
 
+def test_warmup_nuts_proposal_threads_to_both_machines(monkeypatch):
+    """run_adaptive_warmup(nuts_proposal='multinomial') must adapt on the
+    SAME machine phase 2 samples with — both the fused window factory and
+    the XLA window step receive the scheme (review finding: the multinomial
+    machine also terminates on sub-U-turns, so endpoint-tuned steps target
+    different trajectory dynamics)."""
+    import mcmc_tpu.ops.fused_nuts as fused_nuts
+    import mcmc_tpu.samplers.nuts_persistent as npz
+
+    t = standard_normal(3)
+    init = random.normal(random.PRNGKey(2), (8, 3)).astype(jnp.float32) * 0.2
+    seen = {}
+
+    orig_factory = fused_nuts.make_fused_nuts_window
+    orig_step = npz._make_window_step
+
+    def spy_factory(*a, **kw):
+        seen["fused"] = kw.get("proposal_scheme", "endpoint")
+        return orig_factory(*a, **kw)
+
+    def spy_step(*a, **kw):
+        seen["xla"] = kw.get("proposal_scheme", "endpoint")
+        return orig_step(*a, **kw)
+
+    monkeypatch.setattr(fused_nuts, "make_fused_nuts_window", spy_factory)
+    monkeypatch.setattr(npz, "_make_window_step", spy_step)
+    run_adaptive_warmup(
+        "nuts", t.log_prob_fn, None, init, random.PRNGKey(3),
+        num_warmup=48, value_and_grad_fn=t.value_and_grad_fn,
+        backend="persistent", steps_per_warmup_step=8, fused_warmup=True,
+        nuts_proposal="multinomial")
+    assert seen.get("fused") == "multinomial"
+    run_adaptive_warmup(
+        "nuts", t.log_prob_fn, None, init, random.PRNGKey(3),
+        num_warmup=48, value_and_grad_fn=t.value_and_grad_fn,
+        backend="persistent", steps_per_warmup_step=8, fused_warmup=False,
+        nuts_proposal="multinomial")
+    assert seen.get("xla") == "multinomial"
+
+
 def test_warmup_compiles_two_batch_programs(caplog):
     """Compile-shape discipline canary: the whole windowed warmup (default
     Stan schedule scaled to 425 steps, three phases, mixed window widths)

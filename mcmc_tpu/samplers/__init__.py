@@ -9,6 +9,7 @@ from mcmc_tpu.samplers.rwmh import rwmh_init, rwmh_step, rwmh_run
 from mcmc_tpu.samplers.hmc import hmc_init, hmc_step, hmc_run, leapfrog
 from mcmc_tpu.samplers.nuts import nuts_init, nuts_step, nuts_run
 from mcmc_tpu.samplers.nuts_persistent import nuts_run_persistent
+from mcmc_tpu.samplers.tempered import tempered_run, geometric_ladder
 from mcmc_tpu.samplers.grahmc import (
     grahmc_init, grahmc_step, grahmc_run,
     rahmc_init, rahmc_step, rahmc_run,
@@ -22,6 +23,7 @@ __all__ = [
     "rwmh_init", "rwmh_step", "rwmh_run",
     "hmc_init", "hmc_step", "hmc_run", "leapfrog",
     "nuts_init", "nuts_step", "nuts_run", "nuts_run_persistent",
+    "tempered_run", "geometric_ladder",
     "grahmc_init", "grahmc_step", "grahmc_run",
     "rahmc_init", "rahmc_step", "rahmc_run",
     "FRICTION_SCHEDULES", "get_friction_schedule", "default_steepness",

@@ -49,6 +49,8 @@ _GRID_SUMMARY_FIELDS = [
     # learned-metric stats: a failed grid arm is usually a warmup artifact
     # (bad mass matrix at that L), so post-mortems need these per L
     "mass_matrix_min", "mass_matrix_max", "mass_matrix_mean",
+    # replica-exchange arms: ladder health per L
+    "tempering", "swap_accept_rate",
 ]
 
 
@@ -192,18 +194,55 @@ def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
             inv_mass, schedule_type, warmup_info, backend: str = "auto",
             mesh=None, nuts_backend: str = "auto",
             nuts_steps_per_sample: int = 64,
-            nuts_proposal: str = "endpoint"):
+            nuts_proposal: str = "endpoint",
+            tempering: int = 0, tempering_beta_min: float = 0.05,
+            tempering_swap_interval: int = 1, replica_position=None):
     """Phase 2 dispatch. Returns a RunResult.
 
     With a mesh, XLA samplers run GSPMD-partitioned over the chain axis
     (positions are sharded by the caller; chains are communication-free), and
     the fused Pallas path — opaque to the GSPMD partitioner — dispatches to
     the explicit shard_map wrapper (parallel/fused_sharded.py).
+
+    tempering > 1 (hmc/grahmc only) runs the replica-exchange ladder
+    (samplers/tempered.py) over the shared transition: K tempered replicas,
+    geometric ladder to tempering_beta_min, the cold replica's draws
+    emitted. replica_position threads the full (K*C, D) ladder state across
+    convergence-checkpoint batches.
     """
     if backend == "auto":
         backend = _resolve_backend(sampler, target)
     if nuts_backend == "auto":
         nuts_backend = _resolve_nuts_backend(nuts_backend, target)
+    if tempering and tempering > 1 and sampler in ("hmc", "grahmc", "rahmc"):
+        from mcmc_tpu.samplers.tempered import tempered_run
+        is_hmc = sampler == "hmc"
+        if mesh is not None:
+            from mcmc_tpu.parallel.fused_sharded import tempered_run_sharded
+            return tempered_run_sharded(
+                key, target, position, mesh, step_size=step_size,
+                num_steps=num_steps, num_samples=num_samples,
+                n_temps=tempering, swap_interval=tempering_swap_interval,
+                beta_min=tempering_beta_min, inv_mass_matrix=inv_mass,
+                gamma=0.0 if is_hmc else warmup_info.get("gamma", 1.0),
+                steepness=0.0 if is_hmc else warmup_info.get("steepness", 5.0),
+                friction_schedule=(None if is_hmc
+                                   else get_friction_schedule(schedule_type)),
+                backend=backend if backend != "auto" else "auto",
+                replica_position=replica_position)
+        return tempered_run(
+            key, target.log_prob_fn, position, step_size,
+            num_steps=num_steps, num_samples=num_samples,
+            n_temps=tempering, beta_min=tempering_beta_min,
+            swap_interval=tempering_swap_interval, burn_in=0,
+            inv_mass_matrix=inv_mass,
+            gamma=0.0 if is_hmc else warmup_info.get("gamma", 1.0),
+            steepness=0.0 if is_hmc else warmup_info.get("steepness", 5.0),
+            friction_schedule=(None if is_hmc
+                               else get_friction_schedule(schedule_type)),
+            value_and_grad_fn=target.value_and_grad_fn,
+            backend=backend if backend == "pallas" else "xla",
+            init_replica_position=replica_position)
     # dense (D, D) metrics run in-kernel on every fused shard_map path —
     # the trajectory kernels AND the persistent-NUTS window kernel carry
     # M^{-1} plus its unwhitening factor in VMEM
@@ -293,8 +332,17 @@ def run_single_benchmark_with_L(
     nuts_steps_per_sample: int = 64,
     trajectory_tuner: str = "grid",
     nuts_proposal: str = "endpoint",
+    tempering: int = 0,
+    tempering_beta_min: float = 0.05,
+    tempering_swap_interval: int = 1,
 ) -> Dict:
     """One warmup+sample+diagnose+gate pipeline at a fixed trajectory length.
+
+    tempering=K (> 1, hmc/grahmc only) samples through the K-rung replica-
+    exchange ladder (samplers/tempered.py): warmup tunes step/metric on the
+    cold (beta=1) chain as usual, hotter replicas run at eps/sqrt(beta), and
+    the emitted draws are the cold replica's. n_gradients counts ALL K
+    replicas' leapfrogs.
 
     warmup_cache_dir: when set, Phase-1 products (tuned step, learned
     metric, warmed positions, friction params) are checkpointed per run
@@ -309,9 +357,13 @@ def run_single_benchmark_with_L(
     tuned T (chees_run) — n_gradients then counts the realized leapfrogs,
     not num_samples * L."""
     is_grahmc = sampler in ("grahmc", "rahmc")
+    use_tempering = (tempering and tempering > 1
+                     and sampler in ("hmc", "grahmc", "rahmc"))
     header = f"BENCHMARK: {sampler.upper()} on {target.name}"
     if is_grahmc:
         header += f" [{schedule_type}]"
+    if use_tempering:
+        header += f" [tempered K={tempering}]"
     print(f"\n{'=' * 80}\n{header}  (L={num_steps}, "
           f"mass={'learned' if learn_mass_matrix else 'identity'})\n{'=' * 80}")
 
@@ -436,6 +488,7 @@ def run_single_benchmark_with_L(
             convergence_trace = []
             pieces, prev = [], 0
             res = None
+            replica_pos = None
             for cp in checkpoints:
                 batch = cp - prev
                 prev = cp
@@ -450,7 +503,14 @@ def run_single_benchmark_with_L(
                                   warmup_info, mesh=mesh,
                                   nuts_backend=nuts_backend,
                                   nuts_steps_per_sample=nuts_steps_per_sample,
-                                  nuts_proposal=nuts_proposal)
+                                  nuts_proposal=nuts_proposal,
+                                  tempering=tempering,
+                                  tempering_beta_min=tempering_beta_min,
+                                  tempering_swap_interval=tempering_swap_interval,
+                                  replica_position=replica_pos)
+                    # tempered batches continue the FULL ladder, not just
+                    # the cold rows — hot rungs stay equilibrated
+                    replica_pos = res.info.get("replica_final_positions")
                 position = res.final_state.position
                 pieces.append(res)
                 cumulative = jnp.concatenate([p.samples for p in pieces], axis=0)
@@ -487,7 +547,10 @@ def run_single_benchmark_with_L(
                               warmup_info, mesh=mesh,
                               nuts_backend=nuts_backend,
                               nuts_steps_per_sample=nuts_steps_per_sample,
-                              nuts_proposal=nuts_proposal)
+                              nuts_proposal=nuts_proposal,
+                              tempering=tempering,
+                              tempering_beta_min=tempering_beta_min,
+                              tempering_swap_interval=tempering_swap_interval)
             samples = res.samples
             accept_rate = float(res.accept_rate.mean())
             total_div = int(res.info["total_divergences"])
@@ -517,6 +580,10 @@ def run_single_benchmark_with_L(
             avg_tree_depth = None
         else:
             n_gradients = num_samples * num_steps * n_chains
+            if use_tempering:
+                # every replica burns L grads per chain per draw; the
+                # ladder's cost is charged honestly to ESS/gradient
+                n_gradients *= tempering
             avg_tree_depth = None
 
         # Sampler metadata
@@ -536,6 +603,19 @@ def run_single_benchmark_with_L(
                                 "gamma": warmup_info.get("gamma", 1.0),
                                 "steepness": warmup_info.get("steepness", 5.0),
                                 "schedule": schedule_type}
+        if use_tempering and res is not None:
+            sampler_metadata.update(
+                tempering=int(tempering),
+                tempering_beta_min=float(tempering_beta_min),
+                tempering_swap_interval=int(tempering_swap_interval),
+                swap_accept_rate=[round(float(x), 4)
+                                  for x in np.asarray(
+                                      res.info["swap_accept_rate"])],
+                replica_accept_rate=[round(float(x), 4)
+                                     for x in np.asarray(
+                                         res.info["replica_accept_rate"])],
+                tempering_betas=[round(float(x), 4)
+                                 for x in np.asarray(res.info["betas"])])
         if use_chees:
             sampler_metadata.update(
                 trajectory_tuner="chees",
@@ -655,6 +735,7 @@ def run_single_benchmark_with_L(
             "schedule": schedule_type if is_grahmc else None,
             "dim": target.dim,
             "num_steps": num_steps,
+            "tempering": int(tempering) if use_tempering else None,
             "total_samples": 0,
             "ess_bulk_min": 0.0,
             "n_gradients": 0,
@@ -681,6 +762,9 @@ def run_trajectory_length_grid_search(
     convergence_base: float = 1.5,
     mesh_devices="auto",
     warmup_cache_dir: Optional[str] = None,
+    tempering: int = 0,
+    tempering_beta_min: float = 0.05,
+    tempering_swap_interval: int = 1,
 ) -> Dict:
     """Grid-search L; select max ESS/gradient preferring quality_pass runs;
     explicit failure record (with least-bad diagnostics) when nothing is
@@ -694,7 +778,9 @@ def run_trajectory_length_grid_search(
             sampler, target, target_name, subkey, n_chains, num_warmup,
             num_samples, schedule_type, L, learn_mass_matrix,
             track_convergence, convergence_base, mesh_devices=mesh_devices,
-            warmup_cache_dir=warmup_cache_dir)
+            warmup_cache_dir=warmup_cache_dir, tempering=tempering,
+            tempering_beta_min=tempering_beta_min,
+            tempering_swap_interval=tempering_swap_interval)
         if r.get("error") is None:
             n_grad = r.get("n_gradients", r["total_samples"] * L)
             r["n_gradients"] = n_grad
@@ -741,7 +827,10 @@ def run_trajectory_length_grid_search(
                       "is_inefficient", "is_high_efficiency", "step_size",
                       "gamma", "steepness", "avg_tree_depth",
                       "mass_matrix_learned", "mass_matrix_min",
-                      "mass_matrix_max", "mass_matrix_mean"]:
+                      "mass_matrix_max", "mass_matrix_mean",
+                      "tempering", "tempering_beta_min",
+                      "tempering_swap_interval", "swap_accept_rate",
+                      "replica_accept_rate", "tempering_betas"]:
             failure[field] = least_bad.get(field)
         failure["ess_bulk_min"] = least_bad.get("ess_bulk_min", 0)
         failure["grid_search_info"] = {
@@ -872,7 +961,8 @@ def save_result_incremental(result: Dict, output_dir: str, is_first: bool = Fals
 
 def _resume_signature(sampler, target_name, schedule, learn_mass,
                       nuts_backend=None, nuts_steps_per_sample=None,
-                      trajectory_tuner=None, nuts_proposal=None):
+                      trajectory_tuner=None, nuts_proposal=None,
+                      tempering=None):
     """Completed-set key for resume-by-signature.
 
     NUTS rows additionally key on the resolved backend and (for the
@@ -898,7 +988,12 @@ def _resume_signature(sampler, target_name, schedule, learn_mass,
                 (nuts_proposal or "endpoint")
                 if nuts_backend == "persistent" else None)
     elif sampler in ("hmc", "grahmc", "rahmc"):
-        sig += ("chees" if trajectory_tuner == "chees" else None,)
+        sig += ("chees" if trajectory_tuner == "chees" else None,
+                # replica-exchange rows key on the ladder size: re-running
+                # with a different --tempering re-measures instead of
+                # skipping. Untempered rows (and all pre-tempering rows)
+                # resolve to None.
+                int(tempering) if tempering and int(tempering) > 1 else None)
     return sig
 
 
@@ -922,6 +1017,9 @@ def run_all_benchmarks(
     nuts_steps_per_sample: int = 64,
     trajectory_tuner: str = "grid",
     nuts_proposal: str = "endpoint",
+    tempering: int = 0,
+    tempering_beta_min: float = 0.05,
+    tempering_swap_interval: int = 1,
 ):
     """Iterate target x sampler x mass-mode (x schedule for GRAHMC) with
     resume-by-signature and incremental saving. Returns a DataFrame.
@@ -936,6 +1034,12 @@ def run_all_benchmarks(
     tuner reports a trajectory-cap runaway — flat-tailed targets)."""
     import jax
     import pandas as pd
+
+    if tempering and tempering > 1 and trajectory_tuner == "chees":
+        raise ValueError(
+            "--tempering composes with the fixed-L pipeline, not the ChEES "
+            "tuner (the criterion would adapt to the cold replica only); "
+            "drop one of the two flags")
 
     # Reference parity: CLIs enable x64 — but only off-TPU. float64 is
     # software-emulated on TPU; the f32 fast path is validated by the
@@ -962,7 +1066,8 @@ def run_all_benchmarks(
                               r.get("nuts_backend"),
                               r.get("nuts_steps_per_sample"),
                               r.get("trajectory_tuner"),
-                              r.get("nuts_proposal"))
+                              r.get("nuts_proposal"),
+                              r.get("tempering"))
             for r in all_results}
         print(f"RESUMING: {len(all_results)} existing results, skipping "
               f"{len(completed)} completed configurations")
@@ -997,7 +1102,8 @@ def run_all_benchmarks(
                         sig = _resume_signature(
                             sampler, target.name, schedule, learn_mass,
                             trajectory_tuner=("chees" if use_chees_tuner
-                                              else None))
+                                              else None),
+                            tempering=tempering)
                     if sig in completed:
                         print(f"  [SKIP] {sig} (already completed)")
                         continue
@@ -1028,7 +1134,10 @@ def run_all_benchmarks(
                                 schedule or "constant", num_steps_grid,
                                 learn_mass, track_convergence,
                                 convergence_base, mesh_devices=mesh_devices,
-                                warmup_cache_dir=warmup_cache_dir)
+                                warmup_cache_dir=warmup_cache_dir,
+                                tempering=tempering,
+                                tempering_beta_min=tempering_beta_min,
+                                tempering_swap_interval=tempering_swap_interval)
                             if chees_fell_back:
                                 # resume key parity: a chees run that fell
                                 # back must be found under the chees

@@ -276,7 +276,8 @@ def _integrate(q0, p0, lp0, grad0, vag, eps, num_steps, friction_schedule,
 
 def _make_kernel(padded_vag: Callable, num_steps: int,
                  friction_schedule: Optional[Callable],
-                 inject_randoms: bool, dim_axis: int, dense: bool = False):
+                 inject_randoms: bool, dim_axis: int, dense: bool = False,
+                 scaled: bool = False):
     """Kernel body factory. Ref order:
     seed(SMEM), scalars(SMEM), q, lp, grad, inv_mass, mask
     [, unwhiten if dense on-chip RNG]
@@ -321,6 +322,17 @@ def _make_kernel(padded_vag: Callable, num_steps: int,
         eps = scal_ref[0]
         gamma_max = scal_ref[1]
         steepness = scal_ref[2]
+        if scaled:
+            # Tempered-replica support (samplers/tempered.py): the target
+            # log-density and gradient are scaled by a runtime beta inside
+            # the hot loop (tempered grad = beta * grad). Static-gated so
+            # the untempered kernels pay zero extra VPU ops.
+            lp_scale = scal_ref[3]
+            base_vag_s = vag_with_data
+
+            def vag_with_data(qq):
+                lp_s, g_s = base_vag_s(qq)
+                return lp_scale * lp_s, lp_scale * g_s
 
         q0 = q_ref[:]
         lp0 = lp_ref[:]
@@ -372,9 +384,10 @@ def _make_kernel(padded_vag: Callable, num_steps: int,
 
 def _build_call(padded_vag, num_steps, friction_schedule, n_chains, d_pad,
                 chain_tile, inject_randoms, interpret, dim_axis,
-                dense=False):
+                dense=False, scaled=False):
     kernel = _make_kernel(padded_vag, num_steps, friction_schedule,
-                          inject_randoms, dim_axis, dense=dense)
+                          inject_randoms, dim_axis, dense=dense,
+                          scaled=scaled)
     grid = (n_chains // chain_tile,)
 
     if dim_axis == 1:
@@ -493,7 +506,12 @@ def make_fused_grahmc_step(
 
     vag_cache = {}
 
-    def fused(key, state, step_size, gamma, steepness, inv_mass_matrix):
+    def fused(key, state, step_size, gamma, steepness, inv_mass_matrix,
+              lp_scale=None):
+        """lp_scale: optional runtime scalar multiplying the target's
+        log-prob AND gradient in-kernel (a tempered replica samples
+        pi^beta — samplers/tempered.py); None compiles the unscaled
+        kernel."""
         n_chains, dim = state.position.shape
         dense = is_dense_metric(inv_mass_matrix)
         dim_axis = choose_layout(dim) if layout == "auto" else (
@@ -518,22 +536,26 @@ def make_fused_grahmc_step(
             tile //= 2
         tile = max(tile, 1)
 
-        cache_key = (n_chains, dim, tile, dim_axis, dense)
+        scaled = lp_scale is not None
+        cache_key = (n_chains, dim, tile, dim_axis, dense, scaled)
         if cache_key not in call_cache:
             call_cache[cache_key] = _build_call(
                 padded_vag, num_steps, friction_schedule, n_chains, d_pad,
                 tile, inject_randoms=not onchip_rng, interpret=interpret,
-                dim_axis=dim_axis, dense=dense)
+                dim_axis=dim_axis, dense=dense, scaled=scaled)
         call = call_cache[cache_key]
         data_arrays = tuple(getattr(padded_vag, "data_arrays", ()))
 
         key, seed_key = random.split(key)
         seed = seed_words_from_key(seed_key)
-        scalars = jnp.stack([
+        scalar_list = [
             jnp.asarray(step_size, jnp.float32),
             jnp.asarray(gamma, jnp.float32),
             jnp.asarray(steepness, jnp.float32),
-        ])
+        ]
+        if scaled:
+            scalar_list.append(jnp.asarray(lp_scale, jnp.float32))
+        scalars = jnp.stack(scalar_list)
 
         pad = d_pad - dim
         q = jnp.pad(state.position.astype(jnp.float32), ((0, 0), (0, pad)))

@@ -143,6 +143,119 @@ def _assemble_result(samples, lps, acc_counts, div_counts, final_pos,
     return RunResult(samples, lps, accept_rate, final_state, info)
 
 
+def tempered_run_sharded(
+    key,
+    target,
+    init_position,
+    mesh,
+    step_size,
+    num_steps: int,
+    num_samples: int,
+    n_temps: int = 6,
+    beta_min: float = 0.05,
+    swap_interval: int = 1,
+    inv_mass_matrix=None,
+    gamma=0.0,
+    steepness=1.0,
+    friction_schedule: Optional[Callable] = None,
+    backend: str = "auto",
+    replica_position=None,
+) -> RunResult:
+    """Parallel tempering with chains sharded over `mesh`'s chain axis.
+
+    Replica exchange acts only along the temperature axis (samplers/
+    tempered.py), so sharding the CHAIN axis keeps every swap device-local:
+    each device runs the full K-rung ladder on its local chain shard
+    (per-device fold_in RNG) and the sampling loop stays collective-free —
+    the only collectives are the final psums for the divergence total and
+    the cross-device swap/replica acceptance means.
+
+    replica_position: a previous call's info["replica_final_positions"]
+    ((K * n_chains, D), device-major blocks of replica-major local rows) to
+    continue the ladder across convergence-checkpoint batches. Round-trips
+    exactly through this function's own output sharding.
+    """
+    from mcmc_tpu.samplers.base import ChainState
+    from mcmc_tpu.samplers.tempered import tempered_run
+
+    n_chains, dim = init_position.shape
+    n_dev = mesh.devices.size
+    if n_chains % n_dev:
+        raise ValueError(
+            f"n_chains {n_chains} not divisible by mesh size {n_dev}")
+    if inv_mass_matrix is None:
+        inv_mass_matrix = jnp.ones(dim, jnp.float32)
+    inv_mass_matrix = jnp.asarray(inv_mass_matrix, jnp.float32)
+
+    init_position = shard_chains(jnp.asarray(init_position, jnp.float32),
+                                 mesh)
+    have_replica = replica_position is not None
+    if have_replica:
+        replica_position = shard_chains(
+            jnp.asarray(replica_position, jnp.float32), mesh)
+    else:
+        # dummy operand keeps the shard_map signature static across calls
+        replica_position = jnp.zeros((n_temps * n_chains, dim), jnp.float32)
+
+    sharded = P(CHAIN_AXIS)
+    out_specs = RunResult(
+        samples=P(None, CHAIN_AXIS, None),
+        log_probs=P(None, CHAIN_AXIS),
+        accept_rate=sharded,
+        final_state=ChainState(
+            position=P(CHAIN_AXIS, None), log_prob=sharded,
+            grad_log_prob=P(CHAIN_AXIS, None), accept_count=sharded,
+            divergence_count=sharded),
+        info={
+            "divergence_count": sharded,
+            "total_divergences": P(),
+            "divergence_rate": P(),
+            "final_positions": P(CHAIN_AXIS, None),
+            "replica_final_positions": P(CHAIN_AXIS, None),
+            "swap_accept_rate": P(),
+            "betas": P(),
+            "replica_step_sizes": P(),
+            "n_temps": P(),
+            "replica_accept_rate": P(),
+            "n_devices": P(),
+        })
+
+    @partial(shard_map_fn, mesh=mesh,
+             in_specs=(P(), P(CHAIN_AXIS, None), P(CHAIN_AXIS, None),
+                       P(), P(), P(), P()),
+             out_specs=out_specs)
+    def run_shard(key, local_pos, local_replica, eps, gam, steep, inv_mass):
+        key = random.fold_in(key, lax.axis_index(CHAIN_AXIS))
+        res = tempered_run(
+            key, target.log_prob_fn, local_pos, eps,
+            num_steps=num_steps, num_samples=num_samples,
+            n_temps=n_temps, beta_min=beta_min,
+            swap_interval=swap_interval, burn_in=0,
+            inv_mass_matrix=inv_mass, gamma=gam, steepness=steep,
+            friction_schedule=friction_schedule,
+            value_and_grad_fn=target.value_and_grad_fn, backend=backend,
+            init_replica_position=local_replica if have_replica else None)
+        total_div = lax.psum(res.info["total_divergences"], CHAIN_AXIS)
+        info = dict(
+            res.info,
+            total_divergences=total_div,
+            divergence_rate=total_div.astype(jnp.float32)
+            / max(num_samples * n_chains, 1),
+            # equal chains per device: the global mean is the device mean
+            swap_accept_rate=lax.psum(res.info["swap_accept_rate"],
+                                      CHAIN_AXIS) / n_dev,
+            replica_accept_rate=lax.psum(res.info["replica_accept_rate"],
+                                         CHAIN_AXIS) / n_dev,
+            n_devices=jnp.asarray(n_dev, jnp.int32),
+        )
+        return res._replace(info=info)
+
+    return run_shard(key, init_position, replica_position,
+                     jnp.asarray(step_size, jnp.float32),
+                     jnp.asarray(gamma, jnp.float32),
+                     jnp.asarray(steepness, jnp.float32), inv_mass_matrix)
+
+
 def nuts_persistent_run_sharded(
     key,
     target,

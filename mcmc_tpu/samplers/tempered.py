@@ -60,10 +60,17 @@ def geometric_ladder(n_temps: int, beta_min: float = 0.05) -> jnp.ndarray:
     return jnp.asarray(beta_min, jnp.float32) ** k
 
 
+def _resolve_tempered_backend(backend: str, value_and_grad_fn) -> str:
+    if backend != "auto":
+        return backend
+    from mcmc_tpu.ops.padded_targets import auto_pallas_backend
+    return "pallas" if auto_pallas_backend(value_and_grad_fn) else "xla"
+
+
 @partial(jit, static_argnames=(
     "log_prob_fn", "num_steps", "num_samples", "burn_in", "n_temps",
     "beta_min", "swap_interval", "friction_schedule", "value_and_grad_fn",
-    "collect_chains"))
+    "collect_chains", "backend"))
 def tempered_run(
     key,
     log_prob_fn,
@@ -82,6 +89,8 @@ def tempered_run(
     friction_schedule: Optional[Callable] = None,
     value_and_grad_fn: Optional[Callable] = None,
     collect_chains: Optional[int] = None,
+    backend: str = "xla",
+    init_replica_position: Optional[Array] = None,
 ) -> RunResult:
     """Replica-exchange HMC/GRAHMC. Returns the beta=1 replica's RunResult.
 
@@ -99,11 +108,21 @@ def tempered_run(
     Output contract matches the other samplers: samples (num_samples, C, D)
     and UNtempered log_probs (num_samples, C) from the cold replica,
     accept_rate/divergences from the cold replica's transitions. info adds
-    `swap_accept_rate` ((K-1,) per adjacent pair), `betas`, and
-    `replica_step_sizes`. Cited against the gaussian_mixture failure mode:
-    reference benchmarks/targets.py:411-482 (bimodal target + split-mode
-    init_sampler workaround).
+    `swap_accept_rate` ((K-1,) per adjacent pair), `betas`,
+    `replica_step_sizes`, and `replica_final_positions` ((K*C, D) — pass a
+    run's final replica positions back in as `init_replica_position` to
+    continue the ladder without re-equilibrating the hot rungs, e.g. the
+    benchmark runner's convergence-checkpoint batches). Cited against the
+    gaussian_mixture failure mode: reference benchmarks/targets.py:411-482
+    (bimodal target + split-mode init_sampler workaround).
+
+    backend: 'xla' (grahmc_step scan), 'pallas' (the fused trajectory
+    kernel, ops/fused_trajectory.py — ONE compiled kernel shared by all K
+    replicas, called per replica with its scalar (eps_k, beta_k); the beta
+    enters the kernel as the static-gated lp_scale), or 'auto' (pallas on
+    TPU when the target carries an analytic fused specialization).
     """
+    backend = _resolve_tempered_backend(backend, value_and_grad_fn)
     if betas is None:
         betas = geometric_ladder(n_temps, beta_min)
     betas = jnp.asarray(betas, jnp.float32)
@@ -115,7 +134,13 @@ def tempered_run(
 
     # flattened replica-major batch: row r = replica r // C, chain r % C
     beta_row = jnp.repeat(betas, C)                       # (N,)
-    pos0 = jnp.tile(jnp.asarray(init_position), (K, 1))   # (N, D)
+    if init_replica_position is not None:
+        pos0 = jnp.asarray(init_replica_position)         # (N, D) continuation
+        if pos0.shape != (N, D):
+            raise ValueError(f"init_replica_position must be ({N}, {D}), "
+                             f"got {pos0.shape}")
+    else:
+        pos0 = jnp.tile(jnp.asarray(init_position), (K, 1))   # (N, D)
 
     if value_and_grad_fn is not None:
         base_vag = value_and_grad_fn
@@ -193,12 +218,44 @@ def tempered_run(
                     swap_acc[1] + active[:, 0].astype(jnp.float32)[:K - 1] * C)
         return key, state, swap_acc
 
+    if backend == "pallas":
+        from mcmc_tpu.ops.fused_trajectory import make_fused_grahmc_step
+        fused_step = make_fused_grahmc_step(
+            log_prob_fn, value_and_grad_fn, num_steps, friction_schedule)
+
+        def replica_sweep(key, state):
+            """One MH transition on every replica: K calls into the ONE
+            compiled fused kernel (the call cache keys on shape, not the
+            (eps_k, beta_k) scalars), state sliced replica-major."""
+            keys = random.split(key, K + 1)
+            parts = []
+            for k in range(K):
+                sl = slice(k * C, (k + 1) * C)
+                sub = ChainState(
+                    position=state.position[sl],
+                    log_prob=state.log_prob[sl],
+                    grad_log_prob=state.grad_log_prob[sl],
+                    accept_count=state.accept_count[sl],
+                    divergence_count=state.divergence_count[sl])
+                _, sub, _extras = fused_step(
+                    keys[k + 1], sub, replica_steps[k], gamma, steepness,
+                    inv_mass, lp_scale=betas[k])
+                parts.append(sub)
+            state = ChainState(*(jnp.concatenate([getattr(p, f)
+                                                  for p in parts])
+                                 for f in ChainState._fields))
+            return keys[0], state
+    else:
+        def replica_sweep(key, state):
+            key, state, _extras = grahmc_step(
+                key, state, tempered_vag, eps_row, num_steps,
+                gamma=gamma, steepness=steepness, inv_mass_matrix=inv_mass,
+                friction_schedule=friction_schedule)
+            return key, state
+
     def transition(carry, it):
         key, state, swap_acc = carry
-        key, state, _extras = grahmc_step(
-            key, state, tempered_vag, eps_row, num_steps,
-            gamma=gamma, steepness=steepness, inv_mass_matrix=inv_mass,
-            friction_schedule=friction_schedule)
+        key, state = replica_sweep(key, state)
         do_swap = (it % swap_interval) == (swap_interval - 1)
         phase = (it // swap_interval) % 2
 
@@ -253,6 +310,8 @@ def tempered_run(
         "divergence_rate": total_div.astype(jnp.float32)
         / max(num_samples * C, 1),
         "final_positions": cold.position,
+        # full-ladder continuation state (see init_replica_position)
+        "replica_final_positions": state.position,
         "swap_accept_rate": swap_rate,
         "betas": betas,
         "replica_step_sizes": replica_steps,

@@ -101,6 +101,22 @@ def main():
                         "mass, then jittered-trajectory sampling; "
                         "automatically falls back to the grid when the "
                         "criterion runs away on flat-tailed targets)")
+    parser.add_argument("--tempering", type=int, default=0,
+                        help="Parallel tempering for HMC/GRAHMC: run K > 1 "
+                        "replica-exchange rungs (geometric inverse-"
+                        "temperature ladder; samplers/tempered.py) over the "
+                        "shared transition and emit the cold replica's "
+                        "draws. The standard remedy for multimodal targets "
+                        "(e.g. gaussian_mixture) that plain trajectories "
+                        "cannot cross. 0/1 (default) disables; ignored by "
+                        "RWMH/NUTS rows; n_gradients counts all K replicas")
+    parser.add_argument("--tempering-beta-min", type=float, default=0.05,
+                        help="Hottest rung's inverse temperature for "
+                        "--tempering's geometric ladder (default 0.05)")
+    parser.add_argument("--tempering-swap-interval", type=int, default=1,
+                        help="Transitions between replica-exchange attempts "
+                        "(default 1 = every transition; even/odd pair "
+                        "phases alternate)")
     parser.add_argument("--no-warmup-cache", action="store_true",
                         help="Disable per-configuration warmup checkpoints "
                         "(<output-dir>/.warmup_cache_seed<seed>/); with the "
@@ -154,6 +170,9 @@ def main():
         nuts_backend=args.nuts_backend,
         nuts_proposal=args.nuts_proposal,
         trajectory_tuner=args.trajectory_tuner,
+        tempering=args.tempering,
+        tempering_beta_min=args.tempering_beta_min,
+        tempering_swap_interval=args.tempering_swap_interval,
     )
     print_summary(df)
 

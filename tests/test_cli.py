@@ -419,6 +419,74 @@ def test_resume_signature_keys_nuts_settings():
             == _resume_signature("grahmc", "T", "tanh", True, "x", 1))
 
 
+def test_single_benchmark_tempered_e2e():
+    """--tempering K=3 through the full pipeline: schema-valid row carrying
+    the ladder metadata, gradient accounting charged for all K replicas."""
+    t = get_target("standard_normal", dim=4)
+    r = run_single_benchmark_with_L(
+        "hmc", t, "standard_normal", random.PRNGKey(9), n_chains=16,
+        num_warmup=150, num_samples=300, schedule_type="constant",
+        num_steps=8, mesh_devices="off", tempering=3)
+    assert r.get("error") is None
+    for f in SCHEMA_FIELDS:
+        assert f in r, f"missing field {f}"
+    assert r["tempering"] == 3
+    assert len(r["swap_accept_rate"]) == 2
+    assert len(r["replica_accept_rate"]) == 3
+    assert len(r["tempering_betas"]) == 3
+    assert r["tempering_betas"][0] == 1.0
+    # all K replicas' leapfrogs are charged
+    assert r["n_gradients"] == 300 * 8 * 16 * 3
+    assert np.isfinite(r["rhat_max"])
+
+
+def test_tempered_mesh_convergence_e2e():
+    """--tempering composes with --mesh and --track-convergence: the ladder
+    runs shard_mapped per checkpoint batch with the full replica state
+    threaded between batches (not re-tiled from the cold rows)."""
+    t = get_target("standard_normal", dim=4)
+    r = run_single_benchmark_with_L(
+        "grahmc", t, "standard_normal", random.PRNGKey(11), n_chains=16,
+        num_warmup=120, num_samples=250, schedule_type="tanh", num_steps=6,
+        mesh_devices=8, tempering=3, track_convergence=True)
+    assert r.get("error") is None
+    assert r["tempering"] == 3
+    assert r["mesh_devices"] == 8
+    assert r["convergence_trace"] is not None
+    assert len(r["convergence_trace"]) >= 2
+    assert np.isfinite(r["rhat_max"])
+
+
+def test_resume_signature_keys_tempering():
+    """Re-running with a different --tempering must re-measure trajectory-
+    sampler rows instead of skipping; NUTS/RWMH signatures ignore it."""
+    from mcmc_tpu.benchmark.runner import _resume_signature
+
+    base = _resume_signature("grahmc", "T", "tanh", True)
+    assert base != _resume_signature("grahmc", "T", "tanh", True,
+                                     tempering=4)
+    assert (_resume_signature("grahmc", "T", "tanh", True, tempering=4)
+            != _resume_signature("grahmc", "T", "tanh", True, tempering=6))
+    # 0/1/None all mean "untempered" and share the pre-tempering key
+    assert base == _resume_signature("grahmc", "T", "tanh", True, tempering=0)
+    assert base == _resume_signature("grahmc", "T", "tanh", True, tempering=1)
+    assert (_resume_signature("nuts", "T", None, True, "classic", None)
+            == _resume_signature("nuts", "T", None, True, "classic", None,
+                                 tempering=4))
+
+
+def test_tempering_rejects_chees_combination():
+    """--tempering + --trajectory-tuner chees is a configuration error."""
+    from mcmc_tpu.benchmark.runner import run_all_benchmarks
+
+    with pytest.raises(ValueError, match="tempering"):
+        run_all_benchmarks(
+            samplers=["grahmc"], targets=["standard_normal"],
+            grahmc_schedules=["tanh"], dim=4, n_chains=8, num_warmup=50,
+            num_samples=50, seed=0, output_dir="/tmp/never-written",
+            trajectory_tuner="chees", tempering=4)
+
+
 def test_nuts_steps_per_sample_flag_rejects_nonpositive():
     """--nuts-steps-per-sample 0 / negative must be an argparse error, not a
     zero-iteration persistent window emitting identical draws."""

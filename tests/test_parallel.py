@@ -141,6 +141,44 @@ def test_fused_kernel_sharded_over_mesh():
     assert res.info["final_positions"].shape == (64, 6)
 
 
+def test_tempered_sharded_over_mesh():
+    """Replica exchange under the chain mesh: swaps act only along the
+    temperature axis, so every exchange is device-local — the sampling loop
+    stays collective-free and only the final diagnostic psums cross devices.
+    Cold-replica moments stay exact; ladder continuation round-trips
+    through the sharded layout."""
+    from mcmc_tpu.parallel.fused_sharded import tempered_run_sharded
+    from mcmc_tpu.targets import standard_normal
+
+    t = standard_normal(4)
+    mesh = make_mesh()
+    init = random.normal(random.PRNGKey(40), (64, 4)) * 0.3
+    res = tempered_run_sharded(
+        random.PRNGKey(41), t, init, mesh, step_size=0.5, num_steps=8,
+        num_samples=400, n_temps=4)
+    assert res.samples.shape == (400, 64, 4)
+    flat = np.asarray(res.samples[100:]).reshape(-1, 4)
+    assert np.all(np.abs(flat.mean(0)) < 0.15)
+    assert np.all(np.abs(flat.var(0) - 1.0) < 0.2)
+    sw = np.asarray(res.info["swap_accept_rate"])
+    assert sw.shape == (3,) and np.all((sw > 0.05) & (sw < 1.0))
+    assert np.asarray(res.info["replica_accept_rate"]).shape == (4,)
+    assert int(res.info["n_devices"]) == 8
+    rep = res.info["replica_final_positions"]
+    assert rep.shape == (4 * 64, 4)
+    # continuation: the device-major replica layout round-trips exactly
+    res2 = tempered_run_sharded(
+        random.PRNGKey(42), t, init, mesh, step_size=0.5, num_steps=8,
+        num_samples=50, n_temps=4, replica_position=rep)
+    assert res2.samples.shape == (50, 64, 4)
+    rep2 = np.asarray(res2.info["replica_final_positions"])
+    # hot rows (pi^0.05 = N(0, 20)) stay overdispersed through the restart:
+    # per-device blocks are replica-major, so hot rows are each block's tail
+    hot = rep2.reshape(8, 4, 8, 4)[:, -1]              # (dev, C_local, D)
+    cold = rep2.reshape(8, 4, 8, 4)[:, 0]
+    assert hot.var() > 4.0 * cold.var(), (hot.var(), cold.var())
+
+
 def test_distributed_helpers_single_process():
     """Multi-host helpers degrade gracefully to single-process: initialize()
     is a no-op returning process 0; make_chain_mesh spans all local devices

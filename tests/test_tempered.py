@@ -128,6 +128,61 @@ def test_tempered_grahmc_friction_and_explicit_ladder():
     assert np.all(np.abs(m.mean(0)) < 0.25)
 
 
+def test_tempered_pallas_backend_moments_match_xla():
+    """backend='pallas' runs every replica through ONE compiled fused
+    trajectory kernel (scalar (eps_k, beta_k) per call via the static-gated
+    lp_scale, ops/fused_trajectory.py) — same physics as the XLA path: the
+    cold marginals stay exact and the ladder diagnostics agree. Off-TPU the
+    kernel runs in interpret mode with injected randomness (different
+    stream than the XLA scan, so the comparison is statistical)."""
+    t = standard_normal(4)
+    init = random.normal(random.PRNGKey(1), (64, 4)) * 0.2
+    kw = dict(step_size=0.5, num_steps=8, num_samples=400, burn_in=100,
+              n_temps=4, value_and_grad_fn=t.value_and_grad_fn)
+    rx = tempered_run(random.PRNGKey(0), t.log_prob_fn, init,
+                      backend="xla", **kw)
+    rp = tempered_run(random.PRNGKey(0), t.log_prob_fn, init,
+                      backend="pallas", **kw)
+    mx = np.asarray(rx.samples).reshape(-1, 4)
+    mp = np.asarray(rp.samples).reshape(-1, 4)
+    assert np.all(np.abs(mp.var(0) - 1.0) < 0.15)
+    assert np.all(np.abs(mp.mean(0)) < 0.12)
+    assert abs(float(rp.accept_rate.mean()) - float(rx.accept_rate.mean())) < 0.05
+    swx = np.asarray(rx.info["swap_accept_rate"])
+    swp = np.asarray(rp.info["swap_accept_rate"])
+    assert np.all(np.abs(swx - swp) < 0.12), (swx, swp)
+
+
+def test_tempered_replica_continuation():
+    """info['replica_final_positions'] fed back as init_replica_position
+    continues the FULL ladder: hot rungs keep their dispersed state (a cold
+    restart would re-tile the cold positions, collapsing the hot rungs'
+    overdispersion back to the cold marginal)."""
+    t = standard_normal(4)
+    init = random.normal(random.PRNGKey(1), (32, 4)) * 0.2
+    kw = dict(step_size=0.5, num_steps=8, n_temps=4, beta_min=0.05,
+              value_and_grad_fn=t.value_and_grad_fn)
+    r1 = tempered_run(random.PRNGKey(0), t.log_prob_fn, init,
+                      num_samples=300, burn_in=100, **kw)
+    rep = r1.info["replica_final_positions"]
+    assert rep.shape == (4 * 32, 4)
+    # hottest replica (last C rows) samples pi^0.05 = N(0, 20): visibly
+    # overdispersed vs the cold rows
+    hot_var = float(np.asarray(rep[-32:]).var())
+    cold_var = float(np.asarray(rep[:32]).var())
+    assert hot_var > 4.0 * cold_var, (hot_var, cold_var)
+    r2 = tempered_run(random.PRNGKey(5), t.log_prob_fn, init,
+                      num_samples=300, init_replica_position=rep, **kw)
+    rep2 = r2.info["replica_final_positions"]
+    assert float(np.asarray(rep2[-32:]).var()) > 4.0 * float(
+        np.asarray(rep2[:32]).var())
+    m = np.asarray(r2.samples).reshape(-1, 4)
+    assert np.all(np.abs(m.var(0) - 1.0) < 0.15)       # no re-burn-in needed
+    with pytest.raises(ValueError, match="init_replica_position"):
+        tempered_run(random.PRNGKey(0), t.log_prob_fn, init, num_samples=4,
+                     init_replica_position=rep[:7], **kw)
+
+
 def test_tempered_validation_errors():
     t = standard_normal(3)
     init = random.normal(random.PRNGKey(1), (4, 3)) * 0.2

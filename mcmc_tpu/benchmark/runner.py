@@ -196,7 +196,8 @@ def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
             nuts_steps_per_sample: int = 64,
             nuts_proposal: str = "endpoint",
             tempering: int = 0, tempering_beta_min: float = 0.05,
-            tempering_swap_interval: int = 1, replica_position=None):
+            tempering_swap_interval: int = 1, replica_position=None,
+            tempering_betas=None):
     """Phase 2 dispatch. Returns a RunResult.
 
     With a mesh, XLA samplers run GSPMD-partitioned over the chain axis
@@ -229,10 +230,11 @@ def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
                 friction_schedule=(None if is_hmc
                                    else get_friction_schedule(schedule_type)),
                 backend=backend if backend != "auto" else "auto",
-                replica_position=replica_position)
+                replica_position=replica_position, betas=tempering_betas)
         return tempered_run(
             key, target.log_prob_fn, position, step_size,
             num_steps=num_steps, num_samples=num_samples,
+            betas=tempering_betas,
             n_temps=tempering, beta_min=tempering_beta_min,
             swap_interval=tempering_swap_interval, burn_in=0,
             inv_mass_matrix=inv_mass,
@@ -335,6 +337,7 @@ def run_single_benchmark_with_L(
     tempering: int = 0,
     tempering_beta_min: float = 0.05,
     tempering_swap_interval: int = 1,
+    tempering_ladder: str = "geometric",
 ) -> Dict:
     """One warmup+sample+diagnose+gate pipeline at a fixed trajectory length.
 
@@ -343,6 +346,13 @@ def run_single_benchmark_with_L(
     cold (beta=1) chain as usual, hotter replicas run at eps/sqrt(beta), and
     the emitted draws are the cold replica's. n_gradients counts ALL K
     replicas' leapfrogs.
+
+    tempering_ladder: 'geometric' (fixed geometric_ladder to beta_min) or
+    'adaptive' (Phase 1b: Robbins-Monro on the ladder's log-spacings toward
+    uniform 0.234 swap acceptance, tuning/ladder.py — short tempered bursts
+    reusing the ONE jitted tempered_run, betas traced; the sampling phase
+    then runs the tuned ladder and continues from the burst-equilibrated
+    replica state).
 
     warmup_cache_dir: when set, Phase-1 products (tuned step, learned
     metric, warmed positions, friction params) are checkpointed per run
@@ -359,6 +369,15 @@ def run_single_benchmark_with_L(
     is_grahmc = sampler in ("grahmc", "rahmc")
     use_tempering = (tempering and tempering > 1
                      and sampler in ("hmc", "grahmc", "rahmc"))
+    if use_tempering and trajectory_tuner == "chees":
+        # same contract run_all_benchmarks enforces — the ChEES criterion
+        # would adapt to the cold replica only, and the ChEES sampling path
+        # has no ladder to report
+        raise ValueError("tempering composes with the fixed-L pipeline, "
+                         "not the ChEES tuner; drop one of the two")
+    if tempering_ladder not in ("geometric", "adaptive"):
+        raise ValueError(f"tempering_ladder must be 'geometric' or "
+                         f"'adaptive', got {tempering_ladder!r}")
     header = f"BENCHMARK: {sampler.upper()} on {target.name}"
     if is_grahmc:
         header += f" [{schedule_type}]"
@@ -442,6 +461,56 @@ def run_single_benchmark_with_L(
         warmup_time = time.time() - warmup_start
         print(f"  warmup {warmup_time:.1f}s, step_size={step_size:.4f}")
 
+        # Phase 1b: adaptive tempering ladder (tuning/ladder.py). Each
+        # round is one short tempered burst through _sample (same fused /
+        # mesh dispatch as Phase 2; betas are a TRACED operand of the
+        # jitted tempered_run, so all rounds share one executable), the
+        # host does the K-1-scalar Robbins-Monro update between rounds.
+        tempering_betas = None
+        ladder_replica_pos = None
+        ladder_meta = {}
+        if use_tempering and tempering_ladder == "adaptive":
+            from mcmc_tpu.tuning.ladder import tune_ladder
+            print("[Phase 1b] Adapting tempering ladder "
+                  "(Robbins-Monro on log-spacings, target swap 0.234)...")
+            ladder_start = time.time()
+            key, ladder_key = random.split(key)
+            ladder_round = [0]
+
+            def _ladder_burst(betas, replica_pos):
+                k = random.fold_in(ladder_key, ladder_round[0])
+                ladder_round[0] += 1
+                r = _sample(sampler, target, k, position, step_size,
+                            num_steps, 16, inv_mass, schedule_type,
+                            warmup_info, mesh=mesh, tempering=tempering,
+                            tempering_beta_min=tempering_beta_min,
+                            tempering_swap_interval=tempering_swap_interval,
+                            replica_position=replica_pos,
+                            tempering_betas=betas)
+                return (np.asarray(r.info["swap_accept_rate"]),
+                        r.info["replica_final_positions"])
+
+            tempering_betas, ladder_info = tune_ladder(
+                _ladder_burst, tempering,
+                beta_min_init=tempering_beta_min, n_rounds=16)
+            # continue sampling from the burst-equilibrated FULL ladder
+            # (hot rungs included) instead of rewinding to warmup output
+            ladder_replica_pos = ladder_info["replica_final_positions"]
+            ladder_time = time.time() - ladder_start
+            ladder_meta = {
+                "tempering_ladder": "adaptive",
+                "ladder_tune_time": ladder_time,
+                "ladder_rounds": ladder_info["n_rounds"],
+                "ladder_initial_deviation": ladder_info["initial_deviation"],
+                "ladder_final_deviation": ladder_info["final_deviation"],
+            }
+            print(f"  ladder {ladder_time:.1f}s, mean|A-0.234| "
+                  f"{ladder_info['initial_deviation']:.3f} -> "
+                  f"{ladder_info['final_deviation']:.3f}, beta_min="
+                  f"{float(tempering_betas[-1]):.4f}")
+        elif use_tempering:
+            ladder_meta = {"tempering_ladder": "geometric"}
+
         if use_chees:
             num_steps = warmup_info["num_steps"]
             chees_T = warmup_info["trajectory_length"]
@@ -488,7 +557,7 @@ def run_single_benchmark_with_L(
             convergence_trace = []
             pieces, prev = [], 0
             res = None
-            replica_pos = None
+            replica_pos = ladder_replica_pos
             for cp in checkpoints:
                 batch = cp - prev
                 prev = cp
@@ -507,7 +576,8 @@ def run_single_benchmark_with_L(
                                   tempering=tempering,
                                   tempering_beta_min=tempering_beta_min,
                                   tempering_swap_interval=tempering_swap_interval,
-                                  replica_position=replica_pos)
+                                  replica_position=replica_pos,
+                                  tempering_betas=tempering_betas)
                     # tempered batches continue the FULL ladder, not just
                     # the cold rows — hot rungs stay equilibrated
                     replica_pos = res.info.get("replica_final_positions")
@@ -550,7 +620,9 @@ def run_single_benchmark_with_L(
                               nuts_proposal=nuts_proposal,
                               tempering=tempering,
                               tempering_beta_min=tempering_beta_min,
-                              tempering_swap_interval=tempering_swap_interval)
+                              tempering_swap_interval=tempering_swap_interval,
+                              replica_position=ladder_replica_pos,
+                              tempering_betas=tempering_betas)
             samples = res.samples
             accept_rate = float(res.accept_rate.mean())
             total_div = int(res.info["total_divergences"])
@@ -615,7 +687,8 @@ def run_single_benchmark_with_L(
                                      for x in np.asarray(
                                          res.info["replica_accept_rate"])],
                 tempering_betas=[round(float(x), 4)
-                                 for x in np.asarray(res.info["betas"])])
+                                 for x in np.asarray(res.info["betas"])],
+                **ladder_meta)
         if use_chees:
             sampler_metadata.update(
                 trajectory_tuner="chees",
@@ -765,6 +838,7 @@ def run_trajectory_length_grid_search(
     tempering: int = 0,
     tempering_beta_min: float = 0.05,
     tempering_swap_interval: int = 1,
+    tempering_ladder: str = "geometric",
 ) -> Dict:
     """Grid-search L; select max ESS/gradient preferring quality_pass runs;
     explicit failure record (with least-bad diagnostics) when nothing is
@@ -780,7 +854,8 @@ def run_trajectory_length_grid_search(
             track_convergence, convergence_base, mesh_devices=mesh_devices,
             warmup_cache_dir=warmup_cache_dir, tempering=tempering,
             tempering_beta_min=tempering_beta_min,
-            tempering_swap_interval=tempering_swap_interval)
+            tempering_swap_interval=tempering_swap_interval,
+            tempering_ladder=tempering_ladder)
         if r.get("error") is None:
             n_grad = r.get("n_gradients", r["total_samples"] * L)
             r["n_gradients"] = n_grad
@@ -830,7 +905,10 @@ def run_trajectory_length_grid_search(
                       "mass_matrix_max", "mass_matrix_mean",
                       "tempering", "tempering_beta_min",
                       "tempering_swap_interval", "swap_accept_rate",
-                      "replica_accept_rate", "tempering_betas"]:
+                      "replica_accept_rate", "tempering_betas",
+                      "tempering_ladder", "ladder_tune_time",
+                      "ladder_rounds", "ladder_initial_deviation",
+                      "ladder_final_deviation"]:
             failure[field] = least_bad.get(field)
         failure["ess_bulk_min"] = least_bad.get("ess_bulk_min", 0)
         failure["grid_search_info"] = {
@@ -1020,6 +1098,7 @@ def run_all_benchmarks(
     tempering: int = 0,
     tempering_beta_min: float = 0.05,
     tempering_swap_interval: int = 1,
+    tempering_ladder: str = "geometric",
 ):
     """Iterate target x sampler x mass-mode (x schedule for GRAHMC) with
     resume-by-signature and incremental saving. Returns a DataFrame.
@@ -1137,7 +1216,8 @@ def run_all_benchmarks(
                                 warmup_cache_dir=warmup_cache_dir,
                                 tempering=tempering,
                                 tempering_beta_min=tempering_beta_min,
-                                tempering_swap_interval=tempering_swap_interval)
+                                tempering_swap_interval=tempering_swap_interval,
+                                tempering_ladder=tempering_ladder)
                             if chees_fell_back:
                                 # resume key parity: a chees run that fell
                                 # back must be found under the chees

@@ -160,6 +160,7 @@ def tempered_run_sharded(
     friction_schedule: Optional[Callable] = None,
     backend: str = "auto",
     replica_position=None,
+    betas=None,
 ) -> RunResult:
     """Parallel tempering with chains sharded over `mesh`'s chain axis.
 
@@ -174,9 +175,18 @@ def tempered_run_sharded(
     ((K * n_chains, D), device-major blocks of replica-major local rows) to
     continue the ladder across convergence-checkpoint batches. Round-trips
     exactly through this function's own output sharding.
+
+    betas: explicit descending (K,) ladder (e.g. from tuning/ladder.py's
+    adaptive tuner) overriding the geometric default; replicated across
+    the mesh and traced, so re-tuned ladders reuse the compiled program.
     """
     from mcmc_tpu.samplers.base import ChainState
-    from mcmc_tpu.samplers.tempered import tempered_run
+    from mcmc_tpu.samplers.tempered import geometric_ladder, tempered_run
+
+    if betas is None:
+        betas = geometric_ladder(n_temps, beta_min)
+    betas = jnp.asarray(betas, jnp.float32)
+    n_temps = int(betas.shape[0])
 
     n_chains, dim = init_position.shape
     n_dev = mesh.devices.size
@@ -222,14 +232,15 @@ def tempered_run_sharded(
 
     @partial(shard_map_fn, mesh=mesh,
              in_specs=(P(), P(CHAIN_AXIS, None), P(CHAIN_AXIS, None),
-                       P(), P(), P(), P()),
+                       P(), P(), P(), P(), P()),
              out_specs=out_specs)
-    def run_shard(key, local_pos, local_replica, eps, gam, steep, inv_mass):
+    def run_shard(key, local_pos, local_replica, eps, gam, steep, inv_mass,
+                  local_betas):
         key = random.fold_in(key, lax.axis_index(CHAIN_AXIS))
         res = tempered_run(
             key, target.log_prob_fn, local_pos, eps,
             num_steps=num_steps, num_samples=num_samples,
-            n_temps=n_temps, beta_min=beta_min,
+            betas=local_betas, n_temps=n_temps, beta_min=beta_min,
             swap_interval=swap_interval, burn_in=0,
             inv_mass_matrix=inv_mass, gamma=gam, steepness=steep,
             friction_schedule=friction_schedule,
@@ -253,7 +264,8 @@ def tempered_run_sharded(
     return run_shard(key, init_position, replica_position,
                      jnp.asarray(step_size, jnp.float32),
                      jnp.asarray(gamma, jnp.float32),
-                     jnp.asarray(steepness, jnp.float32), inv_mass_matrix)
+                     jnp.asarray(steepness, jnp.float32), inv_mass_matrix,
+                     betas)
 
 
 def nuts_persistent_run_sharded(

@@ -117,6 +117,15 @@ def main():
                         help="Transitions between replica-exchange attempts "
                         "(default 1 = every transition; even/odd pair "
                         "phases alternate)")
+    parser.add_argument("--tempering-ladder", default="geometric",
+                        choices=["geometric", "adaptive"],
+                        help="'adaptive' inserts a Phase-1b ladder tuning "
+                        "loop (tuning/ladder.py): Robbins-Monro on the "
+                        "ladder's log-spacings drives every adjacent pair "
+                        "to the optimal 0.234 swap acceptance before "
+                        "sampling (short tempered bursts; one compiled "
+                        "executable — betas are traced). Default keeps "
+                        "the fixed geometric ladder")
     parser.add_argument("--no-warmup-cache", action="store_true",
                         help="Disable per-configuration warmup checkpoints "
                         "(<output-dir>/.warmup_cache_seed<seed>/); with the "
@@ -173,6 +182,7 @@ def main():
         tempering=args.tempering,
         tempering_beta_min=args.tempering_beta_min,
         tempering_swap_interval=args.tempering_swap_interval,
+        tempering_ladder=args.tempering_ladder,
     )
     print_summary(df)
 

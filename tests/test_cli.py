@@ -440,10 +440,16 @@ def test_single_benchmark_tempered_e2e():
     assert np.isfinite(r["rhat_max"])
 
 
+@pytest.mark.slow
 def test_tempered_mesh_convergence_e2e():
     """--tempering composes with --mesh and --track-convergence: the ladder
     runs shard_mapped per checkpoint batch with the full replica state
-    threaded between batches (not re-tiled from the cold rows)."""
+    threaded between batches (not re-tiled from the cold rows).
+
+    slow: every distinct checkpoint batch width compiles its own shard_map
+    tempered program — ~24 min on the 1-vCPU host mesh (measured solo,
+    2026-08-19); the fused/mesh tempering physics is fast-tier covered by
+    test_parallel.py's tempered shard tests."""
     t = get_target("standard_normal", dim=4)
     r = run_single_benchmark_with_L(
         "grahmc", t, "standard_normal", random.PRNGKey(11), n_chains=16,

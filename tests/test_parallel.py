@@ -179,6 +179,28 @@ def test_tempered_sharded_over_mesh():
     assert hot.var() > 4.0 * cold.var(), (hot.var(), cold.var())
 
 
+def test_tempered_sharded_explicit_betas():
+    """An explicit (tuned) ladder overrides the geometric default under the
+    mesh: betas replicate across devices as a traced operand (n_temps
+    derived from its length) and surface verbatim in the row's info."""
+    from mcmc_tpu.parallel.fused_sharded import tempered_run_sharded
+    from mcmc_tpu.targets import standard_normal
+
+    t = standard_normal(3)
+    mesh = make_mesh()
+    init = random.normal(random.PRNGKey(50), (32, 3)) * 0.3
+    betas = jnp.asarray([1.0, 0.55, 0.2, 0.06], jnp.float32)
+    res = tempered_run_sharded(
+        random.PRNGKey(51), t, init, mesh, step_size=0.5, num_steps=6,
+        num_samples=60, n_temps=2,      # overridden by len(betas) == 4
+        betas=betas)
+    np.testing.assert_allclose(np.asarray(res.info["betas"]),
+                               np.asarray(betas), rtol=1e-6)
+    assert np.asarray(res.info["swap_accept_rate"]).shape == (3,)
+    assert res.info["replica_final_positions"].shape == (4 * 32, 3)
+    assert np.all(np.isfinite(np.asarray(res.samples)))
+
+
 def test_distributed_helpers_single_process():
     """Multi-host helpers degrade gracefully to single-process: initialize()
     is a no-op returning process 0; make_chain_mesh spans all local devices

@@ -197,7 +197,7 @@ def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
             nuts_proposal: str = "endpoint",
             tempering: int = 0, tempering_beta_min: float = 0.05,
             tempering_swap_interval: int = 1, replica_position=None,
-            tempering_betas=None):
+            tempering_betas=None, tempering_step_sizes=None):
     """Phase 2 dispatch. Returns a RunResult.
 
     With a mesh, XLA samplers run GSPMD-partitioned over the chain axis
@@ -218,6 +218,10 @@ def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
     if tempering and tempering > 1 and sampler in ("hmc", "grahmc", "rahmc"):
         from mcmc_tpu.samplers.tempered import tempered_run
         is_hmc = sampler == "hmc"
+        # explicit per-rung steps (ladder tuner) override the
+        # eps/sqrt(beta) default derived from the scalar cold step
+        if tempering_step_sizes is not None:
+            step_size = jnp.asarray(tempering_step_sizes, jnp.float32)
         if mesh is not None:
             from mcmc_tpu.parallel.fused_sharded import tempered_run_sharded
             return tempered_run_sharded(
@@ -467,17 +471,21 @@ def run_single_benchmark_with_L(
         # jitted tempered_run, so all rounds share one executable), the
         # host does the K-1-scalar Robbins-Monro update between rounds.
         tempering_betas = None
+        tempering_steps = None
         ladder_replica_pos = None
         ladder_meta = {}
         if use_tempering and tempering_ladder == "adaptive":
+            from mcmc_tpu.tuning.dual_averaging import TARGET_ACCEPT_HMC
             from mcmc_tpu.tuning.ladder import tune_ladder
             print("[Phase 1b] Adapting tempering ladder "
-                  "(Robbins-Monro on log-spacings, target swap 0.234)...")
+                  "(Robbins-Monro on log-spacings, target swap 0.234; "
+                  "per-rung steps toward accept "
+                  f"{TARGET_ACCEPT_HMC})...")
             ladder_start = time.time()
             key, ladder_key = random.split(key)
             ladder_round = [0]
 
-            def _ladder_burst(betas, replica_pos):
+            def _ladder_burst(betas, steps, replica_pos):
                 k = random.fold_in(ladder_key, ladder_round[0])
                 ladder_round[0] += 1
                 r = _sample(sampler, target, k, position, step_size,
@@ -486,13 +494,18 @@ def run_single_benchmark_with_L(
                             tempering_beta_min=tempering_beta_min,
                             tempering_swap_interval=tempering_swap_interval,
                             replica_position=replica_pos,
-                            tempering_betas=betas)
+                            tempering_betas=betas,
+                            tempering_step_sizes=steps)
                 return (np.asarray(r.info["swap_accept_rate"]),
+                        np.asarray(r.info["replica_accept_rate"]),
                         r.info["replica_final_positions"])
 
             tempering_betas, ladder_info = tune_ladder(
                 _ladder_burst, tempering,
-                beta_min_init=tempering_beta_min, n_rounds=16)
+                beta_min_init=tempering_beta_min, n_rounds=16,
+                step_size=float(step_size),
+                target_accept=TARGET_ACCEPT_HMC)
+            tempering_steps = ladder_info["step_sizes"]
             # continue sampling from the burst-equilibrated FULL ladder
             # (hot rungs included) instead of rewinding to warmup output
             ladder_replica_pos = ladder_info["replica_final_positions"]
@@ -503,11 +516,14 @@ def run_single_benchmark_with_L(
                 "ladder_rounds": ladder_info["n_rounds"],
                 "ladder_initial_deviation": ladder_info["initial_deviation"],
                 "ladder_final_deviation": ladder_info["final_deviation"],
+                "tempering_step_sizes": [round(float(x), 5)
+                                         for x in tempering_steps],
             }
             print(f"  ladder {ladder_time:.1f}s, mean|A-0.234| "
                   f"{ladder_info['initial_deviation']:.3f} -> "
                   f"{ladder_info['final_deviation']:.3f}, beta_min="
-                  f"{float(tempering_betas[-1]):.4f}")
+                  f"{float(tempering_betas[-1]):.4f}, steps="
+                  f"{[round(float(x), 3) for x in tempering_steps]}")
         elif use_tempering:
             ladder_meta = {"tempering_ladder": "geometric"}
 
@@ -577,7 +593,8 @@ def run_single_benchmark_with_L(
                                   tempering_beta_min=tempering_beta_min,
                                   tempering_swap_interval=tempering_swap_interval,
                                   replica_position=replica_pos,
-                                  tempering_betas=tempering_betas)
+                                  tempering_betas=tempering_betas,
+                                  tempering_step_sizes=tempering_steps)
                     # tempered batches continue the FULL ladder, not just
                     # the cold rows — hot rungs stay equilibrated
                     replica_pos = res.info.get("replica_final_positions")
@@ -622,7 +639,8 @@ def run_single_benchmark_with_L(
                               tempering_beta_min=tempering_beta_min,
                               tempering_swap_interval=tempering_swap_interval,
                               replica_position=ladder_replica_pos,
-                              tempering_betas=tempering_betas)
+                              tempering_betas=tempering_betas,
+                              tempering_step_sizes=tempering_steps)
             samples = res.samples
             accept_rate = float(res.accept_rate.mean())
             total_div = int(res.info["total_divergences"])
@@ -908,7 +926,7 @@ def run_trajectory_length_grid_search(
                       "replica_accept_rate", "tempering_betas",
                       "tempering_ladder", "ladder_tune_time",
                       "ladder_rounds", "ladder_initial_deviation",
-                      "ladder_final_deviation"]:
+                      "ladder_final_deviation", "tempering_step_sizes"]:
             failure[field] = least_bad.get(field)
         failure["ess_bulk_min"] = least_bad.get("ess_bulk_min", 0)
         failure["grid_search_info"] = {

@@ -22,14 +22,30 @@ Acceptance above target => the rungs are closer than they need to be =>
 widen the spacing (rho up); below target => narrow. The parameterization
 keeps the ladder sorted and positive BY CONSTRUCTION — no projection step.
 
+Per-rung step sizes adapt jointly (the MMV'13 scheme's second update):
+the eps_k = eps / sqrt(beta_k) default assumes the tempered target's
+curvature scales exactly with beta — true for Gaussians, wrong for
+mixtures (a flattened bimodal is WIDER than 1/sqrt(beta) predicts) and
+funnels. The tuner learns a per-rung multiplicative correction on top of
+the sqrt-beta law,
+
+    eps_k = eps * scale_k / sqrt(beta_k),
+    log scale_k <- log scale_k + eta_t * (A^rep_k - target_accept),
+
+with rung 0 PINNED to the warmup-tuned cold step (scale_0 = 1: the
+emitted chain keeps the operating point dual averaging already chose).
+Because the correction rides on sqrt(beta_k), it auto-tracks the ladder
+as the spacing update moves the temperatures under it.
+
 TPU-native shape: each adaptation round is ONE jitted tempered scan
 (`samplers/tempered.py::tempered_run` — fused Pallas kernels, mesh
 shard_map, everything the sampling phase uses) whose per-pair swap
-acceptance comes back as a (K-1,) vector; the host loop only does the
-K-scalar Robbins-Monro update between rounds, exactly the host/device
-split the dual-averaging warmup already uses (tuning/adaptation.py). The
-betas enter `tempered_run` as a TRACED operand, so every round reuses one
-compiled executable.
+acceptance and per-rung transition acceptance come back as (K-1,) / (K,)
+vectors; the host loop only does the ~2K-scalar Robbins-Monro update
+between rounds, exactly the host/device split the dual-averaging warmup
+already uses (tuning/adaptation.py). The betas and step sizes enter
+`tempered_run` as TRACED operands, so every round reuses one compiled
+executable.
 """
 
 from typing import Callable, Dict, Optional, Tuple
@@ -65,46 +81,82 @@ def tune_ladder(
     decay: float = 0.6,
     t0: float = 2.0,
     beta_floor: float = 1e-4,
+    step_size: Optional[float] = None,
+    target_accept: Optional[float] = None,
+    step_learning_rate: float = 0.5,
     verbose: bool = False,
 ) -> Tuple[np.ndarray, Dict]:
     """Adapt the inverse-temperature ladder to uniform swap acceptance.
 
-    run_round(betas: (K,) float32, replica_position or None)
-        -> (swap_accept_rate: (K-1,), replica_final_positions)
+    run_round(betas: (K,) float32,
+              step_sizes: (K,) float32 or None,
+              replica_position or None)
+        -> (swap_accept_rate: (K-1,),
+            replica_accept_rate: (K,) or None,
+            replica_final_positions)
     runs a short tempered sampling burst at the given ladder, continuing
     from the previous round's full (K*C, D) replica state — the caller
     decides the backend (XLA / fused Pallas / mesh shard_map) by closing
     over `tempered_run` or `tempered_run_sharded`.
 
+    step_size + target_accept (both set) enable joint per-rung step
+    tuning: eps_k = step_size * scale_k / sqrt(beta_k) with scale_0
+    pinned at 1 (the warmup-tuned cold step is not second-guessed) and
+    log scale_{k>=1} Robbins-Monro'd toward target_accept using the
+    round's replica_accept_rate. When disabled, run_round receives
+    step_sizes=None and should apply its own default.
+
     Returns (betas, info). info carries the swap-rate history (pre/post
-    deviation from target is the tuning's honest report card), the final
-    replica positions (seed the sampling phase with them: the hot rungs
-    are already equilibrated), and the spacing trace.
+    deviation from target is the tuning's honest report card), the tuned
+    per-rung step sizes (or None), the final replica positions (seed the
+    sampling phase with them: the hot rungs are already equilibrated),
+    and the spacing trace.
     """
     rho = geometric_spacings(n_temps, beta_min_init)
+    tune_steps = step_size is not None and target_accept is not None
+    log_scale = np.zeros(n_temps, np.float64)        # scale_0 pinned at 1
     log_floor = -np.log(beta_floor)
     replica_pos = None
     history = []
+
+    def current_steps(betas):
+        if not tune_steps:
+            return None
+        return (float(step_size) * np.exp(log_scale)
+                / np.sqrt(betas.astype(np.float64))).astype(np.float32)
+
     for t in range(n_rounds):
         betas = spacings_to_betas(rho).astype(np.float32)
-        swap_rates, replica_pos = run_round(betas, replica_pos)
+        steps = current_steps(betas)
+        swap_rates, replica_accept, replica_pos = run_round(
+            betas, steps, replica_pos)
         swap_rates = np.asarray(swap_rates, np.float64)
-        history.append({"betas": betas.tolist(),
-                        "swap_rates": swap_rates.tolist()})
-        if not np.all(np.isfinite(swap_rates)):
+        rec = {"betas": betas.tolist(), "swap_rates": swap_rates.tolist()}
+        if replica_accept is not None:
+            rec["replica_accept"] = np.asarray(replica_accept,
+                                               np.float64).tolist()
+        history.append(rec)
+        eta = learning_rate / (t0 + t) ** decay
+        if np.all(np.isfinite(swap_rates)):
+            rho = rho + eta * (swap_rates - target_swap)
+            # keep the coldest rung above beta_floor by shrinking all
+            # spacings proportionally (relative geometry is what the
+            # update learned)
+            total = float(np.sum(np.exp(rho)))
+            if total > log_floor:
+                rho = rho + np.log(log_floor / total)
+        elif verbose:
             # divergent hot rungs produce NaN acceptance: freeze rather
             # than feed NaN into the spacings
-            if verbose:
-                print(f"  [ladder] round {t}: non-finite swap rates, "
-                      "skipping update")
-            continue
-        eta = learning_rate / (t0 + t) ** decay
-        rho = rho + eta * (swap_rates - target_swap)
-        # keep the coldest rung above beta_floor by shrinking all spacings
-        # proportionally (relative geometry is what the update learned)
-        total = float(np.sum(np.exp(rho)))
-        if total > log_floor:
-            rho = rho + np.log(log_floor / total)
+            print(f"  [ladder] round {t}: non-finite swap rates, "
+                  "skipping spacing update")
+        if tune_steps and replica_accept is not None:
+            acc = np.asarray(replica_accept, np.float64)
+            ok = np.isfinite(acc)
+            eta_s = step_learning_rate / (t0 + t) ** decay
+            upd = np.where(ok, eta_s * (acc - target_accept), 0.0)
+            upd[0] = 0.0                              # cold rung pinned
+            log_scale = log_scale + upd
         if verbose:
             dev = float(np.mean(np.abs(swap_rates - target_swap)))
             print(f"  [ladder] round {t}: mean|A-{target_swap:.3f}|={dev:.3f}"
@@ -114,6 +166,7 @@ def tune_ladder(
     last = np.asarray(history[-1]["swap_rates"], np.float64)
     info = {
         "betas": betas,
+        "step_sizes": current_steps(betas),
         "replica_final_positions": replica_pos,
         "n_rounds": n_rounds,
         "target_swap": target_swap,

@@ -44,9 +44,10 @@ def test_tune_ladder_synthetic_convergence():
     """On an analytic acceptance model A_k = exp(-s_k) (s_k the adjacent
     log-spacing) every pair has the same fixed point s* = -ln(0.234); the
     tuner must converge all spacings to it."""
-    def run_round(betas, replica_pos):
+    def run_round(betas, steps, replica_pos):
+        assert steps is None                 # step tuning not enabled
         s = np.log(betas[:-1]) - np.log(betas[1:])
-        return np.exp(-s), None
+        return np.exp(-s), None, None
 
     betas, info = tune_ladder(run_round, 4, beta_min_init=0.05, n_rounds=40,
                               learning_rate=1.5)
@@ -63,7 +64,7 @@ def test_tune_ladder_beta_floor():
     """Acceptance pinned above target widens spacings every round; the
     floor renormalizes them so the coldest rung never drops below
     beta_floor (relative geometry preserved)."""
-    betas, _ = tune_ladder(lambda b, r: (np.ones(3), None), 4,
+    betas, _ = tune_ladder(lambda b, s, r: (np.ones(3), None, None), 4,
                            beta_min_init=0.05, n_rounds=30,
                            beta_floor=0.01)
     assert betas[-1] >= 0.0099
@@ -73,11 +74,36 @@ def test_tune_ladder_beta_floor():
     np.testing.assert_allclose(r, r[0], rtol=1e-4)
 
 
+def test_tune_ladder_step_adaptation():
+    """Joint per-rung step tuning: on a model where transition acceptance
+    is a known decreasing function of the sqrt-beta-scaled step, every
+    free rung converges to the target-acceptance fixed point while the
+    cold rung stays PINNED at the warmup-tuned value (scale_0 = 1)."""
+    target_accept = 0.65
+
+    def run_round(betas, steps, rep):
+        swap = np.full(len(betas) - 1, DEFAULT_SWAP_TARGET)  # ladder static
+        scaled = np.asarray(steps, np.float64) * np.sqrt(
+            np.asarray(betas, np.float64))
+        return swap, np.exp(-scaled), None                   # A = e^{-x}
+
+    betas, info = tune_ladder(run_round, 4, beta_min_init=0.05,
+                              n_rounds=60, step_size=1.0,
+                              target_accept=target_accept,
+                              step_learning_rate=1.5)
+    steps = np.asarray(info["step_sizes"], np.float64)
+    scaled = steps * np.sqrt(np.asarray(betas, np.float64))
+    np.testing.assert_allclose(scaled[0], 1.0, rtol=1e-5)    # pinned
+    # free rungs: fixed point x* solves e^{-x} = 0.65
+    np.testing.assert_allclose(scaled[1:], -np.log(target_accept),
+                               rtol=0.05)
+
+
 def test_tune_ladder_nan_freeze_guard():
     """Non-finite swap rates (divergent hot rungs) freeze the update
     instead of corrupting the spacings."""
     betas, info = tune_ladder(
-        lambda b, r: (np.full(3, np.nan), None), 4,
+        lambda b, s, r: (np.full(3, np.nan), None, None), 4,
         beta_min_init=0.05, n_rounds=5)
     np.testing.assert_allclose(betas, np.asarray(geometric_ladder(4, 0.05)),
                                rtol=1e-6)
@@ -93,18 +119,21 @@ def test_tune_ladder_real_tempered_run():
     init = random.normal(random.PRNGKey(1), (32, 4)) * 0.2
     calls = [0]
 
-    def burst(betas, rep):
+    def burst(betas, steps, rep):
         k = random.fold_in(random.PRNGKey(7), calls[0])
         calls[0] += 1
-        r = tempered_run(k, t.log_prob_fn, init, step_size=0.5,
+        r = tempered_run(k, t.log_prob_fn, init,
+                         step_size=jnp.asarray(steps),
                          num_steps=8, num_samples=24,
                          betas=jnp.asarray(betas),
                          init_replica_position=rep,
                          value_and_grad_fn=t.value_and_grad_fn)
         return (np.asarray(r.info["swap_accept_rate"]),
+                np.asarray(r.info["replica_accept_rate"]),
                 r.info["replica_final_positions"])
 
-    betas, info = tune_ladder(burst, 4, beta_min_init=0.05, n_rounds=8)
+    betas, info = tune_ladder(burst, 4, beta_min_init=0.05, n_rounds=8,
+                              step_size=0.5, target_accept=0.65)
     assert calls[0] == 8
     assert betas.shape == (4,) and betas[0] == 1.0
     assert np.all(np.diff(betas) < 0)
@@ -138,6 +167,10 @@ def test_runner_adaptive_ladder_e2e():
     # from the geometric default it would otherwise run
     geo = np.asarray(geometric_ladder(3, 0.05))
     assert not np.allclose(betas, geo, atol=1e-3)
+    # per-rung steps tuned jointly; cold rung pinned to the warmup step
+    steps = np.asarray(r["tempering_step_sizes"])
+    assert steps.shape == (3,) and np.all(steps > 0)
+    np.testing.assert_allclose(steps[0], r["step_size"], rtol=1e-3)
     assert np.isfinite(r["rhat_max"])
 
 

@@ -252,3 +252,37 @@ def test_chees_tuning_example_runs(tmp_path):
     assert "tuned: T=" in proc.stdout
     assert "R-hat max=" in proc.stdout
     assert (tmp_path / "chees_history.png").exists()
+
+
+@pytest.mark.slow
+def test_tempering_example_runs(tmp_path):
+    """examples/tempering.py end-to-end at a tiny budget: plain HMC stays
+    in the left mode, the tuned ladder crosses, the mode histogram is
+    written. Subprocess pins the CPU platform (sitecustomize overrides the
+    env var)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    driver = (
+        "import sys; sys.argv = ['tempering.py', '--num-samples', '300',"
+        f" '--chains', '16', '--dim', '4', '--n-temps', '5',"
+        f" '--ladder-rounds', '6', '--out', {str(tmp_path)!r}];"
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        f"exec(open({str(repo / 'examples' / 'tempering.py')!r}).read())")
+    proc = subprocess.run(
+        [sys.executable, "-c", driver],
+        capture_output=True, text=True, timeout=420, cwd=str(repo))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    assert "swap acceptance per pair" in out
+    # plain run reports a stuck left mode; tempered reports crossings
+    import re
+    plain_frac = float(re.search(
+        r"right-mode fraction = ([0-9.]+) \(true 0\.5\)", out).group(1))
+    temp_frac = float(re.search(
+        r"right-mode fraction = ([0-9.]+), Var", out).group(1))
+    assert plain_frac < 0.15, out
+    assert 0.25 < temp_frac < 0.75, out
+    assert (tmp_path / "tempering_modes.png").exists()

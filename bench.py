@@ -530,6 +530,61 @@ def measure_tpu():
     except Exception as e:
         print(f"[bench] ChEES row skipped: {e}", file=sys.stderr)
 
+    # ---- Tempered GRAHMC: replica-exchange ladder throughput ------------
+    # 6-rung ladder on the reference's bimodal mixture through the fused
+    # trajectory kernel (ONE compiled kernel serves all K rungs — the
+    # per-rung (eps_k, beta_k) are traced scalars, samplers/tempered.py).
+    # Rate counts REPLICA transitions: the honest all-rungs cost the
+    # runner charges to n_gradients.
+    try:
+        from mcmc_tpu.targets import get_target as _get_target_mix
+        from mcmc_tpu.samplers.tempered import tempered_run
+        from mcmc_tpu.samplers.grahmc import tanh_schedule
+        mt = _get_target_mix("gaussian_mixture", dim=10)
+        t_K, t_chains, t_L, t_draws = 6, 8192, 16, 256
+        t_init = mt.init_sampler(random.PRNGKey(50), t_chains)
+        # gamma=0.1 tanh friction: cold accept ~0.59 with adjacent-pair
+        # swap acceptance ~0.3-0.4 (near the 0.234 optimum) at this eps/L
+        # (heavier friction collapses transition acceptance on the mixture).
+        tkw = dict(step_size=0.5, num_steps=t_L, num_samples=t_draws,
+                   n_temps=t_K, beta_min=0.02, collect_chains=64,
+                   gamma=0.1, steepness=5.0, friction_schedule=tanh_schedule,
+                   value_and_grad_fn=mt.value_and_grad_fn, backend="auto")
+        # warm BOTH jit signatures (cold start tiles init; continuation
+        # takes the (K*C, D) replica operand) so no rep pays a compile
+        tres = tempered_run(random.PRNGKey(51), mt.log_prob_fn, t_init,
+                            **tkw)
+        jax.block_until_ready(tres.samples)
+        t_box = {"rep_pos": tres.info["replica_final_positions"]}
+        tres = tempered_run(random.PRNGKey(51), mt.log_prob_fn, t_init,
+                            init_replica_position=t_box["rep_pos"], **tkw)
+        jax.block_until_ready(tres.samples)
+
+        def _t_rep(rep):
+            t_box["res"] = tempered_run(
+                random.PRNGKey(52 + rep), mt.log_prob_fn, t_init,
+                init_replica_position=t_box["rep_pos"], **tkw)
+            t_box["rep_pos"] = t_box["res"].info["replica_final_positions"]
+            float(jnp.sum(t_box["res"].final_state.position))
+
+        tdt = _timed_reps(_t_rep, n_reps=4)
+        tres = t_box["res"]
+        extras["tempered_replica_transitions_per_sec"] = round(
+            t_K * t_chains * t_draws / tdt, 1)
+        extras["tempered_swap_accept"] = [
+            round(float(x), 3)
+            for x in jnp.asarray(tres.info["swap_accept_rate"])]
+        extras["tempered_cold_accept"] = round(
+            float(tres.accept_rate.mean()), 3)
+        print(f"[bench] tempered GRAHMC: "
+              f"{extras['tempered_replica_transitions_per_sec'] / 1e6:,.1f}M"
+              f" replica-transitions/s (K={t_K}, L={t_L}, "
+              f"{t_chains} chains; cold accept="
+              f"{extras['tempered_cold_accept']:.3f}, swaps="
+              f"{extras['tempered_swap_accept']})", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] tempered row skipped: {e}", file=sys.stderr)
+
     return grahmc_rate, extras, cache
 
 

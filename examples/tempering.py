@@ -80,6 +80,7 @@ def main():
                          init_replica_position=rep,
                          value_and_grad_fn=target.value_and_grad_fn)
         return (np.asarray(r.info["swap_accept_rate"]),
+                np.asarray(r.info["swap_attempts"]),
                 np.asarray(r.info["replica_accept_rate"]),
                 r.info["replica_final_positions"])
 

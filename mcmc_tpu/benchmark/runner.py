@@ -233,7 +233,7 @@ def _sample(sampler, target, key, position, step_size, num_steps, num_samples,
                 steepness=0.0 if is_hmc else warmup_info.get("steepness", 5.0),
                 friction_schedule=(None if is_hmc
                                    else get_friction_schedule(schedule_type)),
-                backend=backend if backend != "auto" else "auto",
+                backend=backend,
                 replica_position=replica_position, betas=tempering_betas)
         return tempered_run(
             key, target.log_prob_fn, position, step_size,
@@ -484,12 +484,15 @@ def run_single_benchmark_with_L(
             ladder_start = time.time()
             key, ladder_key = random.split(key)
             ladder_round = [0]
+            # a burst must span >= 2 swap phases (even AND odd pairs) or
+            # some pairs are never attempted and the tuner cannot see them
+            burst_draws = max(16, 2 * tempering_swap_interval)
 
             def _ladder_burst(betas, steps, replica_pos):
                 k = random.fold_in(ladder_key, ladder_round[0])
                 ladder_round[0] += 1
                 r = _sample(sampler, target, k, position, step_size,
-                            num_steps, 16, inv_mass, schedule_type,
+                            num_steps, burst_draws, inv_mass, schedule_type,
                             warmup_info, mesh=mesh, tempering=tempering,
                             tempering_beta_min=tempering_beta_min,
                             tempering_swap_interval=tempering_swap_interval,
@@ -497,6 +500,7 @@ def run_single_benchmark_with_L(
                             tempering_betas=betas,
                             tempering_step_sizes=steps)
                 return (np.asarray(r.info["swap_accept_rate"]),
+                        np.asarray(r.info["swap_attempts"]),
                         np.asarray(r.info["replica_accept_rate"]),
                         r.info["replica_final_positions"])
 
@@ -563,6 +567,7 @@ def run_single_benchmark_with_L(
 
         # Phase 2: sampling (optionally with convergence checkpoints)
         convergence_trace = None
+        tempered_run_stats = None   # whole-run ladder stats (checkpointed path)
         chees_leapfrogs = 0
         halton_cursor = warmup_info.get("halton_offset", 0) if use_chees else 0
         sample_start = time.time()
@@ -608,6 +613,10 @@ def run_single_benchmark_with_L(
                 cp_diag = compute_diagnostics(cumulative)
                 n_grad_cp = (chees_leapfrogs if use_chees
                              else cp * num_steps) * n_chains
+                if use_tempering:
+                    # same xK the headline n_gradients charges: every
+                    # replica burns L grads per chain per draw
+                    n_grad_cp *= tempering
                 convergence_trace.append({
                     "checkpoint": int(cp),
                     "n_gradients": int(n_grad_cp),
@@ -621,6 +630,24 @@ def run_single_benchmark_with_L(
             total_div = int(sum(int(p.info["total_divergences"]) for p in pieces))
             divergence_rate = total_div / (num_samples * n_chains)
             tree_depths = None
+            if use_tempering:
+                # whole-run ladder health, not the last checkpoint batch's:
+                # swap rates aggregate exactly via their attempt counts
+                # (sum acc / sum att), replica acceptance via piece draws
+                att = np.stack([np.asarray(p.info["swap_attempts"],
+                                           np.float64) for p in pieces])
+                acc = np.stack([np.asarray(p.info["swap_accept_rate"],
+                                           np.float64) for p in pieces])
+                draws = np.array([p.samples.shape[0] for p in pieces],
+                                 np.float64)
+                rep = np.stack([np.asarray(p.info["replica_accept_rate"],
+                                           np.float64) for p in pieces])
+                tempered_run_stats = {
+                    "swap_accept_rate": (acc * att).sum(0)
+                    / np.maximum(att.sum(0), 1.0),
+                    "replica_accept_rate": (rep * draws[:, None]).sum(0)
+                    / draws.sum(),
+                }
         else:
             print(f"[Phase 2] Sampling {num_samples} draws...")
             key, s_key = random.split(key)
@@ -694,16 +721,20 @@ def run_single_benchmark_with_L(
                                 "steepness": warmup_info.get("steepness", 5.0),
                                 "schedule": schedule_type}
         if use_tempering and res is not None:
+            # checkpointed runs report WHOLE-run ladder health (counters
+            # reset per _sample call, so res.info alone covers only the
+            # final batch); single-shot runs use res.info directly
+            swap_stats = tempered_run_stats or res.info
             sampler_metadata.update(
                 tempering=int(tempering),
                 tempering_beta_min=float(tempering_beta_min),
                 tempering_swap_interval=int(tempering_swap_interval),
                 swap_accept_rate=[round(float(x), 4)
                                   for x in np.asarray(
-                                      res.info["swap_accept_rate"])],
+                                      swap_stats["swap_accept_rate"])],
                 replica_accept_rate=[round(float(x), 4)
                                      for x in np.asarray(
-                                         res.info["replica_accept_rate"])],
+                                         swap_stats["replica_accept_rate"])],
                 tempering_betas=[round(float(x), 4)
                                  for x in np.asarray(res.info["betas"])],
                 **ladder_meta)

@@ -181,10 +181,13 @@ def tempered_run_sharded(
     the mesh and traced, so re-tuned ladders reuse the compiled program.
     """
     from mcmc_tpu.samplers.base import ChainState
-    from mcmc_tpu.samplers.tempered import geometric_ladder, tempered_run
+    from mcmc_tpu.samplers.tempered import (_validate_betas,
+                                            geometric_ladder, tempered_run)
 
     if betas is None:
         betas = geometric_ladder(n_temps, beta_min)
+    elif not isinstance(betas, jax.core.Tracer):
+        _validate_betas(betas)   # inside run_shard betas is always traced
     betas = jnp.asarray(betas, jnp.float32)
     n_temps = int(betas.shape[0])
 
@@ -203,9 +206,14 @@ def tempered_run_sharded(
     if have_replica:
         replica_position = shard_chains(
             jnp.asarray(replica_position, jnp.float32), mesh)
+        replica_spec = P(CHAIN_AXIS, None)
     else:
-        # dummy operand keeps the shard_map signature static across calls
-        replica_position = jnp.zeros((n_temps * n_chains, dim), jnp.float32)
+        # run_shard closes over `have_replica`, so cold-start and
+        # continuation trace different programs either way — a full-size
+        # dummy would buy no signature reuse, only a (K*C, D) allocation.
+        # A (1, 1) replicated placeholder keeps the arity fixed for free.
+        replica_position = jnp.zeros((1, 1), jnp.float32)
+        replica_spec = P(None, None)
 
     sharded = P(CHAIN_AXIS)
     out_specs = RunResult(
@@ -223,6 +231,7 @@ def tempered_run_sharded(
             "final_positions": P(CHAIN_AXIS, None),
             "replica_final_positions": P(CHAIN_AXIS, None),
             "swap_accept_rate": P(),
+            "swap_attempts": P(),
             "betas": P(),
             "replica_step_sizes": P(),
             "n_temps": P(),
@@ -231,7 +240,7 @@ def tempered_run_sharded(
         })
 
     @partial(shard_map_fn, mesh=mesh,
-             in_specs=(P(), P(CHAIN_AXIS, None), P(CHAIN_AXIS, None),
+             in_specs=(P(), P(CHAIN_AXIS, None), replica_spec,
                        P(), P(), P(), P(), P()),
              out_specs=out_specs)
     def run_shard(key, local_pos, local_replica, eps, gam, steep, inv_mass,
@@ -255,6 +264,9 @@ def tempered_run_sharded(
             # equal chains per device: the global mean is the device mean
             swap_accept_rate=lax.psum(res.info["swap_accept_rate"],
                                       CHAIN_AXIS) / n_dev,
+            # per-pair attempt totals over the whole mesh (identical per
+            # device by construction — the sum is the honest global count)
+            swap_attempts=lax.psum(res.info["swap_attempts"], CHAIN_AXIS),
             replica_accept_rate=lax.psum(res.info["replica_accept_rate"],
                                          CHAIN_AXIS) / n_dev,
             n_devices=jnp.asarray(n_dev, jnp.int32),

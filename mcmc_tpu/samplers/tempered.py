@@ -33,12 +33,15 @@ The emitted samples/log-probs are the beta=1 replica's, untempered.
 from functools import partial
 from typing import Callable, Optional
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import jit, lax, random
 
 from mcmc_tpu import precision
-from mcmc_tpu.samplers.base import ChainState, RunResult, init_chain_state
+from mcmc_tpu.samplers.base import (ChainState, RunResult, init_chain_state,
+                                    reset_counters)
 from mcmc_tpu.samplers.grahmc import grahmc_step
 
 Array = jnp.ndarray
@@ -67,11 +70,63 @@ def _resolve_tempered_backend(backend: str, value_and_grad_fn) -> str:
     return "pallas" if auto_pallas_backend(value_and_grad_fn) else "xla"
 
 
+def _validate_betas(betas) -> None:
+    """Host-side ladder sanity. A bad explicit ladder must error loudly:
+    betas[0] != 1 silently emits draws of pi^beta_0 while labeling their
+    log-probs untempered, and beta <= 0 NaNs the swap phase."""
+    b = np.asarray(betas, np.float64)
+    if b.ndim != 1 or b.size < 1:
+        raise ValueError(f"betas must be a 1-D ladder, got shape {b.shape}")
+    if not np.all(np.isfinite(b)) or np.any(b <= 0.0):
+        raise ValueError(f"betas must be finite and strictly positive: {b}")
+    if abs(b[0] - 1.0) > 1e-6:
+        raise ValueError("betas[0] must be 1.0 (the cold, untempered rung "
+                         f"whose draws are emitted), got {b[0]}")
+    if b.size > 1 and np.any(np.diff(b) >= 0.0):
+        raise ValueError(f"betas must be strictly descending: {b}")
+
+
+def tempered_run(
+    key,
+    log_prob_fn,
+    init_position,
+    step_size,
+    num_steps: int,
+    num_samples: int,
+    betas: Optional[Array] = None,
+    n_temps: int = 6,
+    beta_min: float = 0.05,
+    burn_in: int = 0,
+    swap_interval: int = 1,
+    inv_mass_matrix: Optional[Array] = None,
+    gamma=0.0,
+    steepness=1.0,
+    friction_schedule: Optional[Callable] = None,
+    value_and_grad_fn: Optional[Callable] = None,
+    collect_chains: Optional[int] = None,
+    backend: str = "xla",
+    init_replica_position: Optional[Array] = None,
+) -> RunResult:
+    """Replica-exchange HMC/GRAHMC — see `_tempered_run_jit` for the full
+    contract (this thin wrapper only validates a concrete explicit ladder
+    before entering the jitted core, where betas is a tracer)."""
+    if betas is not None and not isinstance(betas, jax.core.Tracer):
+        _validate_betas(betas)
+    return _tempered_run_jit(
+        key, log_prob_fn, init_position, step_size, num_steps=num_steps,
+        num_samples=num_samples, betas=betas, n_temps=n_temps,
+        beta_min=beta_min, burn_in=burn_in, swap_interval=swap_interval,
+        inv_mass_matrix=inv_mass_matrix, gamma=gamma, steepness=steepness,
+        friction_schedule=friction_schedule,
+        value_and_grad_fn=value_and_grad_fn, collect_chains=collect_chains,
+        backend=backend, init_replica_position=init_replica_position)
+
+
 @partial(jit, static_argnames=(
     "log_prob_fn", "num_steps", "num_samples", "burn_in", "n_temps",
     "beta_min", "swap_interval", "friction_schedule", "value_and_grad_fn",
     "collect_chains", "backend"))
-def tempered_run(
+def _tempered_run_jit(
     key,
     log_prob_fn,
     init_position,
@@ -108,7 +163,7 @@ def tempered_run(
     Output contract matches the other samplers: samples (num_samples, C, D)
     and UNtempered log_probs (num_samples, C) from the cold replica,
     accept_rate/divergences from the cold replica's transitions. info adds
-    `swap_accept_rate` ((K-1,) per adjacent pair), `betas`,
+    `swap_accept_rate` / `swap_attempts` ((K-1,) per adjacent pair), `betas`,
     `replica_step_sizes`, and `replica_final_positions` ((K*C, D) — pass a
     run's final replica positions back in as `init_replica_position` to
     continue the ladder without re-equilibrating the hot rungs, e.g. the
@@ -275,9 +330,7 @@ def tempered_run(
     if burn_in > 0:
         (key, state, swap_acc0), _ = lax.scan(
             transition, (key, state, swap_acc0), jnp.arange(burn_in))
-        state = state._replace(
-            accept_count=jnp.zeros_like(state.accept_count),
-            divergence_count=jnp.zeros_like(state.divergence_count))
+        state = reset_counters(state)
         swap_acc0 = (jnp.zeros_like(swap_acc0[0]),
                      jnp.zeros_like(swap_acc0[1]))
 
@@ -313,6 +366,11 @@ def tempered_run(
         # full-ladder continuation state (see init_replica_position)
         "replica_final_positions": state.position,
         "swap_accept_rate": swap_rate,
+        # attempts per adjacent pair: 0 means "never tried" (a burst
+        # shorter than one even/odd cycle), which a rate of 0 alone
+        # cannot distinguish from "always rejected" — the ladder tuner
+        # checks this (tuning/ladder.py)
+        "swap_attempts": swap_acc[1],
         "betas": betas,
         "replica_step_sizes": replica_steps,
         "n_temps": jnp.asarray(K, jnp.int32),

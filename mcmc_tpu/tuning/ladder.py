@@ -92,12 +92,21 @@ def tune_ladder(
               step_sizes: (K,) float32 or None,
               replica_position or None)
         -> (swap_accept_rate: (K-1,),
+            swap_attempts: (K-1,) or None,
             replica_accept_rate: (K,) or None,
             replica_final_positions)
     runs a short tempered sampling burst at the given ladder, continuing
     from the previous round's full (K*C, D) replica state — the caller
     decides the backend (XLA / fused Pallas / mesh shard_map) by closing
     over `tempered_run` or `tempered_run_sharded`.
+
+    swap_attempts (tempered_run's info["swap_attempts"]) guards against a
+    mis-sized burst: even/odd pairing means a burst must span at least two
+    swap phases (num_samples >= 2 * swap_interval) or some pairs are never
+    attempted — and an unattempted pair's rate reads 0, indistinguishable
+    from always-rejected, which Robbins-Monro would dutifully drive toward
+    zero spacing until the ladder degenerates. A zero-attempt pair on the
+    first round raises; None skips the check (analytic acceptance models).
 
     step_size + target_accept (both set) enable joint per-rung step
     tuning: eps_k = step_size * scale_k / sqrt(beta_k) with scale_0
@@ -128,28 +137,43 @@ def tune_ladder(
     for t in range(n_rounds):
         betas = spacings_to_betas(rho).astype(np.float32)
         steps = current_steps(betas)
-        swap_rates, replica_accept, replica_pos = run_round(
+        swap_rates, swap_attempts, replica_accept, replica_pos = run_round(
             betas, steps, replica_pos)
         swap_rates = np.asarray(swap_rates, np.float64)
+        if swap_attempts is None:
+            attempts = np.ones_like(swap_rates)
+        else:
+            attempts = np.asarray(swap_attempts, np.float64)
+            if t == 0 and np.any(attempts <= 0):
+                never = np.nonzero(attempts <= 0)[0].tolist()
+                raise ValueError(
+                    f"ladder burst never attempted adjacent pair(s) {never}"
+                    " — the burst is shorter than one full even/odd swap"
+                    " cycle; run bursts with num_samples >= 2 *"
+                    " swap_interval")
         rec = {"betas": betas.tolist(), "swap_rates": swap_rates.tolist()}
         if replica_accept is not None:
             rec["replica_accept"] = np.asarray(replica_accept,
                                                np.float64).tolist()
         history.append(rec)
         eta = learning_rate / (t0 + t) ** decay
-        if np.all(np.isfinite(swap_rates)):
-            rho = rho + eta * (swap_rates - target_swap)
+        # divergent hot rungs produce NaN acceptance and an unattempted
+        # pair reads 0/0: update only the pairs with evidence, freeze the
+        # rest rather than feed NaN (or a fake 0) into the spacings
+        valid = np.isfinite(swap_rates) & (attempts > 0)
+        if np.any(valid):
+            rho = rho + np.where(valid,
+                                 eta * (swap_rates - target_swap), 0.0)
             # keep the coldest rung above beta_floor by shrinking all
             # spacings proportionally (relative geometry is what the
             # update learned)
             total = float(np.sum(np.exp(rho)))
             if total > log_floor:
                 rho = rho + np.log(log_floor / total)
-        elif verbose:
-            # divergent hot rungs produce NaN acceptance: freeze rather
-            # than feed NaN into the spacings
-            print(f"  [ladder] round {t}: non-finite swap rates, "
-                  "skipping spacing update")
+        if verbose and not np.all(valid):
+            print(f"  [ladder] round {t}: "
+                  f"{int(np.sum(~valid))} pair(s) without finite attempted"
+                  " swap evidence — their spacings frozen this round")
         if tune_steps and replica_accept is not None:
             acc = np.asarray(replica_accept, np.float64)
             ok = np.isfinite(acc)

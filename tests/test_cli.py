@@ -440,6 +440,27 @@ def test_single_benchmark_tempered_e2e():
     assert np.isfinite(r["rhat_max"])
 
 
+def test_tempered_convergence_trace_accounting():
+    """Checkpointed tempered runs: every convergence-trace entry charges
+    the xK replica factor the headline n_gradients uses (they disagreed
+    by K before — trace-based ESS/gradient plots overstated tempered
+    efficiency), and the recorded ladder stats cover the WHOLE run, not
+    the final checkpoint batch."""
+    t = get_target("standard_normal", dim=3)
+    r = run_single_benchmark_with_L(
+        "hmc", t, "standard_normal", random.PRNGKey(2), n_chains=8,
+        num_warmup=60, num_samples=120, schedule_type="constant",
+        num_steps=4, mesh_devices="off", tempering=3,
+        track_convergence=True)
+    assert r.get("error") is None
+    for e in r["convergence_trace"]:
+        assert e["n_gradients"] == e["checkpoint"] * 4 * 8 * 3
+    assert r["convergence_trace"][-1]["n_gradients"] == r["n_gradients"]
+    assert len(r["swap_accept_rate"]) == 2
+    assert all(0.0 <= a <= 1.0 for a in r["swap_accept_rate"])
+    assert all(0.0 < a <= 1.0 for a in r["replica_accept_rate"])
+
+
 @pytest.mark.slow
 def test_tempered_mesh_convergence_e2e():
     """--tempering composes with --mesh and --track-convergence: the ladder

@@ -47,7 +47,7 @@ def test_tune_ladder_synthetic_convergence():
     def run_round(betas, steps, replica_pos):
         assert steps is None                 # step tuning not enabled
         s = np.log(betas[:-1]) - np.log(betas[1:])
-        return np.exp(-s), None, None
+        return np.exp(-s), None, None, None
 
     betas, info = tune_ladder(run_round, 4, beta_min_init=0.05, n_rounds=40,
                               learning_rate=1.5)
@@ -64,7 +64,8 @@ def test_tune_ladder_beta_floor():
     """Acceptance pinned above target widens spacings every round; the
     floor renormalizes them so the coldest rung never drops below
     beta_floor (relative geometry preserved)."""
-    betas, _ = tune_ladder(lambda b, s, r: (np.ones(3), None, None), 4,
+    betas, _ = tune_ladder(lambda b, s, r: (np.ones(3), np.ones(3), None,
+                                            None), 4,
                            beta_min_init=0.05, n_rounds=30,
                            beta_floor=0.01)
     assert betas[-1] >= 0.0099
@@ -85,7 +86,7 @@ def test_tune_ladder_step_adaptation():
         swap = np.full(len(betas) - 1, DEFAULT_SWAP_TARGET)  # ladder static
         scaled = np.asarray(steps, np.float64) * np.sqrt(
             np.asarray(betas, np.float64))
-        return swap, np.exp(-scaled), None                   # A = e^{-x}
+        return swap, None, np.exp(-scaled), None             # A = e^{-x}
 
     betas, info = tune_ladder(run_round, 4, beta_min_init=0.05,
                               n_rounds=60, step_size=1.0,
@@ -103,11 +104,38 @@ def test_tune_ladder_nan_freeze_guard():
     """Non-finite swap rates (divergent hot rungs) freeze the update
     instead of corrupting the spacings."""
     betas, info = tune_ladder(
-        lambda b, s, r: (np.full(3, np.nan), None, None), 4,
+        lambda b, s, r: (np.full(3, np.nan), np.ones(3), None, None), 4,
         beta_min_init=0.05, n_rounds=5)
     np.testing.assert_allclose(betas, np.asarray(geometric_ladder(4, 0.05)),
                                rtol=1e-6)
     assert len(info["history"]) == 5
+
+
+def test_tune_ladder_rejects_unattempted_pairs():
+    """A burst whose swap_attempts report a never-attempted pair (burst
+    shorter than one even/odd cycle, e.g. 16 draws at swap_interval=16)
+    raises on the FIRST round: the pair's rate reads 0, and feeding that
+    fake always-rejected signal to Robbins-Monro would silently drive its
+    spacing toward zero until the ladder degenerates."""
+    with pytest.raises(ValueError, match=r"never attempted.*\[1\]"):
+        tune_ladder(lambda b, s, r: (np.array([0.3, 0.0, 0.3]),
+                                     np.array([8.0, 0.0, 8.0]), None, None),
+                    4, beta_min_init=0.05, n_rounds=4)
+
+
+def test_tune_ladder_partial_nan_masks_per_pair():
+    """NaN masking is PER PAIR: finite pairs keep adapting while a
+    divergent pair's spacing freezes (the round-2 all-or-nothing freeze
+    would stall the whole ladder on one bad rung)."""
+    def run_round(betas, steps, rep):
+        return np.array([1.0, np.nan, 1.0]), np.ones(3), None, None
+
+    betas, _ = tune_ladder(run_round, 4, beta_min_init=0.05, n_rounds=3)
+    b = betas.astype(np.float64)
+    s = np.log(b[:-1]) - np.log(b[1:])
+    s_geo = -np.log(0.05) / 3.0
+    np.testing.assert_allclose(s[1], s_geo, rtol=1e-6)   # frozen pair
+    assert s[0] > s_geo * 1.2 and s[2] > s_geo * 1.2     # adapted pairs
 
 
 def test_tune_ladder_real_tempered_run():
@@ -129,6 +157,7 @@ def test_tune_ladder_real_tempered_run():
                          init_replica_position=rep,
                          value_and_grad_fn=t.value_and_grad_fn)
         return (np.asarray(r.info["swap_accept_rate"]),
+                np.asarray(r.info["swap_attempts"]),
                 np.asarray(r.info["replica_accept_rate"]),
                 r.info["replica_final_positions"])
 
@@ -172,6 +201,27 @@ def test_runner_adaptive_ladder_e2e():
     assert steps.shape == (3,) and np.all(steps > 0)
     np.testing.assert_allclose(steps[0], r["step_size"], rtol=1e-3)
     assert np.isfinite(r["rhat_max"])
+
+
+def test_runner_adaptive_ladder_long_swap_interval():
+    """swap_interval > burst/2 used to starve odd pairs of swap attempts
+    inside the 16-draw tuning bursts, silently driving their spacings to
+    zero: the runner must size bursts to cover a full even/odd cycle
+    (num_samples >= 2 * swap_interval), which the tuner's zero-attempt
+    check now enforces — this run raising no ValueError IS the test."""
+    from mcmc_tpu.benchmark.runner import run_single_benchmark_with_L
+
+    t = get_target("standard_normal", dim=2)
+    r = run_single_benchmark_with_L(
+        "hmc", t, "standard_normal", random.PRNGKey(3), n_chains=8,
+        num_warmup=60, num_samples=64, schedule_type="constant",
+        num_steps=4, mesh_devices="off", tempering=3,
+        tempering_swap_interval=16, tempering_ladder="adaptive")
+    assert r.get("error") is None
+    betas = np.asarray(r["tempering_betas"])
+    assert betas.shape == (3,) and np.all(np.diff(betas) < 0)
+    # every adjacent pair saw real swap evidence during sampling too
+    assert all(0.0 <= a <= 1.0 for a in r["swap_accept_rate"])
 
 
 def test_runner_ladder_validation():

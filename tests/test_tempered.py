@@ -32,6 +32,53 @@ def test_geometric_ladder():
         geometric_ladder(0)
 
 
+def test_swap_attempts_accounting():
+    """info['swap_attempts'] counts per-pair attempt EVENTS (chains x swap
+    phases). With swap_interval=1 every pair is attempted on alternate
+    transitions; a burst shorter than one full even/odd cycle leaves the
+    odd pairs at exactly ZERO — the signal tuning/ladder.py uses to
+    reject mis-sized tuning bursts (a rate of 0 alone is indistinguishable
+    from always-rejected)."""
+    t = standard_normal(3)
+    init = random.normal(random.PRNGKey(1), (8, 3)) * 0.2
+    kw = dict(step_size=0.5, num_steps=4, n_temps=4, beta_min=0.05,
+              value_and_grad_fn=t.value_and_grad_fn)
+    r = tempered_run(random.PRNGKey(0), t.log_prob_fn, init,
+                     num_samples=10, **kw)
+    # 10 transitions, swap every step, parity alternates: 5 phases each
+    np.testing.assert_array_equal(np.asarray(r.info["swap_attempts"]),
+                                  [40.0, 40.0, 40.0])
+    r2 = tempered_run(random.PRNGKey(0), t.log_prob_fn, init,
+                      num_samples=16, swap_interval=16, **kw)
+    # one swap phase (it=15, phase 0): even pairs once, odd pair NEVER
+    np.testing.assert_array_equal(np.asarray(r2.info["swap_attempts"]),
+                                  [8.0, 0.0, 8.0])
+    assert float(np.asarray(r2.info["swap_accept_rate"])[1]) == 0.0
+
+
+def test_tempered_run_rejects_bad_betas():
+    """A bad explicit ladder errors loudly instead of silently emitting
+    pi^beta_0 draws labeled as untempered (betas[0] != 1), NaNing the
+    swap phase (beta <= 0), or breaking the descending-ladder invariant
+    every downstream formula assumes."""
+    t = standard_normal(3)
+    init = random.normal(random.PRNGKey(1), (4, 3)) * 0.2
+    kw = dict(step_size=0.5, num_steps=4, num_samples=4,
+              value_and_grad_fn=t.value_and_grad_fn)
+    with pytest.raises(ValueError, match=r"betas\[0\] must be 1"):
+        tempered_run(random.PRNGKey(0), t.log_prob_fn, init,
+                     betas=jnp.asarray([0.9, 0.3, 0.1]), **kw)
+    with pytest.raises(ValueError, match="strictly positive"):
+        tempered_run(random.PRNGKey(0), t.log_prob_fn, init,
+                     betas=jnp.asarray([1.0, 0.5, 0.0]), **kw)
+    with pytest.raises(ValueError, match="descending"):
+        tempered_run(random.PRNGKey(0), t.log_prob_fn, init,
+                     betas=jnp.asarray([1.0, 0.5, 0.5]), **kw)
+    with pytest.raises(ValueError, match="1-D"):
+        tempered_run(random.PRNGKey(0), t.log_prob_fn, init,
+                     betas=jnp.ones((2, 2)), **kw)
+
+
 def test_tempered_normal_moments_and_schema():
     """Exchange moves preserve the product measure: the cold replica's
     marginals on N(0, I) stay exact, and the info schema carries the

@@ -33,8 +33,9 @@ def _traced_trajectory(q0, p0, lp0, grad0, value_and_grad, step_size,
     def substep(carry, i):
         q, p, lp, grad = carry
         if friction_schedule is not None:
-            gamma_t = friction_schedule(i.astype(q.dtype) * eps, total_time,
-                                        gamma, steepness)
+            # midpoint friction grid — parity with samplers/trajectory.py
+            gamma_t = friction_schedule((i.astype(q.dtype) + 0.5) * eps,
+                                        total_time, gamma, steepness)
             scale = jnp.exp(-gamma_t * half)
             p = p * scale
         p = p + half * grad

@@ -259,7 +259,10 @@ def _integrate(q0, p0, lp0, grad0, vag, eps, num_steps, friction_schedule,
     def substep(i, carry):
         q, p, lp, grad = carry
         if friction_schedule is not None:
-            gamma_t = friction_schedule(i.astype(jnp.float32) * eps,
+            # midpoint friction grid (samplers/trajectory.py) — keeps the
+            # kernel bit-consistent with the XLA integrator AND the
+            # conformal map volume-neutral + involutive
+            gamma_t = friction_schedule((i.astype(jnp.float32) + 0.5) * eps,
                                         total_time, gamma_max, steepness)
             scale = jnp.exp(-gamma_t * half_eps)
             p = p * scale

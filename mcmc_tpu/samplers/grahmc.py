@@ -37,8 +37,11 @@ Array = jnp.ndarray
 # ============================================================================
 
 def constant_schedule(t, T, gamma, steepness=None):
-    """Original RAHMC step schedule: -gamma for t < T/2, +gamma after."""
-    return jnp.where(t < T / 2, -gamma, gamma)
+    """Original RAHMC step schedule: -gamma for t < T/2, +gamma after —
+    and exactly 0 AT T/2, so an odd-length trajectory on the midpoint
+    evaluation grid (samplers/trajectory.py) stays volume-neutral (its
+    middle substep lands exactly on T/2)."""
+    return jnp.where(t < T / 2, -gamma, jnp.where(t > T / 2, gamma, 0.0))
 
 
 def tanh_schedule(t, T, gamma_max, steepness=5.0):

@@ -95,9 +95,20 @@ def integrate_trajectory(
     def substep(carry, i):
         q, p, lp, grad = carry
         if friction_schedule is not None:
-            gamma_t = friction_schedule(i.astype(pos_dtype) * eps, total_time,
-                                        jnp.asarray(gamma_max, pos_dtype),
-                                        jnp.asarray(steepness, pos_dtype))
+            # midpoint friction grid t = (i + 1/2) eps: the i*eps grid the
+            # reference uses (GRAHMC.py:246-252) breaks antisymmetry
+            # discretely (sum gamma_i = -gamma_max instead of 0), so the
+            # conformal map expands phase volume by e^{+eps*gamma*D} per
+            # trajectory with no Jacobian in the MH test AND loses the
+            # reversal involution — a real stationary bias (measured: var
+            # 4.33 on N(0,I) at eps=.5, gamma=.5, L=8, accept 0.043).
+            # Midpoints pair i <-> L-1-i exactly about T/2: volume-neutral,
+            # involutive, plain exp(-dH) acceptance exact (var 0.994,
+            # accept 0.619 at the same operating point). PARITY.md.
+            gamma_t = friction_schedule(
+                (i.astype(pos_dtype) + 0.5) * eps, total_time,
+                jnp.asarray(gamma_max, pos_dtype),
+                jnp.asarray(steepness, pos_dtype))
             scale = jnp.exp(-gamma_t * half_eps)
             p = p * scale
         p = p + half_eps * grad
@@ -153,9 +164,11 @@ def integrate_trajectory_dynamic(
     def body(i, carry):
         q, p, lp, grad = carry
         if friction_schedule is not None:
-            gamma_t = friction_schedule(i.astype(pos_dtype) * eps, total_time,
-                                        jnp.asarray(gamma_max, pos_dtype),
-                                        jnp.asarray(steepness, pos_dtype))
+            # midpoint friction grid — see integrate_trajectory above
+            gamma_t = friction_schedule(
+                (i.astype(pos_dtype) + 0.5) * eps, total_time,
+                jnp.asarray(gamma_max, pos_dtype),
+                jnp.asarray(steepness, pos_dtype))
             scale = jnp.exp(-gamma_t * half_eps)
             p = p * scale
         p = p + half_eps * grad

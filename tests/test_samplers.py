@@ -191,10 +191,42 @@ def test_grahmc_friction_schedules_values():
         late = float(fn(T, T, g, steep))
         assert early < 0 <= late or (name == "sine" and abs(early + g) < 1e-6), name
         assert -g - 1e-6 <= early and late <= g + 1e-6, name
-    # constant: exact step at T/2
+    # constant: exact step around T/2, and 0 AT T/2 so odd-length
+    # trajectories on the midpoint grid stay volume-neutral
     cs = FRICTION_SCHEDULES["constant"]
     assert float(cs(0.49, 1.0, g, None)) == -g
-    assert float(cs(0.5, 1.0, g, None)) == g
+    assert float(cs(0.5, 1.0, g, None)) == 0.0
+    assert float(cs(0.51, 1.0, g, None)) == g
+
+
+@pytest.mark.parametrize("schedule,num_steps",
+                         [("tanh", 8), ("sine", 8), ("linear", 8),
+                          ("constant", 7)])
+def test_grahmc_kernel_invariance_aggressive(schedule, num_steps):
+    """The GRAHMC transition must leave the target EXACTLY invariant even
+    at aggressive (eps, gamma): start 32k chains from exact N(0, I) draws,
+    run 60 transitions, and require the stationary variance to stay 1.
+
+    This is the regression test for the friction-grid bias: evaluating the
+    schedule at t = i*eps (the reference's grid, GRAHMC.py:246-252) makes
+    the discrete friction sum -gamma_max instead of 0, expanding phase
+    volume e^{+eps*gamma*D} per trajectory with no Jacobian in the MH test
+    — measured var 4.33 (tanh), 4.42 (sine), 3.13 (linear) at this exact
+    configuration before the midpoint-grid fix. MC error at 32k chains is
+    ~0.8%; the 6% tolerance is 50x smaller than the bug's signal.
+    ('constant' runs at odd L to pin the zero-at-T/2 refinement.)"""
+    D, C = 3, 32768
+    lp = lambda x: -0.5 * jnp.sum(x * x, axis=-1)
+    vag = lambda x: (lp(x), -x)
+    q0 = random.normal(random.PRNGKey(0), (C, D))
+    res = grahmc_run(random.PRNGKey(1), lp, q0, step_size=0.5,
+                     num_steps=num_steps, gamma=0.5, steepness=5.0,
+                     num_samples=60, burn_in=0, collect_chains=1,
+                     friction_schedule=get_friction_schedule(schedule),
+                     value_and_grad_fn=vag)
+    var = np.asarray(res.final_state.position).var(axis=0)
+    np.testing.assert_allclose(var, 1.0, atol=0.06)
+    assert float(res.accept_rate.mean()) > 0.5
 
 
 def test_grahmc_on_funnel_runs():

@@ -374,3 +374,114 @@ def nuts_persistent_run_sharded(
 
     return run_shard(key, init_position,
                      jnp.asarray(step_size, jnp.float32), inv_mass_matrix)
+
+
+def smc_run_sharded(
+    key,
+    log_prob_fn,
+    mesh,
+    n_particles: int,
+    dim: int,
+    step_size,
+    num_steps: int,
+    betas=None,
+    target_rel_ess: float = 0.5,
+    resample_threshold: float = 0.5,
+    move_steps: int = 3,
+    max_stages: int = 200,
+    base_mean=None,
+    base_scale=1.0,
+    inv_mass_matrix=None,
+    gamma=0.0,
+    steepness=1.0,
+    friction_schedule: Optional[Callable] = None,
+    value_and_grad_fn: Optional[Callable] = None,
+    adapt_step_size: bool = True,
+    final_resample: bool = False,
+):
+    """Annealed SMC (samplers/smc.py) with the particle population sharded
+    over `mesh`'s chain axis.
+
+    SMC's only cross-particle operations are weight reductions (reweight
+    normalization, log-Z increments, the conditional-ESS bisection) and
+    resampling. The reductions run as psum/pmax collectives inside the
+    shard_map body (`_lse(axis_name=...)`), so the adaptive temperature
+    while_loop, the resample decisions, and the Robbins-Monro step-size
+    trajectory are computed from GLOBAL statistics and take identical
+    branches on every device. Resampling stays island-local (each device
+    systematically resamples its own shard; post-resample particles carry
+    the island's total weight forward — the unbiased distributed-resampling
+    scheme), so no particle data ever crosses a device boundary: per stage
+    the wire traffic is a handful of scalars over ICI.
+
+    Degenerate edge: if a single island's TOTAL weight underflows to zero
+    (every local particle at -inf) its local resample is undefined — at
+    the target_rel_ess=0.5 operating point the global ESS floor prevents
+    this for any realistic shard size.
+
+    n_particles is the GLOBAL population (must divide by the mesh size);
+    returns the same SMCResult contract as smc_run with `particles` /
+    `log_weights` / `final_state` device-sharded and every scalar and
+    history buffer replicated. log_Z is identical (not just close) to a
+    single-device run of the same per-device RNG streams.
+    """
+    from mcmc_tpu.samplers.base import ChainState
+    from mcmc_tpu.samplers.smc import (SMCResult, _smc_run_jit,
+                                       _validate_beta_schedule)
+
+    n_dev = mesh.devices.size
+    if n_particles % n_dev:
+        raise ValueError(
+            f"n_particles {n_particles} not divisible by mesh size {n_dev}")
+    local_p = n_particles // n_dev
+    if local_p < 2:
+        raise ValueError("need >= 2 particles per device")
+    if not 0.0 < target_rel_ess < 1.0:
+        raise ValueError("target_rel_ess must be in (0, 1)")
+    if betas is not None and not isinstance(betas, jax.core.Tracer):
+        _validate_beta_schedule(betas)
+        betas = jnp.asarray(betas, jnp.float32)
+        if int(betas.shape[0]) > max_stages:
+            max_stages = int(betas.shape[0])
+    if inv_mass_matrix is None:
+        inv_mass_matrix = jnp.ones(dim, jnp.float32)
+    inv_mass_matrix = jnp.asarray(inv_mass_matrix, jnp.float32)
+
+    sharded = P(CHAIN_AXIS)
+    out_specs = SMCResult(
+        particles=P(CHAIN_AXIS, None),
+        log_weights=sharded,
+        log_Z=P(),
+        final_state=ChainState(
+            position=P(CHAIN_AXIS, None), log_prob=sharded,
+            grad_log_prob=P(CHAIN_AXIS, None), accept_count=sharded,
+            divergence_count=sharded),
+        info={k: P() for k in ("n_stages", "n_resamples", "n_divergences",
+                               "ess", "final_step_size", "betas", "rel_ess",
+                               "accept", "resampled", "step_size")})
+
+    have_betas = betas is not None
+    args = [key, jnp.asarray(step_size, jnp.float32), inv_mass_matrix]
+    in_specs = [P(), P(), P()]
+    if have_betas:
+        args.append(betas)
+        in_specs.append(P())
+
+    @partial(shard_map_fn, mesh=mesh, in_specs=tuple(in_specs),
+             out_specs=out_specs)
+    def run_shard(key, eps, inv_mass, *maybe_betas):
+        dkey = random.fold_in(key, lax.axis_index(CHAIN_AXIS))
+        return _smc_run_jit(
+            dkey, log_prob_fn, n_particles=local_p, dim=dim, step_size=eps,
+            num_steps=num_steps,
+            betas=maybe_betas[0] if have_betas else None,
+            target_rel_ess=target_rel_ess,
+            resample_threshold=resample_threshold, move_steps=move_steps,
+            max_stages=max_stages, base_mean=base_mean,
+            base_scale=base_scale, inv_mass_matrix=inv_mass, gamma=gamma,
+            steepness=steepness, friction_schedule=friction_schedule,
+            value_and_grad_fn=value_and_grad_fn,
+            adapt_step_size=adapt_step_size, final_resample=final_resample,
+            axis_name=CHAIN_AXIS, total_particles=n_particles)
+
+    return run_shard(*args)

@@ -10,6 +10,8 @@ from mcmc_tpu.samplers.hmc import hmc_init, hmc_step, hmc_run, leapfrog
 from mcmc_tpu.samplers.nuts import nuts_init, nuts_step, nuts_run
 from mcmc_tpu.samplers.nuts_persistent import nuts_run_persistent
 from mcmc_tpu.samplers.tempered import tempered_run, geometric_ladder
+from mcmc_tpu.samplers.smc import (smc_run, SMCResult, gaussian_base,
+                                   systematic_resample, weighted_moments)
 from mcmc_tpu.samplers.grahmc import (
     grahmc_init, grahmc_step, grahmc_run,
     rahmc_init, rahmc_step, rahmc_run,
@@ -24,6 +26,8 @@ __all__ = [
     "hmc_init", "hmc_step", "hmc_run", "leapfrog",
     "nuts_init", "nuts_step", "nuts_run", "nuts_run_persistent",
     "tempered_run", "geometric_ladder",
+    "smc_run", "SMCResult", "gaussian_base", "systematic_resample",
+    "weighted_moments",
     "grahmc_init", "grahmc_step", "grahmc_run",
     "rahmc_init", "rahmc_step", "rahmc_run",
     "FRICTION_SCHEDULES", "get_friction_schedule", "default_steepness",

@@ -585,6 +585,49 @@ def measure_tpu():
     except Exception as e:
         print(f"[bench] tempered row skipped: {e}", file=sys.stderr)
 
+    # ---- Annealed SMC: evidence estimation on the bimodal mixture -------
+    # Adaptive-schedule SMC (samplers/smc.py) from a generic wide base to
+    # the 10D mixture: log_Z must read 0 (normalized target) and both
+    # modes must carry mass — capability the reference lacks outright.
+    # Rate counts particle-leapfrogs = P * stages * move_steps * L, with
+    # each rep's realized stage count matched to ITS wall time (stage
+    # counts are key-dependent under the adaptive schedule).
+    try:
+        import numpy as np
+        from mcmc_tpu.samplers.smc import smc_run
+        from mcmc_tpu.targets import get_target as _get_target_smc
+        smt = _get_target_smc("gaussian_mixture", dim=10)
+        s_P, s_L, s_moves = 32768, 8, 2
+        skw = dict(n_particles=s_P, dim=10, step_size=0.4, num_steps=s_L,
+                   move_steps=s_moves, base_scale=6.0,
+                   value_and_grad_fn=smt.value_and_grad_fn,
+                   final_resample=True)
+        sres = smc_run(random.PRNGKey(60), smt.log_prob_fn, **skw)  # warm
+        jax.block_until_ready(sres.particles)
+        s_rates, s_last = [], sres
+        for rep in range(4):
+            t0 = time.time()
+            s_last = smc_run(random.PRNGKey(61 + rep), smt.log_prob_fn,
+                             **skw)
+            jax.block_until_ready(s_last.particles)
+            dt = time.time() - t0
+            stages = int(s_last.info["n_stages"])
+            s_rates.append(s_P * stages * s_moves * s_L / dt)
+        extras["smc_particle_leapfrogs_per_sec"] = round(
+            float(np.median(s_rates)), 1)
+        extras["smc_log_z"] = round(float(s_last.log_Z), 5)
+        extras["smc_stages"] = int(s_last.info["n_stages"])
+        x0 = np.asarray(s_last.particles[:, 0])
+        extras["smc_mode_fraction"] = round(float((x0 > 0).mean()), 3)
+        print(f"[bench] SMC evidence: "
+              f"{extras['smc_particle_leapfrogs_per_sec'] / 1e6:,.1f}M "
+              f"particle-leapfrogs/s ({s_P} particles, "
+              f"{extras['smc_stages']} stages); log_Z="
+              f"{extras['smc_log_z']:+.4f} (true 0), mode fraction "
+              f"{extras['smc_mode_fraction']}", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] SMC row skipped: {e}", file=sys.stderr)
+
     return grahmc_rate, extras, cache
 
 

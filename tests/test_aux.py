@@ -286,3 +286,37 @@ def test_tempering_example_runs(tmp_path):
     assert plain_frac < 0.15, out
     assert 0.25 < temp_frac < 0.75, out
     assert (tmp_path / "tempering_modes.png").exists()
+
+
+@pytest.mark.slow
+def test_evidence_example_runs(tmp_path):
+    """examples/evidence.py end-to-end at a tiny budget: the analytic
+    unnormalized-Gaussian evidence, the conjugate-model Bayes factor (SMC
+    vs closed form), and the bimodal transport + ladder plot."""
+    import re
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    driver = (
+        "import sys; sys.argv = ['evidence.py', '--particles', '512',"
+        f" '--out', {str(tmp_path)!r}];"
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        f"exec(open({str(repo / 'examples' / 'evidence.py')!r}).read())")
+    proc = subprocess.run(
+        [sys.executable, "-c", driver],
+        capture_output=True, text=True, timeout=420, cwd=str(repo))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    smc_z = float(re.search(
+        r"SMC log Z = ([+-][0-9.]+) \(error", out).group(1))
+    true_z = float(re.search(r"true log Z = ([0-9.+-]+)", out).group(1))
+    assert abs(smc_z - true_z) < 0.6, out
+    bf = re.search(r"log Bayes factor \(well vs tight\): SMC ([+-][0-9.]+) "
+                   r"vs exact ([+-][0-9.]+)", out)
+    assert abs(float(bf.group(1)) - float(bf.group(2))) < 2.0, out
+    frac = float(re.search(r"right-mode fraction = ([0-9.]+) "
+                           r"\(true 0\.5\)", out).group(1))
+    assert 0.25 < frac < 0.75, out
+    assert (tmp_path / "evidence_smc.png").exists()

@@ -24,6 +24,7 @@ from jax import random
 from mcmc_tpu.targets import get_target, get_reference_sampler, TargetDistribution
 from mcmc_tpu.diagnostics import (
     compute_diagnostics, check_summary_statistics, compute_sliced_w2,
+    ConvergenceW2Tracker,
     evaluate_gates, MIN_ESS_QUALITY, MIN_ESS_TAIL_QUALITY,
     MIN_ESS_HARD_GATE, MIN_ESS_TAIL_HARD_GATE,
 )
@@ -54,15 +55,49 @@ _GRID_SUMMARY_FIELDS = [
 ]
 
 
-def get_log_checkpoints(max_samples: int, base: float = 1.5) -> List[int]:
-    """Log-spaced checkpoint counts starting at 100, always ending at max."""
+def get_log_checkpoints(max_samples: int, base: float = 1.5,
+                        quantum: int = None) -> List[int]:
+    """Log-spaced checkpoint counts starting at 100, always ending at max.
+
+    With ``quantum``, interior checkpoints snap to multiples of it so every
+    checkpoint gap is a multiple of the quantum. The sampling loop then
+    reuses ONE compiled quantum-width batch program across all checkpoint
+    batches instead of compiling one program per distinct log-gap width —
+    under jit (and especially under a shard_map mesh) the raw log grid's
+    all-distinct gaps each pay a full XLA compile. Placement moves by at
+    most quantum/2 per checkpoint, which no downstream consumer of the
+    convergence trace resolves (the trace is plotted on log axes).
+    """
     checkpoints = []
     current = 100.0
     while current < max_samples:
         checkpoints.append(int(current))
         current *= base
     checkpoints.append(max_samples)
-    return checkpoints
+    if not quantum or quantum <= 1:
+        return checkpoints
+    snapped = []
+    for c in checkpoints[:-1]:
+        q = max(quantum, int(round(c / quantum)) * quantum)
+        if q < max_samples and (not snapped or q > snapped[-1]):
+            snapped.append(q)
+    snapped.append(max_samples)
+    return snapped
+
+
+def _checkpoint_chunks(batch: int, quantum: int) -> List[int]:
+    """Split a checkpoint batch into fixed-width draw chunks.
+
+    Interior batches are exact multiples of the quantum (see
+    get_log_checkpoints); only the final batch can leave a remainder, so
+    a whole tracked run compiles at most two sampling programs.
+    """
+    if quantum <= 1:
+        return [batch]
+    chunks = [quantum] * (batch // quantum)
+    if batch % quantum:
+        chunks.append(batch % quantum)
+    return chunks
 
 
 def _grid_summary(r: Dict) -> Dict:
@@ -572,44 +607,59 @@ def run_single_benchmark_with_L(
         halton_cursor = warmup_info.get("halton_offset", 0) if use_chees else 0
         sample_start = time.time()
         if track_convergence and sampler in ("hmc", "grahmc", "rahmc"):
-            checkpoints = get_log_checkpoints(num_samples, base=convergence_base)
+            # Fixed-width chunking: snap checkpoints to a quantum grid and
+            # run every batch as repeated quantum-width calls of one
+            # compiled program (two programs max per run, vs one per
+            # distinct log gap — the dominant cost of tracked runs, worst
+            # under a mesh where each width is a fresh shard_map compile).
+            quantum = min(50, max(1, num_samples // 4))
+            checkpoints = get_log_checkpoints(
+                num_samples, base=convergence_base, quantum=quantum)
             print(f"[Phase 2] Sampling with {len(checkpoints)} convergence "
-                  f"checkpoints...")
+                  f"checkpoints (chunk width {quantum})...")
             convergence_trace = []
             pieces, prev = [], 0
             res = None
             replica_pos = ladder_replica_pos
+            # one reference draw + direction set for the whole trace: each
+            # checkpoint pays only its own sample sort, not the (50k, 500)
+            # reference-side sort (see ConvergenceW2Tracker); the headline
+            # sliced_w2 below still uses the fresh-draw parity path
+            key, w2_key = random.split(key)
+            w2_tracker = ConvergenceW2Tracker(target_name, target.dim,
+                                              n_reference=50000,
+                                              n_projections=500, key=w2_key)
             for cp in checkpoints:
                 batch = cp - prev
                 prev = cp
-                key, s_key = random.split(key)
-                if use_chees:
-                    res = _chees_sample(s_key, position, batch, halton_cursor)
-                    halton_cursor += batch
-                    chees_leapfrogs += res.info["total_leapfrogs"]
-                else:
-                    res = _sample(sampler, target, s_key, position, step_size,
-                                  num_steps, batch, inv_mass, schedule_type,
-                                  warmup_info, mesh=mesh,
-                                  nuts_backend=nuts_backend,
-                                  nuts_steps_per_sample=nuts_steps_per_sample,
-                                  nuts_proposal=nuts_proposal,
-                                  tempering=tempering,
-                                  tempering_beta_min=tempering_beta_min,
-                                  tempering_swap_interval=tempering_swap_interval,
-                                  replica_position=replica_pos,
-                                  tempering_betas=tempering_betas,
-                                  tempering_step_sizes=tempering_steps)
-                    # tempered batches continue the FULL ladder, not just
-                    # the cold rows — hot rungs stay equilibrated
-                    replica_pos = res.info.get("replica_final_positions")
-                position = res.final_state.position
-                pieces.append(res)
+                for chunk in _checkpoint_chunks(batch, quantum):
+                    key, s_key = random.split(key)
+                    if use_chees:
+                        res = _chees_sample(s_key, position, chunk,
+                                            halton_cursor)
+                        halton_cursor += chunk
+                        chees_leapfrogs += res.info["total_leapfrogs"]
+                    else:
+                        res = _sample(
+                            sampler, target, s_key, position, step_size,
+                            num_steps, chunk, inv_mass, schedule_type,
+                            warmup_info, mesh=mesh,
+                            nuts_backend=nuts_backend,
+                            nuts_steps_per_sample=nuts_steps_per_sample,
+                            nuts_proposal=nuts_proposal,
+                            tempering=tempering,
+                            tempering_beta_min=tempering_beta_min,
+                            tempering_swap_interval=tempering_swap_interval,
+                            replica_position=replica_pos,
+                            tempering_betas=tempering_betas,
+                            tempering_step_sizes=tempering_steps)
+                        # tempered chunks continue the FULL ladder, not
+                        # just the cold rows — hot rungs stay equilibrated
+                        replica_pos = res.info.get("replica_final_positions")
+                    position = res.final_state.position
+                    pieces.append(res)
                 cumulative = jnp.concatenate([p.samples for p in pieces], axis=0)
-                key, w2_key = random.split(key)
-                w2 = compute_sliced_w2(cumulative, target_name, target.dim,
-                                       n_reference=50000, n_projections=500,
-                                       key=w2_key)
+                w2 = w2_tracker.w2(cumulative) if w2_tracker.ok else None
                 cp_diag = compute_diagnostics(cumulative)
                 n_grad_cp = (chees_leapfrogs if use_chees
                              else cp * num_steps) * n_chains
@@ -626,7 +676,11 @@ def run_single_benchmark_with_L(
                     "rhat_max": float(cp_diag["rhat_max"]),
                 })
             samples = jnp.concatenate([p.samples for p in pieces], axis=0)
-            accept_rate = float(np.mean([float(p.accept_rate.mean()) for p in pieces]))
+            piece_draws = np.array([p.samples.shape[0] for p in pieces],
+                                   np.float64)
+            accept_rate = float(np.sum(
+                [float(p.accept_rate.mean()) * d
+                 for p, d in zip(pieces, piece_draws)]) / piece_draws.sum())
             total_div = int(sum(int(p.info["total_divergences"]) for p in pieces))
             divergence_rate = total_div / (num_samples * n_chains)
             tree_depths = None

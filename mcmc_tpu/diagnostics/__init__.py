@@ -13,6 +13,7 @@ from mcmc_tpu.diagnostics.rhat_ess import (
 )
 from mcmc_tpu.diagnostics.wasserstein import (
     sliced_wasserstein_distance, compute_sliced_w2,
+    ConvergenceW2Tracker,
 )
 from mcmc_tpu.diagnostics.streaming import (
     ess_bulk_chunked, split_rhat_chunked, ess_tail_chunked,
@@ -108,6 +109,7 @@ __all__ = [
     "ess_bulk_chunked", "split_rhat_chunked", "ess_tail_chunked",
     "ess_mean_chunked", "mcse_mean_chunked", "compute_diagnostics_chunked",
     "sliced_wasserstein_distance", "compute_sliced_w2",
+    "ConvergenceW2Tracker",
     "detect_divergences", "check_summary_statistics", "evaluate_gates",
     "compute_diagnostics",
     "MIN_ESS_HARD_GATE", "MIN_ESS_TAIL_HARD_GATE", "MIN_ESS_QUALITY",

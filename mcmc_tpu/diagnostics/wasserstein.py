@@ -21,6 +21,24 @@ import jax.numpy as jnp
 from jax import random
 
 
+def _unshard(x: jnp.ndarray) -> jnp.ndarray:
+    """Collapse a mesh-sharded sample set onto one device before sorting.
+
+    The W2 protocol sorts every projection along the flattened sample axis.
+    On a history sharded over chains (mesh runs), that axis is distributed,
+    and GSPMD lowers each of the 500 projected sorts to a global multi-device
+    sort — measured 257s vs 24s on the 8-virtual-device CPU mesh for the
+    standard protocol, and an all-to-all storm on real ICI. The sample sets
+    here are protocol-capped (50k rows x dim), so one explicit gather to a
+    single device is strictly cheaper than any distributed sort. No-op for
+    single-device arrays.
+    """
+    x = jnp.asarray(x)
+    if isinstance(x, jax.Array) and len(x.devices()) > 1:
+        x = jax.device_put(x, next(iter(x.devices())))
+    return x
+
+
 @partial(jax.jit, static_argnames=("n_quantiles",))
 def _sliced_w2_batch(samples1, samples2, directions, n_quantiles: int):
     """W2 per projection for one batch of unit directions: (P,)."""
@@ -53,8 +71,8 @@ def sliced_wasserstein_distance(
     if key is None:
         key = random.PRNGKey(30)
 
-    samples1 = jnp.asarray(samples1)
-    samples2 = jnp.asarray(samples2)
+    samples1 = _unshard(samples1)
+    samples2 = _unshard(samples2)
     n1, dim = samples1.shape
     n2 = samples2.shape[0]
     n_quantiles = min(n1, n2)
@@ -69,6 +87,85 @@ def sliced_wasserstein_distance(
         w2_all.append(_sliced_w2_batch(samples1, samples2, directions, n_quantiles))
 
     return float(jnp.mean(jnp.concatenate(w2_all)))
+
+
+def _quantiles_of_sorted(s: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Linear-interpolated quantiles of an ALREADY-SORTED (n, P) matrix.
+
+    Same interpolation as jnp.quantile's default (pos = q*(n-1), linear),
+    but skips its internal re-sort — the point of caching sorted reference
+    projections across convergence checkpoints.
+    """
+    n = s.shape[0]
+    pos = q * (n - 1)
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 1)
+    hi = jnp.clip(lo + 1, 0, n - 1)
+    frac = (pos - lo)[:, None]
+    return s[lo] * (1.0 - frac) + s[hi] * frac
+
+
+@partial(jax.jit, static_argnames=("n_quantiles",))
+def _w2_vs_sorted_ref(samples, ref_sorted, directions, n_quantiles: int):
+    """Mean per-projection W2 of samples vs cached sorted reference."""
+    s1 = jnp.sort(samples @ directions.T, axis=0)      # (n1, P)
+    if s1.shape[0] != ref_sorted.shape[0]:
+        q = jnp.linspace(0.0, 1.0, n_quantiles)
+        s1 = _quantiles_of_sorted(s1, q)
+        s2 = _quantiles_of_sorted(ref_sorted, q)
+    else:
+        s2 = ref_sorted
+    return jnp.mean(jnp.sqrt(jnp.mean((s1 - s2) ** 2, axis=0)))
+
+
+class ConvergenceW2Tracker:
+    """Amortized sliced-W2 for convergence traces.
+
+    The full protocol (fresh reference draw + fresh directions + an
+    (n_ref, P) sort, reference metrics.py:87-145) is re-paid at EVERY
+    checkpoint of a tracked run — the (50000, 500) reference-side sort
+    dominates (~24s/checkpoint on the CPU test host) and its result never
+    changes within a run. This tracker draws the reference set and the
+    direction set ONCE, caches the sorted reference projections, and each
+    checkpoint pays only its own sample projection + sort. Fixed
+    directions also remove direction-resampling noise from the trace, so
+    checkpoints are directly comparable. The headline ``sliced_w2`` of the
+    finished run still uses the fresh-draw parity path
+    (:func:`compute_sliced_w2`).
+    """
+
+    def __init__(self, target_name: str, dim: int, n_reference: int = 50000,
+                 n_projections: int = 500, key: Optional[jnp.ndarray] = None,
+                 **target_kwargs):
+        from mcmc_tpu.targets import get_reference_sampler
+        self.ok = False
+        ref_sampler = get_reference_sampler(target_name, dim, **target_kwargs)
+        if ref_sampler is None:
+            return
+        if key is None:
+            key = random.PRNGKey(123)
+        k_ref, k_dir, self._sub_key = random.split(key, 3)
+        ref = _unshard(ref_sampler(k_ref, n_reference))
+        dirs = random.normal(k_dir, (n_projections, dim))
+        self._dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
+        self._ref_sorted = jnp.sort(ref @ self._dirs.T, axis=0)  # (n_ref, P)
+        self._n_ref = n_reference
+        self.ok = True
+
+    def w2(self, samples: jnp.ndarray) -> Optional[float]:
+        """Sliced W2 of (draws, chains, dim) or (n, dim) samples, or None."""
+        if not self.ok:
+            return None
+        dim = samples.shape[-1]
+        flat = samples.reshape(-1, dim) if samples.ndim == 3 else samples
+        if flat.shape[0] > self._n_ref:
+            self._sub_key, k = random.split(self._sub_key)
+            idx = random.choice(k, flat.shape[0], (self._n_ref,),
+                                replace=False)
+            flat = flat[idx]
+        flat = _unshard(flat)
+        n_q = min(flat.shape[0], self._n_ref)
+        return float(_w2_vs_sorted_ref(flat, self._ref_sorted, self._dirs,
+                                       n_q))
 
 
 def compute_sliced_w2(

@@ -118,6 +118,29 @@ def test_compute_sliced_w2_none_without_reference():
     assert compute_sliced_w2(s, "concentric_l1_3d", 3) is None
 
 
+def test_convergence_w2_tracker_matches_full_protocol():
+    """The amortized trace tracker (cached sorted reference projections)
+    agrees with the fresh-draw protocol within Monte Carlo noise, stays
+    fixed-reference across calls (repeat call on identical samples is
+    EXACTLY reproducible), and returns None without a reference sampler."""
+    from mcmc_tpu.diagnostics import ConvergenceW2Tracker
+    tr = ConvergenceW2Tracker("standard_normal", 5, n_reference=20000,
+                              n_projections=100, key=random.PRNGKey(3))
+    assert tr.ok
+    s = random.normal(random.PRNGKey(9), (2000, 4, 5))
+    w2_tr = tr.w2(s)
+    w2_full = compute_sliced_w2(s, "standard_normal", 5, n_reference=20000,
+                                n_projections=100, key=random.PRNGKey(4))
+    assert w2_tr is not None and w2_tr < 0.1
+    assert abs(w2_tr - w2_full) < 0.05
+    assert tr.w2(s) == w2_tr          # deterministic across calls
+    # more draws from the target tighten the distance
+    s_big = random.normal(random.PRNGKey(11), (16000, 4, 5))
+    assert tr.w2(s_big) < w2_tr
+    bad = ConvergenceW2Tracker("concentric_l1_3d", 3)
+    assert not bad.ok and bad.w2(s) is None
+
+
 def test_detect_divergences():
     dh = jnp.array([0.5, -2000.0, 999.0, 1001.0])
     assert np.array_equal(np.asarray(detect_divergences(dh)),

@@ -18,3 +18,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: the fast tier is compile-bound on this
+# 1-vCPU host (hundreds of jit/shard_map programs), and the programs are
+# identical across runs. First run populates ./.jax_test_cache (gitignored);
+# repeat runs skip XLA backend compilation. Safe: keyed by HLO + compile
+# options + backend, so any code change recompiles.
+_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_test_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)

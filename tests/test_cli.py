@@ -38,6 +38,27 @@ def test_log_checkpoints():
     assert all(b > a for a, b in zip(cps, cps[1:]))
 
 
+def test_log_checkpoints_quantized():
+    """quantum snaps interior checkpoints so all gaps but the last are
+    multiples — one compiled batch program serves the whole tracked run."""
+    from mcmc_tpu.benchmark.runner import _checkpoint_chunks
+    cps = get_log_checkpoints(10000, base=1.5, quantum=50)
+    assert cps[-1] == 10000
+    assert all(b > a for a, b in zip(cps, cps[1:]))
+    gaps = [b - a for a, b in zip([0] + cps, cps)]
+    assert all(g % 50 == 0 for g in gaps[:-1])
+    # chunking: interior batches split into exact quantum widths; a final
+    # remainder (if any) is the only second width
+    widths = {w for g in gaps for w in _checkpoint_chunks(g, 50)}
+    assert len(widths - {50}) <= 1
+    assert sum(sum(_checkpoint_chunks(g, 50)) for g in gaps) == 10000
+    # tiny budgets: last checkpoint preserved, no empty/duplicate interior
+    assert get_log_checkpoints(120, base=1.5, quantum=30)[-1] == 120
+    assert _checkpoint_chunks(0, 50) == []
+    assert _checkpoint_chunks(70, 50) == [50, 20]
+    assert _checkpoint_chunks(70, 1) == [70]
+
+
 @pytest.mark.slow
 def test_single_benchmark_schema_rwmh():
     t = get_target("standard_normal", dim=4)
@@ -369,20 +390,31 @@ def test_nuts_steps_per_sample_flag_threads_to_persistent_path():
     assert 0 < r["n_gradients"] <= 200 * 16 * 8
 
 
+@pytest.mark.slow
 def test_nuts_proposal_flag_threads_to_persistent_path():
     """--nuts-proposal multinomial routes the persistent sampling phase
-    through the Stan-scheme XLA machine; the row records the scheme and
-    the moments pass the z-gate at this budget."""
+    through the Stan-scheme XLA machine and the row records the scheme.
+
+    slow: the cost is TRACING the warmup + sampling multinomial machines
+    on this 1-vCPU host (~6 min even at tiny draw budgets and with a warm
+    XLA persistent cache — measured 2026-08-19); the scheme's statistical
+    correctness is pinned by test_nuts_persistent.py, and the fast tier
+    keeps the pure-Python resume-key routing check below."""
     t = get_target("standard_normal", dim=4)
     r = run_single_benchmark_with_L(
         "nuts", t, "standard_normal", random.PRNGKey(31), n_chains=8,
-        num_warmup=200, num_samples=300, schedule_type="constant",
+        num_warmup=60, num_samples=50, schedule_type="constant",
         num_steps=20, nuts_backend="persistent",
-        nuts_proposal="multinomial")
+        nuts_steps_per_sample=16, nuts_proposal="multinomial")
     assert r.get("error") is None
     assert r["nuts_proposal"] == "multinomial"
-    assert 0 < r["n_gradients"] <= 300 * 64 * 8
-    # resume keys distinguish the scheme (pre-multinomial rows == endpoint)
+    assert 0 < r["n_gradients"] <= 50 * 16 * 8
+
+
+def test_resume_signature_keys_nuts_proposal():
+    """Resume keys distinguish the NUTS proposal scheme (pre-multinomial
+    rows == endpoint), so re-running a grid with --nuts-proposal
+    multinomial re-measures instead of [SKIP]ping stale endpoint rows."""
     from mcmc_tpu.benchmark.runner import _resume_signature
     assert (_resume_signature("nuts", "T", None, True, "persistent", 64,
                               nuts_proposal="multinomial")

@@ -493,16 +493,15 @@ def test_tempered_convergence_trace_accounting():
     assert all(0.0 < a <= 1.0 for a in r["replica_accept_rate"])
 
 
-@pytest.mark.slow
 def test_tempered_mesh_convergence_e2e():
     """--tempering composes with --mesh and --track-convergence: the ladder
-    runs shard_mapped per checkpoint batch with the full replica state
-    threaded between batches (not re-tiled from the cold rows).
+    runs shard_mapped per checkpoint chunk with the full replica state
+    threaded between chunks (not re-tiled from the cold rows).
 
-    slow: every distinct checkpoint batch width compiles its own shard_map
-    tempered program — ~24 min on the 1-vCPU host mesh (measured solo,
-    2026-08-19); the fused/mesh tempering physics is fast-tier covered by
-    test_parallel.py's tempered shard tests."""
+    Was 24 min solo when every distinct checkpoint width compiled its own
+    shard_map program AND each checkpoint paid a GSPMD-distributed W2 sort;
+    quantized chunking + the unsharded ConvergenceW2Tracker brought it to
+    ~107s (measured solo, 2026-08-19)."""
     t = get_target("standard_normal", dim=4)
     r = run_single_benchmark_with_L(
         "grahmc", t, "standard_normal", random.PRNGKey(11), n_chains=16,

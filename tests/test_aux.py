@@ -289,6 +289,37 @@ def test_tempering_example_runs(tmp_path):
 
 
 @pytest.mark.slow
+def test_custom_model_example_runs():
+    """examples/custom_model.py end-to-end at a tiny budget: a USER-written
+    batched log-posterior (autodiff gradients, no TargetDistribution, no
+    registry) through warmup -> persistent NUTS -> diagnostics, with truth
+    recovery. Pins the bring-your-own-model API contract."""
+    import re
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    driver = (
+        "import sys; sys.argv = ['custom_model.py', '--chains', '16',"
+        " '--num-warmup', '200', '--num-samples', '150',"
+        " '--n-data', '200', '--n-features', '5'];"
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        f"exec(open({str(repo / 'examples' / 'custom_model.py')!r}).read())")
+    proc = subprocess.run(
+        [sys.executable, "-c", driver],
+        capture_output=True, text=True, timeout=420, cwd=str(repo))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    rhat = float(re.search(r"R-hat max=([0-9.]+)", out).group(1))
+    assert rhat < 1.05, out
+    covered = re.search(r"truth inside the 95% interval: (\d+)/(\d+)", out)
+    assert int(covered.group(1)) >= int(covered.group(2)) - 1, out
+    acc = float(re.search(r"posterior ([0-9.]+) vs truth-ceiling", out)
+                .group(1))
+    assert acc > 0.6, out
+
+
 def test_evidence_example_runs(tmp_path):
     """examples/evidence.py end-to-end at a tiny budget: the analytic
     unnormalized-Gaussian evidence, the conjugate-model Bayes factor (SMC

@@ -121,8 +121,11 @@ def test_compute_sliced_w2_none_without_reference():
 def test_convergence_w2_tracker_matches_full_protocol():
     """The amortized trace tracker (cached sorted reference projections)
     agrees with the fresh-draw protocol within Monte Carlo noise, stays
-    fixed-reference across calls (repeat call on identical samples is
-    EXACTLY reproducible), and returns None without a reference sampler."""
+    fixed-reference across calls (a repeat call on identical samples is
+    EXACTLY reproducible as long as the sample set stays under n_reference
+    — above it each call draws a FRESH subsample by design, so successive
+    trace checkpoints don't freeze one biased subset), and returns None
+    without a reference sampler."""
     from mcmc_tpu.diagnostics import ConvergenceW2Tracker
     tr = ConvergenceW2Tracker("standard_normal", 5, n_reference=20000,
                               n_projections=100, key=random.PRNGKey(3))

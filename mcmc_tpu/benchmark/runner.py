@@ -25,7 +25,8 @@ from mcmc_tpu.targets import get_target, get_reference_sampler, TargetDistributi
 from mcmc_tpu.diagnostics import (
     compute_diagnostics, check_summary_statistics, compute_sliced_w2,
     ConvergenceW2Tracker,
-    evaluate_gates, MIN_ESS_QUALITY, MIN_ESS_TAIL_QUALITY,
+    evaluate_gates, evaluate_smc_gates,
+    MIN_ESS_QUALITY, MIN_ESS_TAIL_QUALITY,
     MIN_ESS_HARD_GATE, MIN_ESS_TAIL_HARD_GATE,
 )
 from mcmc_tpu.samplers import (
@@ -923,6 +924,206 @@ def run_single_benchmark_with_L(
         }
 
 
+def run_single_smc_benchmark(
+    target: TargetDistribution,
+    target_name: str,
+    key,
+    n_particles: int = 4096,
+    move_steps: int = 3,
+    num_steps: int = 8,
+    step_size: float = 0.4,
+    base_scale: float = 2.0,
+    target_rel_ess: float = 0.5,
+    max_stages: int = 200,
+    mesh_devices="auto",
+) -> Dict:
+    """One annealed-SMC benchmark row: transport n_particles from
+    N(0, base_scale^2 I) to the target, estimate log Z, gate the final
+    population.
+
+    SMC is a one-shot population method — no warmup phase (the move step
+    size Robbins-Monro-adapts per transition inside the run, see
+    samplers/smc.py), no draw count (the population IS the sample set),
+    and no chains over time (so no R-hat; gate rationale in
+    diagnostics/gates.py::evaluate_smc_gates). The row keeps the shared
+    results schema with the non-applicable fields None and adds
+    ``log_z`` / ``smc_*`` extras. Under a mesh the particle population is
+    chain-sharded via parallel/fused_sharded.py::smc_run_sharded.
+
+    Beyond-reference capability: nothing in the reference estimates
+    normalizing constants (its bimodal benchmark works around
+    multimodality with a split-mode init_sampler, reference
+    benchmarks/targets.py:456-465).
+    """
+    from mcmc_tpu.samplers.smc import smc_run, systematic_resample, \
+        weighted_moments
+
+    start_time = time.time()
+    print(f"\n{'=' * 70}\nSMC | {target_name} | dim={target.dim} | "
+          f"P={n_particles} | moves={move_steps}x{num_steps} leapfrogs"
+          f"\n{'=' * 70}")
+
+    mesh = _resolve_mesh(n_particles, mesh_devices)
+    common = dict(
+        n_particles=n_particles, dim=target.dim, step_size=step_size,
+        num_steps=num_steps, move_steps=move_steps, max_stages=max_stages,
+        base_scale=base_scale, target_rel_ess=target_rel_ess,
+        value_and_grad_fn=target.value_and_grad_fn)
+    key, run_key = random.split(key)
+    where = (f"mesh {mesh.devices.size} devices" if mesh is not None
+             else "single-device")
+    print(f"[Phase 1] Annealing ({where}, adaptive schedule, "
+          f"target rel-ESS {target_rel_ess})...")
+    sample_start = time.time()
+    try:
+        if mesh is not None:
+            from mcmc_tpu.parallel.fused_sharded import smc_run_sharded
+            res = smc_run_sharded(run_key, target.log_prob_fn, mesh, **common)
+        else:
+            res = smc_run(run_key, target.log_prob_fn, **common)
+        res.log_Z.block_until_ready()
+        sample_time = time.time() - sample_start
+
+        n_stages = int(res.info["n_stages"])
+        ess = float(res.info["ess"])
+        log_z = float(res.log_Z)
+        accept_rate = float(np.asarray(
+            res.info["accept"])[:n_stages].mean()) if n_stages else 0.0
+        n_moves = n_stages * move_steps * n_particles
+        total_div = int(res.info["n_divergences"])
+        divergence_rate = total_div / max(n_moves, 1)
+        # every move transition integrates num_steps leapfrogs per particle
+        # (the per-stage reweight/refresh evals are gradient-free or 1/L of
+        # a move's cost and are not charged, matching the MCMC rows'
+        # leapfrog-only accounting)
+        n_gradients = n_moves * num_steps
+        print(f"  {n_stages} stages, {int(res.info['n_resamples'])} "
+              f"resamples, log_Z={log_z:.4f}, ESS={ess:.0f}, "
+              f"accept={accept_rate:.3f} ({sample_time:.1f}s)")
+
+        # Phase 2: gates on the weighted population. Mean/MCSE for the
+        # z-test come from the self-normalized estimator: mcse_i =
+        # sqrt(Var_w[x_i] / ESS_w) — the IS analogue of the MCMC rows'
+        # mcse_mean.
+        print("[Phase 2] Diagnostics + gates...")
+        wmean, wcov = weighted_moments(res.particles, res.log_weights)
+        wmean = np.asarray(wmean)
+        mcse = np.sqrt(np.maximum(np.asarray(jnp.diag(wcov)), 0.0)
+                       / max(ess, 1.0))
+        stats_result = check_summary_statistics(
+            {"summary": {"mean": wmean, "mcse_mean": mcse}}, target,
+            significance=0.05)
+        stats_pass = stats_result["pass"]
+        has_true_mean = (target.true_mean is not None
+                         and target.true_cov is not None)
+        gates = evaluate_smc_gates(ess, divergence_rate, log_z, n_particles,
+                                   stats_pass, has_true_mean)
+
+        # Phase 3: sliced W2 of the UNWEIGHTED population (one systematic
+        # resample) against the target's exact sampler — same protocol as
+        # the MCMC rows.
+        ref_sampler = get_reference_sampler(target_name, target.dim)
+        sliced_w2 = None
+        sliced_w2_transformed = None
+        if ref_sampler is not None or target.transform is not None:
+            print("[Phase 3] Sliced W2...")
+            key, r_key = random.split(key)
+            idx = systematic_resample(r_key, jnp.asarray(
+                np.asarray(res.log_weights)))
+            flat = np.asarray(res.particles)[np.asarray(idx)]
+            if ref_sampler is not None:
+                key, w2_key = random.split(key)
+                sliced_w2 = compute_sliced_w2(
+                    flat, target_name, target.dim, n_reference=50000,
+                    n_projections=500, key=w2_key)
+            if (target.transform is not None
+                    and target.transform_target is not None):
+                key, w2t_key = random.split(key)
+                sliced_w2_transformed = compute_sliced_w2(
+                    target.transform(flat), target.transform_target,
+                    target.dim, n_reference=50000, n_projections=500,
+                    key=w2t_key)
+
+        total_time = time.time() - start_time
+        results = {
+            "sampler": "smc",
+            "target": target.name,
+            "schedule": None,
+            "dim": target.dim,
+            "num_steps": num_steps,
+            "n_chains": n_particles,   # the population plays the chain role
+            "num_warmup": 0,
+            "num_samples": n_particles,
+            "total_samples": n_particles,
+            "warmup_time": 0.0,
+            "sample_time": sample_time,
+            "total_time": total_time,
+            "accept_rate": accept_rate,
+            "rhat_max": None,          # no analogue — see evaluate_smc_gates
+            "rhat_mean": None,
+            "ess_bulk_min": ess,       # importance-sampling ESS (weights)
+            "ess_bulk_mean": ess,
+            "ess_tail_min": None,
+            "ess_tail_mean": None,
+            "ess_per_sample": gates["ess_per_sample"],
+            "ess_per_gradient": ess / n_gradients if n_gradients else 0.0,
+            "divergence_rate": divergence_rate,
+            "total_divergences": total_div,
+            "n_gradients": n_gradients,
+            "rhat_pass": None,
+            "ess_pass": ess >= MIN_ESS_QUALITY,
+            "ess_tail_pass": None,
+            "stats_pass": stats_pass,
+            "z_score_max": stats_result.get("max_z"),
+            "z_score_threshold": stats_result.get("threshold"),
+            "usable": gates["usable"],
+            "quality_pass": gates["quality_pass"],
+            "is_inefficient": gates["is_inefficient"],
+            "is_high_efficiency": gates["is_high_efficiency"],
+            "sliced_w2": sliced_w2,
+            "sliced_w2_transformed": sliced_w2_transformed,
+            "convergence_trace": None,
+            # SMC-specific extras
+            "log_z": log_z,
+            "smc_particles": n_particles,
+            "smc_stages": n_stages,
+            "smc_resamples": int(res.info["n_resamples"]),
+            "smc_move_steps": move_steps,
+            "smc_base_scale": float(base_scale),
+            "smc_target_rel_ess": float(target_rel_ess),
+            "step_size": float(res.info["final_step_size"]),
+            "mesh_devices": (int(mesh.devices.size)
+                             if mesh is not None else None),
+            "mass_matrix_learned": False,
+        }
+        status = ("[PASS]" if results["quality_pass"]
+                  else "[USABLE]" if results["usable"] else "[FAIL]")
+        print(f"{status} log_Z={log_z:.4f} ESS={ess:.0f} "
+              f"div={divergence_rate:.1%} "
+              f"W2={sliced_w2 if sliced_w2 is None else round(sliced_w2, 4)} "
+              f"({total_time:.1f}s)")
+        return results
+    except Exception as e:
+        import traceback
+        traceback.print_exc()
+        return {
+            "sampler": "smc",
+            "target": target.name,
+            "schedule": None,
+            "dim": target.dim,
+            "num_steps": num_steps,
+            "total_samples": 0,
+            "ess_bulk_min": 0.0,
+            "n_gradients": 0,
+            "divergence_rate": None,
+            "error": str(e),
+            "total_time": time.time() - start_time,
+            "usable": False,
+            "quality_pass": False,
+            "mass_matrix_learned": False,
+        }
+
+
 def run_trajectory_length_grid_search(
     sampler: str,
     target: TargetDistribution,
@@ -1143,7 +1344,7 @@ def save_result_incremental(result: Dict, output_dir: str, is_first: bool = Fals
 def _resume_signature(sampler, target_name, schedule, learn_mass,
                       nuts_backend=None, nuts_steps_per_sample=None,
                       trajectory_tuner=None, nuts_proposal=None,
-                      tempering=None):
+                      tempering=None, smc_particles=None):
     """Completed-set key for resume-by-signature.
 
     NUTS rows additionally key on the resolved backend and (for the
@@ -1175,6 +1376,11 @@ def _resume_signature(sampler, target_name, schedule, learn_mass,
                 # skipping. Untempered rows (and all pre-tempering rows)
                 # resolve to None.
                 int(tempering) if tempering and int(tempering) > 1 else None)
+    elif sampler == "smc":
+        # population size is the one knob that changes what an SMC row
+        # measures at fixed seed: re-running with a different
+        # --smc-particles re-measures instead of skipping
+        sig += (int(smc_particles) if smc_particles else None,)
     return sig
 
 
@@ -1202,6 +1408,13 @@ def run_all_benchmarks(
     tempering_beta_min: float = 0.05,
     tempering_swap_interval: int = 1,
     tempering_ladder: str = "geometric",
+    smc_particles: int = 4096,
+    smc_move_steps: int = 3,
+    smc_num_steps: int = 8,
+    smc_step_size: float = 0.4,
+    smc_base_scale: float = 2.0,
+    smc_rel_ess: float = 0.5,
+    smc_max_stages: int = 200,
 ):
     """Iterate target x sampler x mass-mode (x schedule for GRAHMC) with
     resume-by-signature and incremental saving. Returns a DataFrame.
@@ -1249,7 +1462,8 @@ def run_all_benchmarks(
                               r.get("nuts_steps_per_sample"),
                               r.get("trajectory_tuner"),
                               r.get("nuts_proposal"),
-                              r.get("tempering"))
+                              r.get("tempering"),
+                              r.get("smc_particles"))
             for r in all_results}
         print(f"RESUMING: {len(all_results)} existing results, skipping "
               f"{len(completed)} completed configurations")
@@ -1262,6 +1476,29 @@ def run_all_benchmarks(
         target = get_target(target_name, dim=dim)
 
         for sampler in samplers:
+            if sampler == "smc":
+                # SMC has no warmup phase, mass matrix, or friction
+                # schedule — one row per (target, population size)
+                sig = _resume_signature("smc", target.name, None, False,
+                                        smc_particles=smc_particles)
+                if sig in completed:
+                    print(f"  [SKIP] {sig} (already completed)")
+                    continue
+                key, subkey = random.split(key)
+                result = run_single_smc_benchmark(
+                    target, target_name, subkey,
+                    n_particles=smc_particles, move_steps=smc_move_steps,
+                    num_steps=smc_num_steps, step_size=smc_step_size,
+                    base_scale=smc_base_scale, target_rel_ess=smc_rel_ess,
+                    max_stages=smc_max_stages, mesh_devices=mesh_devices)
+                ck = _config_key(result)
+                all_results = [r for r in all_results
+                               if _config_key(r) != ck]
+                all_results.append(result)
+                save_result_incremental(result, output_dir,
+                                        is_first=is_first)
+                is_first = False
+                continue
             for learn_mass in mass_matrix_modes:
                 schedules = (grahmc_schedules if sampler in ("grahmc", "rahmc")
                              else [None])
@@ -1392,7 +1629,11 @@ def print_summary(df):
             for _, row in top.iterrows():
                 sched = row.get("schedule")
                 name = row["sampler"] + (f"-{sched}" if isinstance(sched, str) else "")
+                rhat = row.get("rhat_max")
+                # SMC rows carry rhat_max=None (no analogue)
+                rhat_s = f"{rhat:.4f}" if rhat is not None and np.isfinite(
+                    np.float64(rhat)) else "n/a"
                 print(f"  {name:<25s} {row['target']:<25s} "
                       f"{row['ess_per_gradient']:.6f} "
                       f"(ESS={row.get('ess_bulk_min', 0):.0f}, "
-                      f"R-hat={row.get('rhat_max', 0):.4f})")
+                      f"R-hat={rhat_s})")

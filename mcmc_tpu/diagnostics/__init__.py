@@ -21,6 +21,7 @@ from mcmc_tpu.diagnostics.streaming import (
 )
 from mcmc_tpu.diagnostics.gates import (
     detect_divergences, check_summary_statistics, evaluate_gates,
+    evaluate_smc_gates,
     MIN_ESS_HARD_GATE, MIN_ESS_TAIL_HARD_GATE, MIN_ESS_QUALITY,
     MIN_ESS_TAIL_QUALITY, INEFFICIENT_THRESHOLD, HIGH_EFFICIENCY_THRESHOLD,
     DIVERGENCE_DELTA_H,
@@ -111,6 +112,7 @@ __all__ = [
     "sliced_wasserstein_distance", "compute_sliced_w2",
     "ConvergenceW2Tracker",
     "detect_divergences", "check_summary_statistics", "evaluate_gates",
+    "evaluate_smc_gates",
     "compute_diagnostics",
     "MIN_ESS_HARD_GATE", "MIN_ESS_TAIL_HARD_GATE", "MIN_ESS_QUALITY",
     "MIN_ESS_TAIL_QUALITY", "INEFFICIENT_THRESHOLD", "HIGH_EFFICIENCY_THRESHOLD",

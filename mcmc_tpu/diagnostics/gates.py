@@ -119,3 +119,66 @@ def evaluate_gates(
         "is_inefficient": is_inefficient,
         "is_high_efficiency": is_high_efficiency,
     }
+
+
+def evaluate_smc_gates(
+    ess: float,
+    divergence_rate: float,
+    log_z: float,
+    n_particles: int,
+    stats_pass: bool = True,
+    has_true_mean: bool = False,
+) -> Dict:
+    """Two-tier gates for annealed-SMC rows (samplers/smc.py).
+
+    SMC produces ONE exchangeable weighted population, not chains over
+    time, so the MCMC criteria translate as follows:
+
+    - **R-hat has no analogue and is omitted.** Splitting an exchangeable
+      population into pseudo-chains always reads ~1 (between-block and
+      within-block variance estimate the same population variance even
+      when the population is wrong), so including it would be a gate that
+      can never fire.
+    - **ESS is the importance-sampling ESS** of the final weights,
+      1/sum(w_i^2) — the single number that captures weight degeneracy,
+      the only failure channel the bulk/tail split of MCMC ESS exists to
+      separate (an exchangeable population has no autocorrelation
+      structure, so there is no separate tail estimate to check). Same
+      thresholds as the MCMC gates.
+    - **Divergences** come from the move kernels' |dH| checks, same
+      thresholds.
+    - **log_Z must be finite** — a NaN/inf evidence estimate means the
+      bridge degenerated (all weights -inf at some stage) and nothing
+      downstream of that stage is trustworthy.
+
+    Efficiency flags reuse the reference thresholds with ESS-per-particle
+    in place of ESS-per-draw.
+    """
+    log_z_ok = bool(np.isfinite(log_z))
+    ess_per_sample = ess / n_particles if n_particles > 0 else 0.0
+
+    usable = (
+        log_z_ok
+        and ess >= MIN_ESS_HARD_GATE
+        and divergence_rate < DIVERGENCE_USABLE
+    )
+    if usable:
+        quality_pass = (
+            ess >= MIN_ESS_QUALITY
+            and divergence_rate < DIVERGENCE_QUALITY
+            and (not has_true_mean or stats_pass)
+        )
+        is_inefficient = ess_per_sample < INEFFICIENT_THRESHOLD
+        is_high_efficiency = ess_per_sample > HIGH_EFFICIENCY_THRESHOLD
+    else:
+        quality_pass = False
+        is_inefficient = False
+        is_high_efficiency = False
+
+    return {
+        "usable": usable,
+        "quality_pass": quality_pass,
+        "ess_per_sample": ess_per_sample,
+        "is_inefficient": is_inefficient,
+        "is_high_efficiency": is_high_efficiency,
+    }

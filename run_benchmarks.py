@@ -39,7 +39,10 @@ def main():
                         help="Run all available targets")
     parser.add_argument("--samplers", nargs="+",
                         default=["rwmh", "hmc", "nuts", "grahmc"],
-                        help="List of samplers to benchmark")
+                        help="List of samplers to benchmark (rwmh, hmc, "
+                        "nuts, grahmc; plus 'smc' — annealed SMC with "
+                        "log-Z evidence estimation, configured by the "
+                        "--smc-* flags)")
     parser.add_argument("--schedules", nargs="+",
                         default=["constant", "tanh", "sigmoid", "linear", "sine"],
                         help="GRAHMC friction schedules to test")
@@ -126,6 +129,25 @@ def main():
                         "sampling (short tempered bursts; one compiled "
                         "executable — betas are traced). Default keeps "
                         "the fixed geometric ladder")
+    parser.add_argument("--smc-particles", type=int, default=4096,
+                        help="Population size for '--samplers smc' rows "
+                        "(annealed SMC with log-Z evidence estimation, "
+                        "samplers/smc.py). Must divide by the mesh size "
+                        "when sharded (default 4096)")
+    parser.add_argument("--smc-move-steps", type=int, default=3,
+                        help="MCMC move transitions per SMC annealing stage "
+                        "(default 3)")
+    parser.add_argument("--smc-num-steps", type=int, default=8,
+                        help="Leapfrog steps per SMC move transition "
+                        "(default 8; the step size Robbins-Monro-adapts "
+                        "per transition toward 0.65 acceptance)")
+    parser.add_argument("--smc-base-scale", type=float, default=2.0,
+                        help="Std of the N(0, s^2 I) base distribution the "
+                        "SMC bridge starts from (default 2.0)")
+    parser.add_argument("--smc-rel-ess", type=float, default=0.5,
+                        help="Adaptive-schedule target: each temperature "
+                        "step is chosen so the reweight's conditional "
+                        "relative ESS equals this (default 0.5)")
     parser.add_argument("--no-warmup-cache", action="store_true",
                         help="Disable per-configuration warmup checkpoints "
                         "(<output-dir>/.warmup_cache_seed<seed>/); with the "
@@ -183,6 +205,11 @@ def main():
         tempering_beta_min=args.tempering_beta_min,
         tempering_swap_interval=args.tempering_swap_interval,
         tempering_ladder=args.tempering_ladder,
+        smc_particles=args.smc_particles,
+        smc_move_steps=args.smc_move_steps,
+        smc_num_steps=args.smc_num_steps,
+        smc_base_scale=args.smc_base_scale,
+        smc_rel_ess=args.smc_rel_ess,
     )
     print_summary(df)
 

@@ -722,3 +722,52 @@ def test_trajectory_tuner_flag_does_not_break_nuts_warmup_cache(tmp_path):
         "nuts", t, "standard_normal", random.PRNGKey(8), **kw)
     assert r2.get("error") is None
     assert r2["warmup_restored"] is True, "NUTS checkpoint must be restored"
+
+
+def test_resume_signature_keys_smc_particles():
+    """Re-running with a different --smc-particles must re-measure the SMC
+    row instead of skipping (the population size is the one knob that
+    changes what the row measures at a fixed seed)."""
+    from mcmc_tpu.benchmark.runner import _resume_signature
+
+    s1 = _resume_signature("smc", "T", None, False, smc_particles=1024)
+    s2 = _resume_signature("smc", "T", None, False, smc_particles=2048)
+    assert s1 != s2
+    assert s1 == _resume_signature("smc", "T", None, False,
+                                   smc_particles=1024)
+    # non-SMC signatures ignore the kwarg
+    assert (_resume_signature("hmc", "T", None, True)
+            == _resume_signature("hmc", "T", None, True, smc_particles=512))
+
+
+def test_run_all_benchmarks_smc_e2e(tmp_path):
+    """'--samplers smc' end-to-end: the row runs annealed SMC (auto-meshed
+    over all visible devices — 8 on the CPU test host), estimates log Z ~ 0
+    on a normalized target, carries the SMC schema (weighted ESS, no R-hat
+    analogue), passes gates, and resumes by signature."""
+    kw = dict(samplers=["smc"], targets=["standard_normal"],
+              grahmc_schedules=["constant"], dim=3, n_chains=4,
+              num_warmup=100, num_samples=200, seed=0,
+              output_dir=str(tmp_path), smc_particles=1024,
+              smc_move_steps=2, smc_num_steps=6)
+    df1 = run_all_benchmarks(**kw)
+    assert len(df1) == 1
+    row = df1.iloc[0].to_dict()
+    assert row.get("error") is None or (isinstance(row.get("error"), float)
+                                        and np.isnan(row["error"]))
+    assert row["sampler"] == "smc"
+    # normalized target: the evidence estimate must sit near log Z = 0
+    assert abs(row["log_z"]) < 0.25
+    # no R-hat analogue for an exchangeable population (gates.py rationale)
+    assert row["rhat_max"] is None or np.isnan(row["rhat_max"])
+    assert row["ess_bulk_min"] >= 400          # weighted IS ESS
+    assert row["usable"] and bool(row["stats_pass"])
+    assert row["smc_particles"] == 1024
+    assert row["n_gradients"] == row["smc_stages"] * 2 * 1024 * 6
+    assert row["mesh_devices"] == 8            # auto-mesh engaged
+    assert row["sliced_w2"] is not None and row["sliced_w2"] < 0.5
+    # resume: the second invocation skips the completed signature
+    df2 = run_all_benchmarks(**kw)
+    assert len(df2) == 1
+    results = json.loads((tmp_path / "benchmark_results.json").read_text())
+    assert len(results) == 1 and results[0]["sampler"] == "smc"

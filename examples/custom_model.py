@@ -136,6 +136,30 @@ def main():
         == np.asarray(y_te)))
     print(f"  held-out accuracy: posterior {acc:.3f} vs truth-ceiling "
           f"{acc_true:.3f}")
+
+    # ------------------------------------------------------------------
+    # 5. Predictive scoring: PSIS-LOO cross-validation from the SAME
+    #    draws (no refits). The pointwise log-likelihood matrix is the
+    #    only input; khat localizes any datapoint whose leave-one-out
+    #    posterior the draws can't represent (> 0.7 = don't trust that
+    #    point). Fit a competing model the same way and rank with
+    #    `mcmc_tpu.diagnostics.compare({...})` — paired d_elpd +/- d_se.
+    # ------------------------------------------------------------------
+    from mcmc_tpu.diagnostics import psis_loo, pointwise_log_likelihood
+
+    def pointwise_ll(beta):
+        z = X_tr @ beta                                     # (n_train,)
+        return y_tr * z - jnp.logaddexp(0.0, z)
+
+    ll = pointwise_log_likelihood(pointwise_ll, samples)
+    loo = psis_loo(ll)
+    khat_max = float(np.max(np.asarray(loo.khat)))
+    print(f"\n  PSIS-LOO: elpd={loo.elpd:.1f} +/- {loo.se:.1f}  "
+          f"p_eff={loo.p_eff:.1f}  max khat={khat_max:.2f} "
+          f"({loo.n_bad_khat} points > 0.7)")
+    if loo.n_bad_khat:
+        print("  WARNING: some leave-one-out posteriors are unreliable "
+              "(khat > 0.7) — refit without those points to check them")
     return 0
 
 

@@ -15,6 +15,10 @@ from mcmc_tpu.diagnostics.wasserstein import (
     sliced_wasserstein_distance, compute_sliced_w2,
     ConvergenceW2Tracker,
 )
+from mcmc_tpu.diagnostics.model_comparison import (
+    psis_loo, waic, compare, pointwise_log_likelihood,
+    LooResult, WaicResult,
+)
 from mcmc_tpu.diagnostics.streaming import (
     ess_bulk_chunked, split_rhat_chunked, ess_tail_chunked,
     ess_mean_chunked, mcse_mean_chunked, compute_diagnostics_chunked,
@@ -111,6 +115,8 @@ __all__ = [
     "ess_mean_chunked", "mcse_mean_chunked", "compute_diagnostics_chunked",
     "sliced_wasserstein_distance", "compute_sliced_w2",
     "ConvergenceW2Tracker",
+    "psis_loo", "waic", "compare", "pointwise_log_likelihood",
+    "LooResult", "WaicResult",
     "detect_divergences", "check_summary_statistics", "evaluate_gates",
     "evaluate_smc_gates",
     "compute_diagnostics",

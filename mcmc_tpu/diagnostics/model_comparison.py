@@ -168,7 +168,14 @@ def _psis_column(lr: Array, n_tail: int):
     tail_log = sorted_lr[S - n_tail:]
     cutoff = jnp.exp(cutoff_log)
     exceed = jnp.exp(tail_log) - cutoff
-    khat, sigma = _gpd_fit(exceed)
+    # degenerate tail (all ratios ~equal, e.g. a theta-independent
+    # likelihood column): nothing to smooth — keep the raw weights and
+    # report khat = -inf (lightest possible tail), never NaN
+    degenerate = exceed[-1] <= 0.0
+    exceed_safe = jnp.where(degenerate,
+                            jnp.arange(1, n_tail + 1, dtype=lr.dtype),
+                            exceed)
+    khat, sigma = _gpd_fit(exceed_safe)
     # expected-order-statistic replacement, truncated at the raw max
     # (= 1.0 after the max shift)
     q = (jnp.arange(1, n_tail + 1, dtype=lr.dtype) - 0.5) / n_tail
@@ -176,6 +183,8 @@ def _psis_column(lr: Array, n_tail: int):
     new_sorted = jnp.concatenate(
         [sorted_lr[:S - n_tail], jnp.log(jnp.maximum(smoothed, 1e-300))])
     new_lr = jnp.zeros_like(lr).at[order].set(new_sorted)
+    new_lr = jnp.where(degenerate, lr, new_lr)
+    khat = jnp.where(degenerate, -jnp.inf, khat)
     return new_lr - logsumexp(new_lr), khat
 
 

@@ -150,3 +150,21 @@ def test_pointwise_log_likelihood_builder_and_history_shapes():
 def test_psis_loo_rejects_tiny_sample():
     with pytest.raises(ValueError, match=">= 25 draws"):
         psis_loo(jnp.zeros((10, 5)))
+
+
+def test_constant_likelihood_column_never_nans():
+    """A theta-independent datapoint (constant ll column) has zero-spread
+    importance ratios: PSIS must keep the raw (uniform) weights and report
+    khat = -inf for it, never NaN, and its elpd_i must equal its ll."""
+    rng = np.random.default_rng(5)
+    draws = rng.normal(size=500)
+    y = rng.normal(size=6)
+    ll = -0.5 * (y[None, :] - draws[:, None]) ** 2
+    ll[:, 3] = -1.234                            # constant column
+    r = psis_loo(jnp.asarray(ll))
+    elpd_i = np.asarray(r.elpd_i)
+    khat = np.asarray(r.khat)
+    assert np.all(np.isfinite(elpd_i))
+    assert np.isclose(elpd_i[3], -1.234)
+    assert khat[3] == -np.inf
+    assert np.all(np.isfinite(khat[np.arange(6) != 3]))

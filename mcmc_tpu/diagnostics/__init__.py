@@ -109,8 +109,64 @@ def compute_diagnostics(samples) -> dict:
     }
 
 
+def hdi(samples, hdi_prob: float = 0.94):
+    """Highest-density interval per dimension: (lo (dim,), hi (dim,)).
+
+    The narrowest window containing hdi_prob of the pooled draws (exact
+    for unimodal marginals — arviz's `az.hdi` algorithm): one sort per
+    dimension + a sliding-window argmin, all batched on device.
+    samples: (draws, chains, dim) or (n, dim).
+    """
+    if not 0.0 < hdi_prob < 1.0:
+        raise ValueError("hdi_prob must be in (0, 1)")
+    x = jnp.asarray(samples)
+    if x.ndim == 3:
+        x = x.reshape(-1, x.shape[-1])
+    n = x.shape[0]
+    w = max(1, int(np.floor(hdi_prob * n)))
+    if w >= n:
+        w = n - 1
+    xs = jnp.sort(x, axis=0)
+    widths = xs[w:] - xs[: n - w]                 # (n-w, dim)
+    i = jnp.argmin(widths, axis=0)                # (dim,)
+    cols = jnp.arange(x.shape[1])
+    return np.asarray(xs[i, cols]), np.asarray(xs[i + w, cols])
+
+
+def summary(samples, hdi_prob: float = 0.94, var_names=None):
+    """arviz `az.summary`-style per-dimension table as a pandas DataFrame.
+
+    Columns: mean, sd, hdi_lo, hdi_hi, mcse_mean, ess_bulk, ess_tail,
+    r_hat — built from the same on-device estimators the gates use
+    (compute_diagnostics) plus the batched HDI above. `var_names` labels
+    the rows (defaults to x0..x{D-1}).
+    """
+    import pandas as pd
+
+    d = compute_diagnostics(samples)["summary"]
+    lo, hi = hdi(samples, hdi_prob)
+    dim = len(d["mean"])
+    if var_names is None:
+        var_names = [f"x{i}" for i in range(dim)]
+    pct = f"{hdi_prob * 100:g}%"
+    return pd.DataFrame(
+        {
+            "mean": d["mean"],
+            "sd": d["sd"],
+            f"hdi_lo_{pct}": lo,
+            f"hdi_hi_{pct}": hi,
+            "mcse_mean": d["mcse_mean"],
+            "ess_bulk": d["ess_bulk"],
+            "ess_tail": d["ess_tail"],
+            "r_hat": d["r_hat"],
+        },
+        index=var_names,
+    )
+
+
 __all__ = [
     "split_rhat", "ess_bulk", "ess_tail", "ess_mean", "mcse_mean",
+    "hdi", "summary",
     "ess_bulk_chunked", "split_rhat_chunked", "ess_tail_chunked",
     "ess_mean_chunked", "mcse_mean_chunked", "compute_diagnostics_chunked",
     "sliced_wasserstein_distance", "compute_sliced_w2",

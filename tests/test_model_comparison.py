@@ -168,3 +168,24 @@ def test_constant_likelihood_column_never_nans():
     assert np.isclose(elpd_i[3], -1.234)
     assert khat[3] == -np.inf
     assert np.all(np.isfinite(khat[np.arange(6) != 3]))
+
+
+def test_hdi_and_summary_table():
+    """hdi() matches the analytic normal interval; summary() returns the
+    az.summary-style per-dim table built from the gate estimators."""
+    from mcmc_tpu.diagnostics import hdi, summary
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(500, 8, 3)) * np.array([1.0, 2.0, 0.5]))
+    lo, hi = hdi(x, hdi_prob=0.95)
+    # N(0, s): central 95% ~ +/- 1.96 s (HDI == central by symmetry)
+    for j, s in enumerate([1.0, 2.0, 0.5]):
+        assert abs(lo[j] + 1.96 * s) < 0.25 * s, (j, lo[j])
+        assert abs(hi[j] - 1.96 * s) < 0.25 * s, (j, hi[j])
+    df = summary(x, hdi_prob=0.95, var_names=["a", "b", "c"])
+    assert list(df.index) == ["a", "b", "c"]
+    assert {"mean", "sd", "mcse_mean", "ess_bulk", "ess_tail",
+            "r_hat"} <= set(df.columns)
+    assert (df["r_hat"] < 1.02).all()
+    assert np.allclose(df["hdi_lo_95%"], lo)
+    with pytest.raises(ValueError, match="hdi_prob"):
+        hdi(x, hdi_prob=1.5)

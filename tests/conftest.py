@@ -24,6 +24,12 @@ jax.config.update("jax_enable_x64", True)
 # identical across runs. First run populates ./.jax_test_cache (gitignored);
 # repeat runs skip XLA backend compilation. Safe: keyed by HLO + compile
 # options + backend, so any code change recompiles.
+# CAUTION: do not run multiple pytest processes concurrently against this
+# shared cache — concurrent writers have produced truncated entries that
+# SEGFAULT later readers inside XLA executable deserialization
+# (compilation_cache.get_executable_and_time). If a suite run dies with a
+# segfault whose stack shows that frame, `rm -rf .jax_test_cache` and rerun
+# serially.
 _cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_test_cache")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)

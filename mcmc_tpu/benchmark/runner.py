@@ -936,6 +936,7 @@ def run_single_smc_benchmark(
     target_rel_ess: float = 0.5,
     max_stages: int = 200,
     mesh_devices="auto",
+    tune_trajectory: bool = False,
 ) -> Dict:
     """One annealed-SMC benchmark row: transport n_particles from
     N(0, base_scale^2 I) to the target, estimate log Z, gate the final
@@ -968,7 +969,8 @@ def run_single_smc_benchmark(
         n_particles=n_particles, dim=target.dim, step_size=step_size,
         num_steps=num_steps, move_steps=move_steps, max_stages=max_stages,
         base_scale=base_scale, target_rel_ess=target_rel_ess,
-        value_and_grad_fn=target.value_and_grad_fn)
+        value_and_grad_fn=target.value_and_grad_fn,
+        tune_trajectory=tune_trajectory)
     key, run_key = random.split(key)
     where = (f"mesh {mesh.devices.size} devices" if mesh is not None
              else "single-device")
@@ -992,11 +994,12 @@ def run_single_smc_benchmark(
         n_moves = n_stages * move_steps * n_particles
         total_div = int(res.info["n_divergences"])
         divergence_rate = total_div / max(n_moves, 1)
-        # every move transition integrates num_steps leapfrogs per particle
-        # (the per-stage reweight/refresh evals are gradient-free or 1/L of
-        # a move's cost and are not charged, matching the MCMC rows'
-        # leapfrog-only accounting)
-        n_gradients = n_moves * num_steps
+        # realized per-particle leapfrog count from the run itself — exact
+        # for both the fixed path (stages * moves * num_steps) and the
+        # ChEES-tuned jittered path (the per-stage reweight/refresh evals
+        # are gradient-free or 1/L of a move's cost and are not charged,
+        # matching the MCMC rows' leapfrog-only accounting)
+        n_gradients = int(res.info["n_leapfrogs"]) * n_particles
         print(f"  {n_stages} stages, {int(res.info['n_resamples'])} "
               f"resamples, log_Z={log_z:.4f}, ESS={ess:.0f}, "
               f"accept={accept_rate:.3f} ({sample_time:.1f}s)")
@@ -1091,6 +1094,10 @@ def run_single_smc_benchmark(
             "smc_move_steps": move_steps,
             "smc_base_scale": float(base_scale),
             "smc_target_rel_ess": float(target_rel_ess),
+            "smc_tune_trajectory": bool(tune_trajectory),
+            "smc_final_trajectory_length": (
+                float(res.info["final_trajectory_length"])
+                if tune_trajectory else None),
             "step_size": float(res.info["final_step_size"]),
             "mesh_devices": (int(mesh.devices.size)
                              if mesh is not None else None),
@@ -1344,7 +1351,8 @@ def save_result_incremental(result: Dict, output_dir: str, is_first: bool = Fals
 def _resume_signature(sampler, target_name, schedule, learn_mass,
                       nuts_backend=None, nuts_steps_per_sample=None,
                       trajectory_tuner=None, nuts_proposal=None,
-                      tempering=None, smc_particles=None):
+                      tempering=None, smc_particles=None,
+                      smc_tune_trajectory=None):
     """Completed-set key for resume-by-signature.
 
     NUTS rows additionally key on the resolved backend and (for the
@@ -1377,10 +1385,12 @@ def _resume_signature(sampler, target_name, schedule, learn_mass,
                 # resolve to None.
                 int(tempering) if tempering and int(tempering) > 1 else None)
     elif sampler == "smc":
-        # population size is the one knob that changes what an SMC row
-        # measures at fixed seed: re-running with a different
-        # --smc-particles re-measures instead of skipping
-        sig += (int(smc_particles) if smc_particles else None,)
+        # population size and the trajectory tuner are the knobs that
+        # change what an SMC row measures at fixed seed: re-running with a
+        # different --smc-particles / --smc-tune-trajectory re-measures
+        # instead of skipping (pre-tuner rows resolve to None == fixed)
+        sig += (int(smc_particles) if smc_particles else None,
+                "chees" if smc_tune_trajectory else None)
     return sig
 
 
@@ -1415,6 +1425,7 @@ def run_all_benchmarks(
     smc_base_scale: float = 2.0,
     smc_rel_ess: float = 0.5,
     smc_max_stages: int = 200,
+    smc_tune_trajectory: bool = False,
 ):
     """Iterate target x sampler x mass-mode (x schedule for GRAHMC) with
     resume-by-signature and incremental saving. Returns a DataFrame.
@@ -1463,7 +1474,8 @@ def run_all_benchmarks(
                               r.get("trajectory_tuner"),
                               r.get("nuts_proposal"),
                               r.get("tempering"),
-                              r.get("smc_particles"))
+                              r.get("smc_particles"),
+                              r.get("smc_tune_trajectory"))
             for r in all_results}
         print(f"RESUMING: {len(all_results)} existing results, skipping "
               f"{len(completed)} completed configurations")
@@ -1479,8 +1491,10 @@ def run_all_benchmarks(
             if sampler == "smc":
                 # SMC has no warmup phase, mass matrix, or friction
                 # schedule — one row per (target, population size)
-                sig = _resume_signature("smc", target.name, None, False,
-                                        smc_particles=smc_particles)
+                sig = _resume_signature(
+                    "smc", target.name, None, False,
+                    smc_particles=smc_particles,
+                    smc_tune_trajectory=smc_tune_trajectory)
                 if sig in completed:
                     print(f"  [SKIP] {sig} (already completed)")
                     continue
@@ -1490,7 +1504,8 @@ def run_all_benchmarks(
                     n_particles=smc_particles, move_steps=smc_move_steps,
                     num_steps=smc_num_steps, step_size=smc_step_size,
                     base_scale=smc_base_scale, target_rel_ess=smc_rel_ess,
-                    max_stages=smc_max_stages, mesh_devices=mesh_devices)
+                    max_stages=smc_max_stages, mesh_devices=mesh_devices,
+                    tune_trajectory=smc_tune_trajectory)
                 ck = _config_key(result)
                 all_results = [r for r in all_results
                                if _config_key(r) != ck]

@@ -398,6 +398,8 @@ def smc_run_sharded(
     value_and_grad_fn: Optional[Callable] = None,
     adapt_step_size: bool = True,
     final_resample: bool = False,
+    tune_trajectory: bool = False,
+    max_leapfrogs: Optional[int] = None,
 ):
     """Annealed SMC (samplers/smc.py) with the particle population sharded
     over `mesh`'s chain axis.
@@ -446,6 +448,8 @@ def smc_run_sharded(
     if inv_mass_matrix is None:
         inv_mass_matrix = jnp.ones(dim, jnp.float32)
     inv_mass_matrix = jnp.asarray(inv_mass_matrix, jnp.float32)
+    if max_leapfrogs is None:
+        max_leapfrogs = max(4 * num_steps, 16)
 
     sharded = P(CHAIN_AXIS)
     out_specs = SMCResult(
@@ -458,7 +462,9 @@ def smc_run_sharded(
             divergence_count=sharded),
         info={k: P() for k in ("n_stages", "n_resamples", "n_divergences",
                                "ess", "final_step_size", "betas", "rel_ess",
-                               "accept", "resampled", "step_size")})
+                               "accept", "resampled", "step_size",
+                               "n_leapfrogs", "final_trajectory_length",
+                               "trajectory_length")})
 
     have_betas = betas is not None
     args = [key, jnp.asarray(step_size, jnp.float32), inv_mass_matrix]
@@ -482,6 +488,12 @@ def smc_run_sharded(
             steepness=steepness, friction_schedule=friction_schedule,
             value_and_grad_fn=value_and_grad_fn,
             adapt_step_size=adapt_step_size, final_resample=final_resample,
-            axis_name=CHAIN_AXIS, total_particles=n_particles)
+            axis_name=CHAIN_AXIS, total_particles=n_particles,
+            tune_trajectory=tune_trajectory, max_leapfrogs=max_leapfrogs,
+            # the UNFOLDED key: every device draws the SAME jitter h per
+            # move, so the traced leapfrog count — and with the psum'd
+            # criterion gradient, the whole log-T trajectory — is
+            # replicated across the mesh
+            jitter_key=key)
 
     return run_shard(*args)

@@ -60,6 +60,10 @@ from jax import jit, lax, random
 from mcmc_tpu import precision
 from mcmc_tpu.samplers.base import ChainState, make_value_and_grad
 from mcmc_tpu.samplers.grahmc import grahmc_step
+from mcmc_tpu.samplers.trajectory import (
+    integrate_trajectory_dynamic, kinetic_energy, sample_momentum,
+)
+from mcmc_tpu.diagnostics.gates import DIVERGENCE_DELTA_H
 
 Array = jnp.ndarray
 
@@ -191,6 +195,8 @@ def smc_run(
     value_and_grad_fn: Optional[Callable] = None,
     adapt_step_size: bool = True,
     final_resample: bool = False,
+    tune_trajectory: bool = False,
+    max_leapfrogs: Optional[int] = None,
 ) -> SMCResult:
     """Annealed SMC from N(base_mean, base_scale^2 I) to exp(log_prob_fn).
 
@@ -205,6 +211,22 @@ def smc_run(
     acceptance (adaptive-SMC regime: consistent; disable together with a
     fixed `betas` schedule for the exactly unbiased estimator).
     final_resample: return an unweighted (uniform-weight) population.
+    tune_trajectory: adapt the move TRAJECTORY LENGTH alongside the step
+    size with the ChEES criterion computed on the particle population
+    (Hoffman-Radul-Sountsov 2021; the SMC composition follows Devlin et
+    al. 2025, arXiv:2504.02627 "Incorporating the ChEES Criterion into
+    Sequential Monte Carlo Samplers"): each move draws a uniform jitter
+    h, integrates ceil(h*T/eps) leapfrogs (traced count — one compiled
+    program), and Adam-ascends log T on the acceptance-weighted criterion
+    gradient (tuning/chees.py::chees_log_t_grad). Each bridge distribution
+    pi_b has its own optimal T, exactly like its own stability cliff —
+    this tracks both. `num_steps` then only sets the INITIAL length
+    T0 = num_steps * step_size; the realized leapfrog count is returned
+    in info["n_leapfrogs"] (per particle) and the per-stage T in
+    info["trajectory_length"]. Same adaptive-SMC consistency regime as
+    adapt_step_size.
+    max_leapfrogs: cap on the per-move leapfrog count when tuning
+    (default max(4 * num_steps, 16)).
 
     Returns SMCResult; see the module docstring for the estimator contract.
     Cited against the reference's missing capability: its bimodal benchmark
@@ -224,6 +246,8 @@ def smc_run(
     if (base_scale is not None and not isinstance(base_scale, jax.core.Tracer)
             and bool(np.any(np.asarray(base_scale) <= 0.0))):
         raise ValueError("base_scale must be strictly positive")
+    if max_leapfrogs is None:
+        max_leapfrogs = max(4 * num_steps, 16)
     return _smc_run_jit(
         key, log_prob_fn, n_particles=n_particles, dim=dim,
         step_size=step_size, num_steps=num_steps, betas=betas,
@@ -232,13 +256,15 @@ def smc_run(
         base_scale=base_scale, inv_mass_matrix=inv_mass_matrix, gamma=gamma,
         steepness=steepness, friction_schedule=friction_schedule,
         value_and_grad_fn=value_and_grad_fn, adapt_step_size=adapt_step_size,
-        final_resample=final_resample)
+        final_resample=final_resample, tune_trajectory=tune_trajectory,
+        max_leapfrogs=max_leapfrogs)
 
 
 @partial(jit, static_argnames=(
     "log_prob_fn", "n_particles", "dim", "num_steps", "move_steps",
     "max_stages", "friction_schedule", "value_and_grad_fn",
-    "adapt_step_size", "final_resample", "axis_name", "total_particles"))
+    "adapt_step_size", "final_resample", "axis_name", "total_particles",
+    "tune_trajectory", "max_leapfrogs"))
 def _smc_run_jit(
     key,
     log_prob_fn,
@@ -262,6 +288,9 @@ def _smc_run_jit(
     final_resample: bool,
     axis_name: Optional[str] = None,
     total_particles: Optional[int] = None,
+    tune_trajectory: bool = False,
+    max_leapfrogs: int = 16,
+    jitter_key=None,
 ) -> SMCResult:
     """With `axis_name` set (called per-device inside shard_map, see
     parallel/fused_sharded.py::smc_run_sharded), `n_particles` is the
@@ -335,6 +364,9 @@ def _smc_run_jit(
         stage: Array     # stages completed
         n_resamples: Array
         n_divergences: Array
+        cs_t: tuple      # ChEES Adam-on-log-T state (constant when off)
+        jkey: Array      # jitter stream (REPLICATED under a mesh)
+        n_leapfrogs: Array  # realized per-particle leapfrogs (tuned path)
         hist: dict
 
     def stage_step(c: Carry) -> Carry:
@@ -389,34 +421,87 @@ def _smc_run_jit(
             accept_count=jnp.zeros(P, jnp.int32),
             divergence_count=jnp.zeros(P, jnp.int32))
 
-        def one_move(carry, _):
-            """One pi_b-invariant transition, then (optionally) a
-            Robbins-Monro eps update from ITS acceptance. The update is
-            asymmetric — growth capped at e^0.05, shrink up to e^-1 —
+        def _eps_update(eps_l, acc_t):
+            """Robbins-Monro eps update from ONE transition's acceptance.
+            Asymmetric — growth capped at e^0.05, shrink up to e^-1 —
             because leapfrog acceptance CLIFFS at the stability limit
             (measured on the ill-conditioned bridge: eps 1.89 -> 0.92
             acceptance, eps 2.17 -> 0.002): a symmetric gain oscillates
             across the cliff, and a between-stage-only update wastes an
             entire stage's moves every time the bridge geometry shifts
             the cliff (the dominant failure at few-stage schedules)."""
-            mk, st, eps_l = carry
-            prev = st.accept_count
-            mk, st, _extras = grahmc_step(
-                mk, st, mixture_vag, eps_l, num_steps, gamma=gamma,
-                steepness=steepness, inv_mass_matrix=inv_mass,
-                friction_schedule=friction_schedule)
-            acc_t = (st.accept_count - prev).astype(jnp.float32).mean()
+            if not adapt_step_size:
+                return eps_l
+            raw = _STEP_RM_GAIN * (acc_t - _TARGET_MOVE_ACCEPT)
+            return eps_l * jnp.exp(jnp.clip(raw, -1.0, 0.05))
+
+        def one_move(carry, _):
+            """One pi_b-invariant transition + per-transition adaptation
+            (eps always; log T via the ChEES criterion when tuning)."""
+            mk, st, eps_l, cs_t, jk, n_lf = carry
+            if not tune_trajectory:
+                prev = st.accept_count
+                mk, st, _extras = grahmc_step(
+                    mk, st, mixture_vag, eps_l, num_steps, gamma=gamma,
+                    steepness=steepness, inv_mass_matrix=inv_mass,
+                    friction_schedule=friction_schedule)
+                acc_t = (st.accept_count - prev).astype(jnp.float32).mean()
+                n_lf = n_lf + jnp.int32(num_steps)
+            else:
+                # jittered dynamic-length transition (tuning/chees.py
+                # machinery): n = ceil(h*T/eps) leapfrogs as a TRACED
+                # count — one compiled program across all T values. The
+                # jitter stream jk is replicated across devices so every
+                # device runs the same n.
+                from mcmc_tpu.tuning.chees import (
+                    chees_log_t_grad, chees_update, num_leapfrog_steps)
+                jk, k_h = random.split(jk)
+                h = random.uniform(k_h, (), dtype=jnp.float32)
+                T = jnp.exp(cs_t.log_t).astype(jnp.float32)
+                n = num_leapfrog_steps(h * T, eps_l, max_leapfrogs)
+                mk, k_mom, k_acc = random.split(mk, 3)
+                pos_dtype = st.position.dtype
+                p0 = sample_momentum(k_mom, st.position.shape, inv_mass,
+                                     pos_dtype)
+                h0 = (-st.log_prob
+                      + kinetic_energy(p0, inv_mass).astype(e_dtype))
+                q1, p1, lp1, grad1 = integrate_trajectory_dynamic(
+                    st.position, p0, st.log_prob, st.grad_log_prob,
+                    mixture_vag, eps_l, n, inv_mass,
+                    friction_schedule=friction_schedule, gamma_max=gamma,
+                    steepness=steepness)
+                h1 = precision.guard_energy(
+                    -lp1 + kinetic_energy(p1, inv_mass).astype(e_dtype))
+                log_alpha = jnp.minimum(jnp.asarray(0.0, e_dtype), h0 - h1)
+                divergent = jnp.abs(h1 - h0) > DIVERGENCE_DELTA_H
+                u = random.uniform(k_acc, (P,), dtype=e_dtype)
+                acc_mask = jnp.log(u) < log_alpha
+                # criterion gradient needs the UNFLIPPED endpoint momentum
+                alpha = jnp.exp(log_alpha).astype(jnp.float32)
+                g = chees_log_t_grad(st.position, q1, p1, h, T, alpha,
+                                     inv_mass, axis_name=axis_name)
+                cs_t = chees_update(cs_t, g)
+                st = st._replace(
+                    position=jnp.where(acc_mask[:, None], q1, st.position),
+                    log_prob=jnp.where(acc_mask, lp1, st.log_prob),
+                    grad_log_prob=jnp.where(acc_mask[:, None], grad1,
+                                            st.grad_log_prob),
+                    accept_count=(st.accept_count
+                                  + acc_mask.astype(jnp.int32)),
+                    divergence_count=(st.divergence_count
+                                      + divergent.astype(jnp.int32)))
+                acc_t = acc_mask.astype(jnp.float32).mean()
+                n_lf = n_lf + n
             if axis_name is not None:
                 # global acceptance: the eps trajectory must be identical
                 # on every device (equal shard sizes -> pmean is exact)
                 acc_t = lax.pmean(acc_t, axis_name)
-            if adapt_step_size:
-                raw = _STEP_RM_GAIN * (acc_t - _TARGET_MOVE_ACCEPT)
-                eps_l = eps_l * jnp.exp(jnp.clip(raw, -1.0, 0.05))
-            return (mk, st, eps_l), acc_t
+            eps_l = _eps_update(eps_l, acc_t)
+            return (mk, st, eps_l, cs_t, jk, n_lf), acc_t
 
-        (_, mstate, eps), acc_ts = lax.scan(one_move, (km, mstate, c.eps),
-                                            None, length=move_steps)
+        (_, mstate, eps, cs_t, jkey, n_lf), acc_ts = lax.scan(
+            one_move, (km, mstate, c.eps, c.cs_t, c.jkey, c.n_leapfrogs),
+            None, length=move_steps)
         accept = acc_ts.mean()
 
         # refresh the target pieces at the moved positions directly (one
@@ -436,15 +521,33 @@ def _smc_run_jit(
             "resampled": c.hist["resampled"].at[s].set(do_res),
             "step_size": c.hist["step_size"].at[s].set(
                 c.eps.astype(jnp.float32)),
+            "trajectory_length": c.hist["trajectory_length"].at[s].set(
+                jnp.exp(c.cs_t.log_t).astype(jnp.float32)),
         }
         return Carry(key, mstate.position, lp_t2, g_t2, logw, log_z, b_new,
                      eps, s + 1, c.n_resamples + do_res.astype(jnp.int32),
                      c.n_divergences + jnp.sum(
                          mstate.divergence_count).astype(jnp.int32),
-                     hist)
+                     cs_t, jkey, n_lf, hist)
 
     inv_mass = (jnp.ones(D, q0.dtype) if inv_mass_matrix is None
                 else jnp.asarray(inv_mass_matrix, q0.dtype))
+
+    # ChEES trajectory-length state: Adam on log T starting from the
+    # fixed-path length T0 = num_steps * eps. The jitter stream is split
+    # off only in tuning mode so the default path's RNG (and every
+    # archived default-run result) is bit-unchanged.
+    from mcmc_tpu.tuning.chees import chees_init
+    cs_t0 = chees_init(jnp.maximum(
+        jnp.asarray(step_size, jnp.float32) * num_steps, 1e-6),
+        dtype=jnp.float32)
+    if tune_trajectory:
+        if jitter_key is not None:
+            jkey0 = jitter_key
+        else:
+            key, jkey0 = random.split(key)
+    else:
+        jkey0 = random.PRNGKey(0)        # placeholder, never consumed
 
     hist0 = {
         "betas": jnp.zeros(max_stages, jnp.float32),
@@ -452,6 +555,7 @@ def _smc_run_jit(
         "accept": jnp.zeros(max_stages, jnp.float32),
         "resampled": jnp.zeros(max_stages, bool),
         "step_size": jnp.zeros(max_stages, jnp.float32),
+        "trajectory_length": jnp.zeros(max_stages, jnp.float32),
     }
     c0 = Carry(
         key=key, q=q0, lp_t=lp_t0.astype(e_dtype),
@@ -463,6 +567,8 @@ def _smc_run_jit(
         stage=jnp.asarray(0, jnp.int32),
         n_resamples=jnp.asarray(0, jnp.int32),
         n_divergences=jnp.asarray(0, jnp.int32),
+        cs_t=cs_t0, jkey=jkey0,
+        n_leapfrogs=jnp.asarray(0, jnp.int32),
         hist=hist0)
 
     n_run = n_fixed if fixed else max_stages
@@ -498,6 +604,10 @@ def _smc_run_jit(
         "n_divergences": n_div,
         "ess": _rel_ess(logw, PT, axis_name) * PT,
         "final_step_size": c.eps,
+        # realized leapfrogs PER PARTICLE (every particle integrates the
+        # same count each move; fixed path = stages * moves * num_steps)
+        "n_leapfrogs": c.n_leapfrogs,
+        "final_trajectory_length": jnp.exp(c.cs_t.log_t),
         **c.hist,
     }
     return SMCResult(q, logw, c.log_z, final_state, info)

@@ -144,6 +144,12 @@ def main():
     parser.add_argument("--smc-base-scale", type=float, default=2.0,
                         help="Std of the N(0, s^2 I) base distribution the "
                         "SMC bridge starts from (default 2.0)")
+    parser.add_argument("--smc-tune-trajectory", action="store_true",
+                        help="Adapt the SMC move trajectory length with "
+                        "the ChEES criterion on the particle population "
+                        "(jittered dynamic-length moves; Devlin et al. "
+                        "2025 composition). --smc-num-steps then only "
+                        "sets the initial length")
     parser.add_argument("--smc-rel-ess", type=float, default=0.5,
                         help="Adaptive-schedule target: each temperature "
                         "step is chosen so the reweight's conditional "
@@ -210,6 +216,7 @@ def main():
         smc_num_steps=args.smc_num_steps,
         smc_base_scale=args.smc_base_scale,
         smc_rel_ess=args.smc_rel_ess,
+        smc_tune_trajectory=args.smc_tune_trajectory,
     )
     print_summary(df)
 

@@ -248,3 +248,78 @@ def test_weighted_moments_exact():
     exp = 0.25 * np.outer([-1.5, -3], [-1.5, -3]) \
         + 0.75 * np.outer([0.5, 1], [0.5, 1])
     np.testing.assert_allclose(np.asarray(cov), exp, rtol=1e-6)
+
+
+def test_smc_chees_trajectory_tuning():
+    """tune_trajectory=True: ChEES Adam-on-log-T inside the annealing loop
+    (Devlin et al. 2025 composition). On a sigma=2 Gaussian bridge the
+    optimal trajectory length is pi/2 * sigma ~ 3.1; starting from
+    T0 = num_steps*eps = 0.6 the tuner must climb decisively toward it
+    while the evidence stays exact, and the realized leapfrog count must
+    be reported per particle."""
+    dim = 4
+
+    def lp(x):  # N(0, 4 I), normalized -> log Z = 0
+        return (-0.125 * jnp.sum(x * x, axis=-1)
+                - 0.5 * dim * jnp.log(2 * jnp.pi * 4.0))
+
+    betas = np.linspace(0.05, 1.0, 25)       # long ladder = many updates
+    r = smc_run(random.PRNGKey(1), lp, n_particles=2048, dim=dim,
+                step_size=0.3, num_steps=2, move_steps=4, betas=betas,
+                tune_trajectory=True, max_leapfrogs=32, base_scale=2.0)
+    n_stages = int(r.info["n_stages"])
+    assert n_stages == 25
+    traj = np.asarray(r.info["trajectory_length"][:n_stages])
+    assert traj[0] == pytest.approx(0.6, rel=1e-5)     # T0 = 2 * 0.3
+    final_t = float(r.info["final_trajectory_length"])
+    assert final_t > 1.5, f"tuner failed to climb: {traj}"
+    assert abs(float(r.log_Z)) < 0.15
+    n_lf = int(r.info["n_leapfrogs"])
+    assert n_lf > 0
+    # realized counts are jittered: strictly fewer than the cap says
+    assert n_lf < 25 * 4 * 32
+    # determinism: same key -> bit-identical run
+    r2 = smc_run(random.PRNGKey(1), lp, n_particles=2048, dim=dim,
+                 step_size=0.3, num_steps=2, move_steps=4, betas=betas,
+                 tune_trajectory=True, max_leapfrogs=32, base_scale=2.0)
+    assert float(r2.log_Z) == float(r.log_Z)
+    assert int(r2.info["n_leapfrogs"]) == n_lf
+
+
+def test_smc_chees_default_path_rng_unchanged():
+    """Adding the tuner must not perturb the default path's RNG stream:
+    tune_trajectory=False reproduces the pre-tuner results bit-for-bit
+    (the jitter key is only split off in tuning mode)."""
+    t = get_target("standard_normal", dim=3)
+    kw = dict(n_particles=512, dim=3, step_size=0.5, num_steps=4,
+              move_steps=2)
+    r1 = smc_run(random.PRNGKey(7), t.log_prob_fn, **kw)
+    r2 = smc_run(random.PRNGKey(7), t.log_prob_fn, **kw,
+                 tune_trajectory=False)
+    assert float(r1.log_Z) == float(r2.log_Z)
+    # fixed path charges stages * moves * num_steps per particle
+    assert (int(r1.info["n_leapfrogs"])
+            == int(r1.info["n_stages"]) * 2 * 4)
+
+
+def test_smc_chees_sharded_on_mesh():
+    """Tuned SMC under an 8-device mesh: the jitter stream is replicated
+    (unfolded key), the criterion gradient is psum'd, so the log-T
+    trajectory is identical on every device and the run completes with a
+    normalized population and finite evidence."""
+    from mcmc_tpu.parallel import make_mesh
+    from mcmc_tpu.parallel.fused_sharded import smc_run_sharded
+    mesh = make_mesh(8)
+    t = get_target("standard_normal", dim=3)
+    r = smc_run_sharded(random.PRNGKey(2), t.log_prob_fn, mesh,
+                        n_particles=2048, dim=3, step_size=0.4,
+                        num_steps=3, move_steps=3, tune_trajectory=True,
+                        value_and_grad_fn=t.value_and_grad_fn)
+    assert np.isfinite(float(r.log_Z)) and abs(float(r.log_Z)) < 0.3
+    # global weight normalization survives (island-local resampling)
+    assert np.isclose(float(jnp.sum(jnp.exp(r.log_weights))), 1.0,
+                      atol=1e-4)
+    n_stages = int(r.info["n_stages"])
+    traj = np.asarray(r.info["trajectory_length"][:n_stages])
+    assert np.all(np.isfinite(traj)) and np.all(traj > 0)
+    assert int(r.info["n_leapfrogs"]) > 0

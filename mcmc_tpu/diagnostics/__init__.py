@@ -140,9 +140,16 @@ def summary(samples, hdi_prob: float = 0.94, var_names=None):
     r_hat — built from the same on-device estimators the gates use
     (compute_diagnostics) plus the batched HDI above. `var_names` labels
     the rows (defaults to x0..x{D-1}).
+
+    samples: (draws, chains, dim) history, or flat (n, dim) draws —
+    treated as one chain (split-R-hat still applies across its halves),
+    matching hdi()'s accepted shapes.
     """
     import pandas as pd
 
+    samples = jnp.asarray(samples)
+    if samples.ndim == 2:
+        samples = samples[:, None, :]
     d = compute_diagnostics(samples)["summary"]
     lo, hi = hdi(samples, hdi_prob)
     dim = len(d["mean"])

@@ -135,8 +135,9 @@ def _gpd_fit(x: Array):
     # (tests/test_model_comparison.py::test_gpd_fit_recovers_known_shapes).
     k_hat = jnp.mean(jnp.log(jnp.maximum(1.0 - theta_hat * xs, 1e-30)))
     sigma_hat = -k_hat / theta_hat
-    # weak prior: regularize k toward 0.5 for small tails (Vehtari 2024)
-    k_hat = (M * k_hat + 5.0 * 0.5) / (M + 10.0)
+    # weak prior: regularize k toward 0.5 for small tails (Vehtari 2024:
+    # pseudo-count 10 at k = 0.5, i.e. (M k + 10*0.5) / (M + 10))
+    k_hat = (M * k_hat + 10.0 * 0.5) / (M + 10.0)
     # degenerate exceedances (all ~equal): theta_hat ~ 1/x_max, sigma>0
     sigma_hat = jnp.where(jnp.isfinite(sigma_hat) & (sigma_hat > 0.0),
                           sigma_hat, jnp.mean(xs))

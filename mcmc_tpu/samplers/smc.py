@@ -60,10 +60,7 @@ from jax import jit, lax, random
 from mcmc_tpu import precision
 from mcmc_tpu.samplers.base import ChainState, make_value_and_grad
 from mcmc_tpu.samplers.grahmc import grahmc_step
-from mcmc_tpu.samplers.trajectory import (
-    integrate_trajectory_dynamic, kinetic_energy, sample_momentum,
-)
-from mcmc_tpu.diagnostics.gates import DIVERGENCE_DELTA_H
+from mcmc_tpu.samplers.trajectory import mh_transition_dynamic
 
 Array = jnp.ndarray
 
@@ -448,48 +445,29 @@ def _smc_run_jit(
                 acc_t = (st.accept_count - prev).astype(jnp.float32).mean()
                 n_lf = n_lf + jnp.int32(num_steps)
             else:
-                # jittered dynamic-length transition (tuning/chees.py
-                # machinery): n = ceil(h*T/eps) leapfrogs as a TRACED
-                # count — one compiled program across all T values. The
-                # jitter stream jk is replicated across devices so every
-                # device runs the same n.
+                # jittered dynamic-length transition (the shared
+                # trajectory.py::mh_transition_dynamic — one
+                # implementation with tuning/chees.py): n = ceil(h*T/eps)
+                # leapfrogs as a TRACED count, one compiled program
+                # across all T values. The jitter stream jk is replicated
+                # across devices so every device runs the same n.
                 from mcmc_tpu.tuning.chees import (
                     chees_log_t_grad, chees_update, num_leapfrog_steps)
+                q0 = st.position
                 jk, k_h = random.split(jk)
                 h = random.uniform(k_h, (), dtype=jnp.float32)
                 T = jnp.exp(cs_t.log_t).astype(jnp.float32)
                 n = num_leapfrog_steps(h * T, eps_l, max_leapfrogs)
-                mk, k_mom, k_acc = random.split(mk, 3)
-                pos_dtype = st.position.dtype
-                p0 = sample_momentum(k_mom, st.position.shape, inv_mass,
-                                     pos_dtype)
-                h0 = (-st.log_prob
-                      + kinetic_energy(p0, inv_mass).astype(e_dtype))
-                q1, p1, lp1, grad1 = integrate_trajectory_dynamic(
-                    st.position, p0, st.log_prob, st.grad_log_prob,
-                    mixture_vag, eps_l, n, inv_mass,
-                    friction_schedule=friction_schedule, gamma_max=gamma,
-                    steepness=steepness)
-                h1 = precision.guard_energy(
-                    -lp1 + kinetic_energy(p1, inv_mass).astype(e_dtype))
-                log_alpha = jnp.minimum(jnp.asarray(0.0, e_dtype), h0 - h1)
-                divergent = jnp.abs(h1 - h0) > DIVERGENCE_DELTA_H
-                u = random.uniform(k_acc, (P,), dtype=e_dtype)
-                acc_mask = jnp.log(u) < log_alpha
+                mk, st, acc_mask, q1, p1, log_alpha, _div = \
+                    mh_transition_dynamic(
+                        mk, st, mixture_vag, eps_l, n, inv_mass,
+                        friction_schedule=friction_schedule,
+                        gamma_max=gamma, steepness=steepness)
                 # criterion gradient needs the UNFLIPPED endpoint momentum
                 alpha = jnp.exp(log_alpha).astype(jnp.float32)
-                g = chees_log_t_grad(st.position, q1, p1, h, T, alpha,
+                g = chees_log_t_grad(q0, q1, p1, h, T, alpha,
                                      inv_mass, axis_name=axis_name)
                 cs_t = chees_update(cs_t, g)
-                st = st._replace(
-                    position=jnp.where(acc_mask[:, None], q1, st.position),
-                    log_prob=jnp.where(acc_mask, lp1, st.log_prob),
-                    grad_log_prob=jnp.where(acc_mask[:, None], grad1,
-                                            st.grad_log_prob),
-                    accept_count=(st.accept_count
-                                  + acc_mask.astype(jnp.int32)),
-                    divergence_count=(st.divergence_count
-                                      + divergent.astype(jnp.int32)))
                 acc_t = acc_mask.astype(jnp.float32).mean()
                 n_lf = n_lf + n
             if axis_name is not None:

@@ -183,3 +183,57 @@ def integrate_trajectory_dynamic(
 
     q, p, lp, grad = lax.fori_loop(0, n, body, (q, p, lp, grad))
     return q, p, lp, grad
+
+
+def mh_transition_dynamic(key, state, value_and_grad, step_size, n_leapfrogs,
+                          inv_mass_matrix, friction_schedule=None,
+                          gamma_max=0.0, steepness=1.0):
+    """One full MH transition whose leapfrog count is a TRACED value.
+
+    The single implementation of the jittered dynamic-length transition
+    shared by the ChEES warmup and sampler (tuning/chees.py) and the
+    ChEES-tuned SMC moves (samplers/smc.py) — the accept rule, the
+    |dH| > 1000 divergence criterion, the non-finite-energy reject guard,
+    and the unflipped-endpoint-momentum contract (the ChEES criterion
+    derivative needs dq/dt AT the endpoint, before any reversibility
+    flip) live here exactly once.
+
+    RNG contract: consumes key as (key, k_mom, k_acc) = split(key, 3);
+    momentum from k_mom, the accept uniform from k_acc — bit-identical to
+    the previous inline copies at every call site.
+
+    Returns (key, new_state, accept_mask, q1, p1_unflipped, log_alpha,
+    divergent): q1/p1 the trajectory endpoint, log_alpha the per-chain MH
+    log acceptance probability (alpha = exp(log_alpha) is the ChEES
+    weight), divergent the per-chain |dH| flag already accumulated into
+    new_state.divergence_count.
+    """
+    from mcmc_tpu import precision
+    from mcmc_tpu.diagnostics.gates import DIVERGENCE_DELTA_H
+
+    pos_dtype = state.position.dtype
+    e_dtype = state.log_prob.dtype
+    key, k_mom, k_acc = random.split(key, 3)
+    p0 = sample_momentum(k_mom, state.position.shape, inv_mass_matrix,
+                         pos_dtype)
+    h0 = -state.log_prob + kinetic_energy(p0, inv_mass_matrix).astype(e_dtype)
+    q1, p1, lp1, grad1 = integrate_trajectory_dynamic(
+        state.position, p0, state.log_prob, state.grad_log_prob,
+        value_and_grad, step_size, n_leapfrogs, inv_mass_matrix,
+        friction_schedule=friction_schedule, gamma_max=gamma_max,
+        steepness=steepness)
+    h1 = precision.guard_energy(
+        -lp1 + kinetic_energy(p1, inv_mass_matrix).astype(e_dtype))
+    log_alpha = jnp.minimum(jnp.asarray(0.0, e_dtype), h0 - h1)
+    divergent = jnp.abs(h1 - h0) > DIVERGENCE_DELTA_H
+    u = random.uniform(k_acc, (state.position.shape[0],), dtype=e_dtype)
+    accept = jnp.log(u) < log_alpha
+    new_state = state._replace(
+        position=jnp.where(accept[:, None], q1, state.position),
+        log_prob=jnp.where(accept, lp1, state.log_prob),
+        grad_log_prob=jnp.where(accept[:, None], grad1,
+                                state.grad_log_prob),
+        accept_count=state.accept_count + accept.astype(jnp.int32),
+        divergence_count=(state.divergence_count
+                          + divergent.astype(jnp.int32)))
+    return key, new_state, accept, q1, p1, log_alpha, divergent

@@ -46,11 +46,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax, random
 
-from mcmc_tpu import precision
-from mcmc_tpu.diagnostics.gates import DIVERGENCE_DELTA_H
 from mcmc_tpu.samplers.base import make_value_and_grad, init_chain_state
-from mcmc_tpu.samplers.trajectory import (
-    integrate_trajectory_dynamic, kinetic_energy, sample_momentum)
+from mcmc_tpu.samplers.trajectory import mh_transition_dynamic
 from mcmc_tpu.tuning.adaptation import build_schedule, fixed_width_batches
 from mcmc_tpu.tuning.dual_averaging import (
     da_init, da_update, da_reset, da_step_size, da_final_step_size)
@@ -255,29 +252,12 @@ def _chees_one_step(log_prob_fn, value_and_grad_fn, backend, schedule_type,
     vag = make_value_and_grad(log_prob_fn, value_and_grad_fn)
 
     def one_step(k, s, n, eps, gam, steep, inv_mass):
-        e_dtype = s.log_prob.dtype
-        k, k_mom, k_acc = random.split(k, 3)
-        p0 = sample_momentum(k_mom, s.position.shape, inv_mass, pos_dtype)
-        h0 = -s.log_prob + kinetic_energy(p0, inv_mass).astype(e_dtype)
-        q1, p1, lp1, grad1 = integrate_trajectory_dynamic(
-            s.position, p0, s.log_prob, s.grad_log_prob, vag, eps, n,
-            inv_mass, friction_schedule=friction_schedule,
-            gamma_max=gam, steepness=steep)
-        h1 = precision.guard_energy(
-            -lp1 + kinetic_energy(p1, inv_mass).astype(e_dtype))
-        log_alpha = jnp.minimum(jnp.asarray(0.0, e_dtype), h0 - h1)
-        divergent = jnp.abs(h1 - h0) > DIVERGENCE_DELTA_H
-        u = random.uniform(k_acc, (s.position.shape[0],), dtype=e_dtype)
-        accept = jnp.log(u) < log_alpha
-        s = s._replace(
-            position=jnp.where(accept[:, None], q1, s.position),
-            log_prob=jnp.where(accept, lp1, s.log_prob),
-            grad_log_prob=jnp.where(accept[:, None], grad1,
-                                    s.grad_log_prob),
-            accept_count=s.accept_count + accept.astype(jnp.int32),
-            divergence_count=(s.divergence_count
-                              + divergent.astype(jnp.int32)),
-        )
+        # shared transition (samplers/trajectory.py) — one implementation
+        # with the ChEES warmup and the ChEES-tuned SMC moves
+        k, s, accept, _q1, _p1, _la, _div = mh_transition_dynamic(
+            k, s, vag, eps, n, inv_mass,
+            friction_schedule=friction_schedule, gamma_max=gam,
+            steepness=steep)
         return k, s, accept
     return one_step
 
@@ -551,23 +531,18 @@ def run_chees_warmup(
                      eps, max_steps * eps)
         n = num_leapfrog_steps(h.astype(pos_dtype) * T, eps, max_steps)
 
-        key, k_mom, k_acc = random.split(key, 3)
         inv_mass = wf.inv_mass
-        # identical draw order to the old inline normal/sqrt for diagonal
-        # metrics; dense draws p ~ N(0, M) via the Cholesky solve
-        p0 = sample_momentum(k_mom, cs.position.shape, inv_mass, pos_dtype)
-        h0 = -cs.log_prob + kinetic_energy(p0, inv_mass).astype(e_dtype)
-        q1, p1, lp1, grad1 = integrate_trajectory_dynamic(
-            cs.position, p0, cs.log_prob, cs.grad_log_prob, vag, eps, n,
-            inv_mass, friction_schedule=friction_schedule,
-            gamma_max=gamma, steepness=steepness)
-        h1 = -lp1 + kinetic_energy(p1, inv_mass).astype(e_dtype)
-        h1 = precision.guard_energy(h1)
-        log_alpha = jnp.minimum(jnp.asarray(0.0, e_dtype), h0 - h1)
+        q0 = cs.position
+        # shared transition (samplers/trajectory.py): same RNG order
+        # (k_mom, k_acc), same guard/divergence/accept contract as the
+        # ChEES sampler and the ChEES-tuned SMC moves
+        key, cs, _accept, q1, p1, log_alpha, _div = mh_transition_dynamic(
+            key, cs, vag, eps, n, inv_mass,
+            friction_schedule=friction_schedule, gamma_max=gamma,
+            steepness=steepness)
         alpha = jnp.exp(log_alpha)
-        divergent = jnp.abs(h1 - h0) > DIVERGENCE_DELTA_H
 
-        g = chees_log_t_grad(cs.position, q1, p1, h.astype(pos_dtype), T,
+        g = chees_log_t_grad(q0, q1, p1, h.astype(pos_dtype), T,
                              alpha.astype(pos_dtype), inv_mass,
                              axis_name=axis_name)
         # `live` masks the uniform-shape batch padding: a dead step is
@@ -576,16 +551,6 @@ def run_chees_warmup(
         # Welford, the batch acceptance statistic)
         ch_new = chees_update(ch, g, lr=adam_lr)
         ch = jax.tree.map(lambda a, b: jnp.where(live, a, b), ch_new, ch)
-
-        u = random.uniform(k_acc, (cs.position.shape[0],), dtype=e_dtype)
-        accept = jnp.log(u) < log_alpha
-        cs = cs._replace(
-            position=jnp.where(accept[:, None], q1, cs.position),
-            log_prob=jnp.where(accept, lp1, cs.log_prob),
-            grad_log_prob=jnp.where(accept[:, None], grad1, cs.grad_log_prob),
-            accept_count=cs.accept_count + accept.astype(jnp.int32),
-            divergence_count=cs.divergence_count + divergent.astype(jnp.int32),
-        )
         if dense_mass:
             # where-select instead of lax.cond so the psum (a collective)
             # executes unconditionally/uniformly on every device

@@ -189,3 +189,33 @@ def test_hdi_and_summary_table():
     assert np.allclose(df["hdi_lo_95%"], lo)
     with pytest.raises(ValueError, match="hdi_prob"):
         hdi(x, hdi_prob=1.5)
+
+
+def test_gpd_shrinkage_prior_constant():
+    """The k-hat shrinkage prior is (M k + 10*0.5)/(M + 10) (Vehtari et
+    al. 2024 / arviz): at tiny M the regularized estimate must sit
+    visibly between the raw fit and the 0.5 prior center (a 2.5
+    numerator — a previously-shipped bug — would drag it toward 0.25)."""
+    rng = np.random.default_rng(9)
+    # heavy synthetic tail, k_true = 0.8, tiny sample M=20
+    u = rng.uniform(1e-4, 1 - 1e-4, 20)
+    x = _gpd_quantile(jnp.asarray(u), jnp.float64(0.8), jnp.float64(1.0))
+    k_hat, _ = _gpd_fit(x)
+    # raw fits scatter around 0.8; shrinkage pulls toward 0.5 by
+    # 10/(M+10) = 1/3. With the wrong 2.5 numerator the pull target is
+    # 0.25 and estimates land ~0.08 lower.
+    M = 20
+    k_lo = (M * 0.3 + 5.0) / (M + 10)    # generous raw-fit scatter bounds
+    k_hi = (M * 1.4 + 5.0) / (M + 10)
+    assert k_lo < float(k_hat) < k_hi
+
+
+def test_summary_accepts_flat_draws():
+    """summary() accepts (n, dim) pooled draws like hdi() does (treated
+    as a single chain)."""
+    from mcmc_tpu.diagnostics import summary
+    rng = np.random.default_rng(10)
+    flat = jnp.asarray(rng.normal(size=(400, 3)))
+    df = summary(flat)
+    assert df.shape[0] == 3
+    assert np.all(np.isfinite(df["r_hat"]))

@@ -19,22 +19,20 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Persistent XLA compilation cache: the fast tier is compile-bound on this
-# 1-vCPU host (hundreds of jit/shard_map programs), and the programs are
-# identical across runs. First run populates ./.jax_test_cache (gitignored);
-# repeat runs skip XLA backend compilation. Safe: keyed by HLO + compile
-# options + backend, so any code change recompiles.
-# CAUTION: XLA executable (de)serialization in this jax/jaxlib build
-# segfaults nondeterministically (~1/1000 entries; observed in BOTH
-# get_executable_and_time and put_executable_and_time, single process,
-# healthy disk/RAM). At min_compile_time 0.1s a cold suite writes ~900
-# entries and dies most runs; caching only the genuinely expensive
-# programs (>= 5s: the persistent-NUTS machines, fused shard_map
-# pipelines) keeps most of the 32 -> 13 min fast-tier win at ~20x less
-# exposure. If a run still dies with a segfault in compilation_cache.*,
-# `rm -rf .jax_test_cache` and rerun, or export MCMC_TPU_TEST_CACHE=0 to
-# disable persistence entirely.
-if os.environ.get("MCMC_TPU_TEST_CACHE", "1") != "0":
+# OPT-IN persistent XLA compilation cache (export MCMC_TPU_TEST_CACHE=1):
+# the fast tier is compile-bound on this 1-vCPU host and the programs are
+# identical across runs, so a warm ./.jax_test_cache (gitignored) saves
+# minutes — but XLA executable (de)serialization in this jax/jaxlib build
+# segfaults nondeterministically (observed in BOTH get_executable_and_time
+# and put_executable_and_time, single process, healthy disk/RAM). Limiting
+# writes to >= 5s programs cut exposure ~20x, yet after any code change
+# that dirties the big entries the re-writes still killed 2/2 suite runs
+# (SIGSEGV in put_executable_and_time, 2026-08-20). A test suite that
+# flakes on infra is worse than a slower one, so persistence is now OFF
+# unless explicitly requested; iterate locally with MCMC_TPU_TEST_CACHE=1
+# once the cache is warm for your tree, and `rm -rf .jax_test_cache` +
+# rerun uncached if a cached run segfaults in compilation_cache.*.
+if os.environ.get("MCMC_TPU_TEST_CACHE", "0") == "1":
     _cache_dir = os.path.join(os.path.dirname(__file__), os.pardir,
                               ".jax_test_cache")
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))

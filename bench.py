@@ -328,10 +328,16 @@ def _measured_ess_per_sec(samples, dt, jnp, label):
 def measure_tpu():
     sys.path.insert(0, REPO)
     import jax
-    # Persistent compilation cache: compiles through the remote tunnel are
-    # slow; cache them across bench invocations.
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # NO persistent compilation cache here, deliberately: executable
+    # (de)serialization in this jax/jaxlib build segfaults
+    # nondeterministically on cache writes (killed 2/2 test-suite runs
+    # 2026-08-20; see tests/conftest.py), a SIGSEGV cannot be caught by
+    # the per-row try/excepts, and the cache measurably does NOT serve
+    # the expensive chunked-ESS programs across processes on the
+    # remote-axon backend anyway (BASELINE.md "Diagnostics cold-compile
+    # through the tunnel") — so it was write-exposure every run for no
+    # serving benefit. In-process jit caching already dedupes compiles
+    # within the bench.
     import jax.numpy as jnp
     from jax import random
 

@@ -280,9 +280,10 @@ def _integrate(q0, p0, lp0, grad0, vag, eps, num_steps, friction_schedule,
 def _make_kernel(padded_vag: Callable, num_steps: int,
                  friction_schedule: Optional[Callable],
                  inject_randoms: bool, dim_axis: int, dense: bool = False,
-                 scaled: bool = False):
+                 scaled: bool = False, bridged: bool = False):
     """Kernel body factory. Ref order:
     seed(SMEM), scalars(SMEM), q, lp, grad, inv_mass, mask
+    [, base_mean, base_inv_scale if bridged]
     [, unwhiten if dense on-chip RNG]
     [, data... for data-carrying targets][, p0, u if inject_randoms]
     -> q_out, lp_out, grad_out, acc_out, dh_out.
@@ -298,9 +299,13 @@ def _make_kernel(padded_vag: Callable, num_steps: int,
     ax = dim_axis
     n_data_refs = len(getattr(padded_vag, "data_arrays", ()))
     has_unwhiten = dense and not inject_randoms
+    if scaled and bridged:
+        raise ValueError("scaled and bridged kernels are mutually exclusive")
 
     def kernel(seed_ref, scal_ref, q_ref, lp_ref, grad_ref, invm_ref,
                mask_ref, *rest):
+        if bridged:
+            bmean_ref, biscale_ref, rest = rest[0], rest[1], rest[2:]
         if has_unwhiten:
             unwhiten_ref, rest = rest[0], rest[1:]
         data_vals = tuple(r[:] for r in rest[:n_data_refs])
@@ -336,6 +341,26 @@ def _make_kernel(padded_vag: Callable, num_steps: int,
             def vag_with_data(qq):
                 lp_s, g_s = base_vag_s(qq)
                 return lp_scale * lp_s, lp_scale * g_s
+        if bridged:
+            # Annealed-SMC geometric bridge (samplers/smc.py): the move
+            # kernel targets pi_b = beta*logp + (1-beta)*log N(mean, S^2 I)
+            # with a RUNTIME beta — the spherical-Gaussian base is evaluated
+            # in-kernel from broadcast mean / 1/scale rows (padding entries
+            # of both are ZERO, so padded q coordinates contribute nothing
+            # to the base term either). Static-gated like `scaled`.
+            beta = scal_ref[3]
+            base_log_norm = scal_ref[4]
+            target_vag_b = vag_with_data
+            bmean = bmean_ref[:]
+            biscale = biscale_ref[:]
+
+            def vag_with_data(qq):
+                lt, gt = target_vag_b(qq)
+                z = (qq - bmean) * biscale
+                lb = (-0.5 * jnp.sum(z * z, axis=ax, keepdims=True)
+                      + base_log_norm)
+                return (beta * lt + (1.0 - beta) * lb,
+                        beta * gt - (1.0 - beta) * (z * biscale))
 
         q0 = q_ref[:]
         lp0 = lp_ref[:]
@@ -387,10 +412,10 @@ def _make_kernel(padded_vag: Callable, num_steps: int,
 
 def _build_call(padded_vag, num_steps, friction_schedule, n_chains, d_pad,
                 chain_tile, inject_randoms, interpret, dim_axis,
-                dense=False, scaled=False):
+                dense=False, scaled=False, bridged=False):
     kernel = _make_kernel(padded_vag, num_steps, friction_schedule,
                           inject_randoms, dim_axis, dense=dense,
-                          scaled=scaled)
+                          scaled=scaled, bridged=bridged)
     grid = (n_chains // chain_tile,)
 
     if dim_axis == 1:
@@ -439,6 +464,9 @@ def _build_call(padded_vag, num_steps, friction_schedule, n_chains, d_pad,
                                        memory_space=pltpu.VMEM)
         in_specs[6] = pl.BlockSpec((1, d_pad), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM)
+    if bridged:
+        # base_mean + base_inv_scale rows, same broadcast shape as mask
+        in_specs += [in_specs[6], in_specs[6]]
     if dense and not inject_randoms:
         in_specs.append(matrix_spec)              # unwhiten (L^{-1} factor)
     for arr in getattr(padded_vag, "data_arrays", ()):
@@ -510,11 +538,19 @@ def make_fused_grahmc_step(
     vag_cache = {}
 
     def fused(key, state, step_size, gamma, steepness, inv_mass_matrix,
-              lp_scale=None):
+              lp_scale=None, bridge=None):
         """lp_scale: optional runtime scalar multiplying the target's
         log-prob AND gradient in-kernel (a tempered replica samples
         pi^beta — samplers/tempered.py); None compiles the unscaled
-        kernel."""
+        kernel.
+
+        bridge: optional (beta, base_mean, base_scale) — the kernel then
+        integrates the annealed-SMC geometric bridge
+        beta*logp + (1-beta)*log N(base_mean, base_scale^2 I) with a
+        RUNTIME beta (samplers/smc.py move phase); base_mean/base_scale
+        are (dim,)-broadcastable. Mutually exclusive with lp_scale. The
+        chain state's log_prob/grad_log_prob must already be the
+        MIXTURE values at the current beta."""
         n_chains, dim = state.position.shape
         dense = is_dense_metric(inv_mass_matrix)
         dim_axis = choose_layout(dim) if layout == "auto" else (
@@ -540,12 +576,16 @@ def make_fused_grahmc_step(
         tile = max(tile, 1)
 
         scaled = lp_scale is not None
-        cache_key = (n_chains, dim, tile, dim_axis, dense, scaled)
+        bridged = bridge is not None
+        if scaled and bridged:
+            raise ValueError("lp_scale and bridge are mutually exclusive")
+        cache_key = (n_chains, dim, tile, dim_axis, dense, scaled, bridged)
         if cache_key not in call_cache:
             call_cache[cache_key] = _build_call(
                 padded_vag, num_steps, friction_schedule, n_chains, d_pad,
                 tile, inject_randoms=not onchip_rng, interpret=interpret,
-                dim_axis=dim_axis, dense=dense, scaled=scaled)
+                dim_axis=dim_axis, dense=dense, scaled=scaled,
+                bridged=bridged)
         call = call_cache[cache_key]
         data_arrays = tuple(getattr(padded_vag, "data_arrays", ()))
 
@@ -558,6 +598,16 @@ def make_fused_grahmc_step(
         ]
         if scaled:
             scalar_list.append(jnp.asarray(lp_scale, jnp.float32))
+        if bridged:
+            beta, base_mean, base_scale = bridge
+            bmean = jnp.broadcast_to(
+                jnp.asarray(base_mean, jnp.float32), (dim,))
+            bscale = jnp.broadcast_to(
+                jnp.asarray(base_scale, jnp.float32), (dim,))
+            base_log_norm = (-jnp.sum(jnp.log(bscale))
+                             - 0.5 * dim * math.log(TWO_PI))
+            scalar_list += [jnp.asarray(beta, jnp.float32),
+                            base_log_norm.astype(jnp.float32)]
         scalars = jnp.stack(scalar_list)
 
         pad = d_pad - dim
@@ -572,16 +622,25 @@ def make_fused_grahmc_step(
             invm = jnp.pad(jnp.asarray(inv_mass_matrix, jnp.float32),
                            (0, pad), constant_values=1.0)[None, :]
         mask = _mask_row(dim, d_pad, dim_axis=1)
+        bridge_rows = ()
+        if bridged:
+            # padding entries ZERO for both rows: padded q coordinates then
+            # contribute nothing to the base term or its gradient
+            bridge_rows = (
+                jnp.pad(bmean, (0, pad))[None, :],
+                jnp.pad(1.0 / bscale, (0, pad))[None, :],
+            )
         if dim_axis == 0:
             q, grad, lp = q.T, grad.T, lp.T
             mask = mask.T
+            bridge_rows = tuple(r.T for r in bridge_rows)
             if not dense:
                 invm = invm.T
 
         extra = (unwhiten,) if dense and onchip_rng else ()
         if onchip_rng:
-            outs = call(seed, scalars, q, lp, grad, invm, mask, *extra,
-                        *data_arrays)
+            outs = call(seed, scalars, q, lp, grad, invm, mask, *bridge_rows,
+                        *extra, *data_arrays)
         else:
             k_mom, k_u = random.split(seed_key)
             z = random.normal(k_mom, q.shape, dtype=jnp.float32)
@@ -591,8 +650,8 @@ def make_fused_grahmc_step(
                 p0 = z / jnp.sqrt(invm)
             u_shape = lp.shape
             u = random.uniform(k_u, u_shape, dtype=jnp.float32)
-            outs = call(seed, scalars, q, lp, grad, invm, mask, *data_arrays,
-                        p0, u)
+            outs = call(seed, scalars, q, lp, grad, invm, mask, *bridge_rows,
+                        *data_arrays, p0, u)
         q1, lp1, grad1, acc, dh, prop_q, prop_lp = outs
         if dim_axis == 0:
             q1, lp1, grad1, acc, dh = q1.T, lp1.T, grad1.T, acc.T, dh.T
@@ -887,20 +946,39 @@ def make_debug_trajectory(value_and_grad_fn, num_steps: int,
     data_arrays = tuple(getattr(padded_vag, "data_arrays", ()))
     call_cache = {}
 
-    def _call(dense):
-        if dense not in call_cache:
-            call_cache[dense] = _build_call(
+    def _call(dense, bridged=False):
+        k = (dense, bridged)
+        if k not in call_cache:
+            call_cache[k] = _build_call(
                 padded_vag, num_steps, friction_schedule, n_chains, d_pad,
                 tile, inject_randoms=True, interpret=interpret,
-                dim_axis=dim_axis, dense=dense)
-        return call_cache[dense]
+                dim_axis=dim_axis, dense=dense, bridged=bridged)
+        return call_cache[k]
 
-    def run(q, lp, grad, p0, u, step_size, gamma, steepness, inv_mass):
+    def run(q, lp, grad, p0, u, step_size, gamma, steepness, inv_mass,
+            bridge=None):
+        """bridge: optional (beta, base_mean, base_scale) — integrate the
+        SMC geometric-bridge mixture instead of the bare target (same
+        contract as make_fused_grahmc_step's fused(..., bridge=...))."""
         pad = d_pad - dim
         dense = jnp.ndim(inv_mass) == 2
-        scalars = jnp.stack([jnp.asarray(step_size, jnp.float32),
-                             jnp.asarray(gamma, jnp.float32),
-                             jnp.asarray(steepness, jnp.float32)])
+        scalar_list = [jnp.asarray(step_size, jnp.float32),
+                       jnp.asarray(gamma, jnp.float32),
+                       jnp.asarray(steepness, jnp.float32)]
+        bridge_rows = ()
+        if bridge is not None:
+            beta, base_mean, base_scale = bridge
+            bmean = jnp.broadcast_to(
+                jnp.asarray(base_mean, jnp.float32), (dim,))
+            bscale = jnp.broadcast_to(
+                jnp.asarray(base_scale, jnp.float32), (dim,))
+            scalar_list += [
+                jnp.asarray(beta, jnp.float32),
+                (-jnp.sum(jnp.log(bscale))
+                 - 0.5 * dim * math.log(TWO_PI)).astype(jnp.float32)]
+            bridge_rows = (jnp.pad(bmean, (0, pad))[None, :],
+                           jnp.pad(1.0 / bscale, (0, pad))[None, :])
+        scalars = jnp.stack(scalar_list)
         seed = jnp.zeros((2,), jnp.int32)
         qp = jnp.pad(q.astype(jnp.float32), ((0, 0), (0, pad)))
         gp = jnp.pad(grad.astype(jnp.float32), ((0, 0), (0, pad)))
@@ -916,11 +994,12 @@ def make_debug_trajectory(value_and_grad_fn, num_steps: int,
         if dim_axis == 0:
             qp, gp, pp, lpp, up = qp.T, gp.T, pp.T, lpp.T, up.T
             mask = mask.T
+            bridge_rows = tuple(r.T for r in bridge_rows)
             if not dense:
                 invm = invm.T
-        call = _call(dense)
-        outs = call(seed, scalars, qp, lpp, gp, invm, mask, *data_arrays,
-                    pp, up)
+        call = _call(dense, bridge is not None)
+        outs = call(seed, scalars, qp, lpp, gp, invm, mask, *bridge_rows,
+                    *data_arrays, pp, up)
         q1, lp1, grad1, acc, dh, prop_q, prop_lp = outs
         if dim_axis == 0:
             q1, lp1, grad1, acc, dh = q1.T, lp1.T, grad1.T, acc.T, dh.T

@@ -400,6 +400,7 @@ def smc_run_sharded(
     final_resample: bool = False,
     tune_trajectory: bool = False,
     max_leapfrogs: Optional[int] = None,
+    move_backend: str = "auto",
 ):
     """Annealed SMC (samplers/smc.py) with the particle population sharded
     over `mesh`'s chain axis.
@@ -429,7 +430,8 @@ def smc_run_sharded(
     """
     from mcmc_tpu.samplers.base import ChainState
     from mcmc_tpu.samplers.smc import (SMCResult, _smc_run_jit,
-                                       _validate_beta_schedule)
+                                       _validate_beta_schedule,
+                                       resolve_move_backend)
 
     n_dev = mesh.devices.size
     if n_particles % n_dev:
@@ -450,6 +452,8 @@ def smc_run_sharded(
     inv_mass_matrix = jnp.asarray(inv_mass_matrix, jnp.float32)
     if max_leapfrogs is None:
         max_leapfrogs = max(4 * num_steps, 16)
+    move_backend = resolve_move_backend(move_backend, value_and_grad_fn,
+                                        tune_trajectory, inv_mass_matrix)
 
     sharded = P(CHAIN_AXIS)
     out_specs = SMCResult(
@@ -490,6 +494,7 @@ def smc_run_sharded(
             adapt_step_size=adapt_step_size, final_resample=final_resample,
             axis_name=CHAIN_AXIS, total_particles=n_particles,
             tune_trajectory=tune_trajectory, max_leapfrogs=max_leapfrogs,
+            move_backend=move_backend,
             # the UNFOLDED key: every device draws the SAME jitter h per
             # move, so the traced leapfrog count — and with the psum'd
             # criterion gradient, the whole log-T trajectory — is

@@ -141,6 +141,78 @@ def test_debug_kernel_funnel_matches_xla():
                                rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.parametrize("layout", ["lanes", "transposed"])
+@pytest.mark.parametrize("beta", [0.15, 0.7])
+def test_bridge_kernel_matches_xla_mixture(beta, layout):
+    """The `bridged` kernel variant (SMC move fusion) == XLA leapfrog on the
+    hand-built geometric-bridge mixture beta*logp + (1-beta)*log N(m, s^2 I),
+    with identical injected randomness, in both block layouts."""
+    from mcmc_tpu.samplers.smc import gaussian_base
+    t = get_target("neals_funnel", dim=PALLAS_DIM)
+    n_chains, L = 8, 6
+    eps = 0.08
+    base_mean, base_scale = 0.5, 2.0
+    key = random.PRNGKey(5)
+    k1, k2, k3 = random.split(key, 3)
+    q = t.init_sampler(k1, n_chains).astype(jnp.float32)
+    p0 = random.normal(k2, (n_chains, PALLAS_DIM), dtype=jnp.float32)
+    u = random.uniform(k3, (n_chains,), dtype=jnp.float32)
+    inv_mass = jnp.ones(PALLAS_DIM, jnp.float32)
+
+    _, _, base_vag = gaussian_base(PALLAS_DIM, base_mean, base_scale)
+
+    def mixture_vag(x):
+        lt, gt = t.value_and_grad_fn(x)
+        lb, gb = base_vag(x)
+        return (beta * lt.astype(jnp.float32) + (1 - beta) * lb,
+                beta * gt.astype(jnp.float32) + (1 - beta) * gb)
+
+    lp, grad = mixture_vag(q)
+    qx, px, lpx, _ = integrate_trajectory(
+        q, p0, lp, grad, mixture_vag, eps, L, inv_mass)
+    h0 = -lp + kinetic_energy(p0, inv_mass)
+    h1 = -lpx + kinetic_energy(-px, inv_mass)
+    accept_ref = jnp.log(u) < jnp.minimum(0.0, h0 - h1)
+    q_ref = jnp.where(accept_ref[:, None], qx, q)
+
+    run = make_debug_trajectory(t.value_and_grad_fn, L, None,
+                                n_chains, PALLAS_DIM, layout=layout)
+    q_k, lp_k, _, accept_k, dh_k = run(
+        q, lp, grad, p0, u, eps, 0.0, 1.0, inv_mass,
+        bridge=(beta, base_mean, base_scale))
+
+    np.testing.assert_array_equal(np.asarray(accept_k),
+                                  np.asarray(accept_ref))
+    np.testing.assert_allclose(np.asarray(q_k), np.asarray(q_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dh_k), np.asarray(h1 - h0),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_bridge_beta_one_equals_plain_kernel():
+    """beta=1 collapses the bridge mixture to the bare target exactly in
+    IEEE arithmetic — the bridged kernel must reproduce the plain kernel's
+    trajectory to the bit."""
+    t = get_target("standard_normal", dim=PALLAS_DIM)
+    n_chains, L = 8, 5
+    key = random.PRNGKey(6)
+    k1, k2, k3 = random.split(key, 3)
+    q = random.normal(k1, (n_chains, PALLAS_DIM), dtype=jnp.float32)
+    p0 = random.normal(k2, (n_chains, PALLAS_DIM), dtype=jnp.float32)
+    u = random.uniform(k3, (n_chains,), dtype=jnp.float32)
+    inv_mass = jnp.ones(PALLAS_DIM, jnp.float32)
+    lp, grad = t.value_and_grad_fn(q)
+    lp = lp.astype(jnp.float32)
+
+    run = make_debug_trajectory(t.value_and_grad_fn, L, None,
+                                n_chains, PALLAS_DIM)
+    plain = run(q, lp, grad, p0, u, 0.2, 0.0, 1.0, inv_mass)
+    bridged = run(q, lp, grad, p0, u, 0.2, 0.0, 1.0, inv_mass,
+                  bridge=(1.0, 0.0, 1.0))
+    for a, b in zip(plain, bridged):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fused_step_statistical_correctness():
     """Production kernel (on-chip RNG, interpret mode): correct posterior
     moments and reasonable acceptance on N(0, I)."""

@@ -323,3 +323,90 @@ def test_smc_chees_sharded_on_mesh():
     traj = np.asarray(r.info["trajectory_length"][:n_stages])
     assert np.all(np.isfinite(traj)) and np.all(traj > 0)
     assert int(r.info["n_leapfrogs"]) > 0
+
+
+def test_resolve_move_backend():
+    """Backend resolution contract: auto never picks pallas off-TPU,
+    explicit pallas validates its preconditions loudly."""
+    import jax
+    from mcmc_tpu.samplers.smc import resolve_move_backend
+    t = get_target("standard_normal", dim=3)
+    got = resolve_move_backend("auto", t.value_and_grad_fn, False, None)
+    expect = "pallas" if jax.default_backend() == "tpu" else "xla"
+    assert got == expect
+    # tuned-trajectory path always stays XLA under auto
+    assert resolve_move_backend(
+        "auto", t.value_and_grad_fn, True, None) == "xla"
+    with pytest.raises(ValueError):
+        resolve_move_backend("pallas", t.value_and_grad_fn, True, None)
+    with pytest.raises(TypeError):
+        resolve_move_backend("pallas", lambda x: x, False, None)
+    with pytest.raises(ValueError):
+        resolve_move_backend("cuda", t.value_and_grad_fn, False, None)
+
+
+def test_smc_pallas_moves_logz_and_moments():
+    """Fused bridge-kernel moves (move_backend='pallas', interpret mode on
+    CPU) keep the estimator exact: log Z == 0 on a normalized target and
+    the weighted moments match. This is the log-Z invariance gate for the
+    round-4 SMC fusion (VERDICT r3 #1)."""
+    t = get_target("standard_normal", dim=5)
+    r = smc_run(random.PRNGKey(11), t.log_prob_fn, n_particles=1024, dim=5,
+                step_size=0.5, num_steps=8, base_scale=3.0, move_steps=3,
+                value_and_grad_fn=t.value_and_grad_fn,
+                move_backend="pallas")
+    assert abs(float(r.log_Z)) < 0.1
+    mean, cov = weighted_moments(r.particles, r.log_weights)
+    np.testing.assert_allclose(np.asarray(mean), np.zeros(5), atol=0.2)
+    np.testing.assert_allclose(np.asarray(jnp.diag(cov)), np.ones(5),
+                               atol=0.35)
+    # fixed-path leapfrog accounting is backend-independent
+    assert (int(r.info["n_leapfrogs"])
+            == int(r.info["n_stages"]) * 3 * 8)
+
+
+def test_smc_pallas_matches_xla_statistically():
+    """Both move backends target the same bridge distributions; with a
+    FIXED beta schedule the stage structure is identical and the two
+    estimators must agree to Monte-Carlo error (streams intentionally
+    differ — the pin is versioned, samplers/smc.py docstring)."""
+    t = get_target("correlated_gaussian", dim=6)
+    betas = np.linspace(0.1, 1.0, 10)
+    kw = dict(n_particles=2048, dim=6, step_size=0.3, num_steps=6,
+              move_steps=3, betas=betas, base_scale=2.0,
+              value_and_grad_fn=t.value_and_grad_fn)
+    rx = smc_run(random.PRNGKey(3), t.log_prob_fn, move_backend="xla", **kw)
+    rp = smc_run(random.PRNGKey(3), t.log_prob_fn, move_backend="pallas",
+                 **kw)
+    assert abs(float(rx.log_Z)) < 0.25 and abs(float(rp.log_Z)) < 0.25
+    mx, _ = weighted_moments(rx.particles, rx.log_weights)
+    mp, _ = weighted_moments(rp.particles, rp.log_weights)
+    np.testing.assert_allclose(np.asarray(mx), np.asarray(mp), atol=0.4)
+    # same fixed schedule -> same stage count and per-stage accounting
+    assert int(rx.info["n_stages"]) == int(rp.info["n_stages"])
+    # acceptance in the same healthy band (the Robbins-Monro eps
+    # trajectories see statistically equivalent move kernels)
+    ax = float(np.asarray(rx.info["accept"])[:int(rx.info["n_stages"])].mean())
+    ap = float(np.asarray(rp.info["accept"])[:int(rp.info["n_stages"])].mean())
+    assert abs(ax - ap) < 0.2
+
+
+def test_smc_pallas_sharded_on_mesh():
+    """Fused bridge moves inside shard_map over an 8-device mesh: global
+    weight reductions stay exact, the population stays normalized, and the
+    evidence is unbiased — the mesh path dispatches the SAME kernel
+    (VERDICT r3 #1 'done' criterion)."""
+    from mcmc_tpu.parallel import make_mesh
+    from mcmc_tpu.parallel.fused_sharded import smc_run_sharded
+    mesh = make_mesh(8)
+    t = get_target("standard_normal", dim=3)
+    r = smc_run_sharded(random.PRNGKey(4), t.log_prob_fn, mesh,
+                        n_particles=2048, dim=3, step_size=0.4,
+                        num_steps=4, move_steps=2, base_scale=2.5,
+                        value_and_grad_fn=t.value_and_grad_fn,
+                        move_backend="pallas")
+    assert np.isfinite(float(r.log_Z)) and abs(float(r.log_Z)) < 0.25
+    assert np.isclose(float(jnp.sum(jnp.exp(r.log_weights))), 1.0,
+                      atol=1e-4)
+    mean, cov = weighted_moments(r.particles, r.log_weights)
+    np.testing.assert_allclose(np.asarray(mean), np.zeros(3), atol=0.25)

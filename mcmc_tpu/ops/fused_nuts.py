@@ -697,12 +697,17 @@ def make_fused_nuts_window(
                        tile, inject_randoms=not onchip_rng,
                        interpret=interpret, steps_per_iter=steps_per_iter,
                        dense=dense, multinomial=multinomial)
-    mask = _mask_row(dim, d_pad, dim_axis=0)
     full_fields = _FULL_FIELDS_MULTI if multinomial else _FULL_FIELDS
     n_full = len(full_fields)
     n_slice = n_iters * steps_per_iter if multinomial else n_iters
 
     def window(key, ts: TState, step_size, inv_mass_matrix):
+        # built per call, NOT at factory time: the memoized factory may be
+        # first invoked inside a shard_map trace, and a constant created
+        # there carries that trace's Manual mesh in its aval — reusing it
+        # under a different mesh (e.g. the dryrun's cross-mesh parity
+        # check) is a hard error. A per-call iota row is free.
+        mask = _mask_row(dim, d_pad, dim_axis=0)
         scalars = jnp.stack([jnp.asarray(step_size, jnp.float32),
                              jnp.asarray(delta_max, jnp.float32)])
         seed = seed_words_from_key(key)

@@ -110,14 +110,18 @@ def _grid_summary(r: Dict) -> Dict:
 def _warmup(sampler, target, target_name, key, init_pos, num_warmup,
             schedule_type, num_steps, learn_mass_matrix, verbose=True,
             backend="auto", nuts_backend="auto", mesh=None,
-            trajectory_tuner="grid", nuts_proposal="endpoint"):
+            trajectory_tuner="grid", nuts_proposal="endpoint",
+            gamma_tuner="grid"):
     """Phase 1 dispatch. Returns (step_size, inv_mass, position, warmup_info).
 
     trajectory_tuner='chees' (hmc/grahmc) replaces the fixed-L windowed
     warmup with the ChEES joint (step, mass, trajectory-length) adaptation
     (tuning/chees.py) — warmup_info then carries the tuned
     trajectory_length and the equivalent num_steps, and `num_steps` from
-    the caller is ignored."""
+    the caller is ignored. gamma_tuner='joint' (GRAHMC + chees only)
+    additionally folds the friction into the same warmup via SPSA on the
+    sphered ESJD (one phase produces eps, M, T, gamma; grid fallback on
+    degenerate signal — tuning/chees.py)."""
     if sampler == "nuts" and nuts_backend == "persistent":
         backend = "persistent"
     if sampler == "rwmh":
@@ -138,7 +142,8 @@ def _warmup(sampler, target, target_name, key, init_pos, num_warmup,
             gamma=1.0,
             steepness=(default_steepness(schedule_type)
                        if sampler in ("grahmc", "rahmc") else None),
-            mesh=mesh)
+            mesh=mesh,
+            gamma_tuner=gamma_tuner)
 
     kwargs = {}
     if sampler == "hmc":
@@ -373,6 +378,7 @@ def run_single_benchmark_with_L(
     warmup_cache_dir: Optional[str] = None,
     nuts_steps_per_sample: int = 64,
     trajectory_tuner: str = "grid",
+    gamma_tuner: str = "grid",
     nuts_proposal: str = "endpoint",
     tempering: int = 0,
     tempering_beta_min: float = 0.05,
@@ -468,7 +474,9 @@ def run_single_benchmark_with_L(
                 backend=((nuts_backend if nuts_proposal == "endpoint"
                           else f"{nuts_backend}-{nuts_proposal}")
                          if sampler == "nuts" else
-                         "chees" if use_chees else ""))
+                         ("chees" if gamma_tuner == "grid"
+                          else f"chees-{gamma_tuner}")
+                         if use_chees else ""))
             cached = load_warmup(warmup_cache_dir, warmup_sig)
             if (cached is not None and use_chees
                     and "trajectory_length" not in cached[3]):
@@ -492,7 +500,7 @@ def run_single_benchmark_with_L(
                 schedule_type, num_steps, learn_mass_matrix,
                 backend="auto", nuts_backend=nuts_backend, mesh=mesh,
                 trajectory_tuner=trajectory_tuner,
-                nuts_proposal=nuts_proposal)
+                nuts_proposal=nuts_proposal, gamma_tuner=gamma_tuner)
             warmup_restored = False
             if warmup_cache_dir is not None:
                 from mcmc_tpu.utils.checkpoint import save_warmup
@@ -775,6 +783,12 @@ def run_single_benchmark_with_L(
                                 "gamma": warmup_info.get("gamma", 1.0),
                                 "steepness": warmup_info.get("steepness", 5.0),
                                 "schedule": schedule_type}
+            if "gamma_tuner" in warmup_info:
+                # which friction tuner actually produced gamma: 'joint'
+                # (SPSA inside the ChEES warmup) or 'grid' (sequential
+                # ESJD phase, incl. the joint mode's degenerate-signal
+                # fallback — tuning/chees.py)
+                sampler_metadata["gamma_tuner"] = warmup_info["gamma_tuner"]
         if use_tempering and res is not None:
             # checkpointed runs report WHOLE-run ladder health (counters
             # reset per _sample call, so res.info alone covers only the
@@ -1414,6 +1428,7 @@ def run_all_benchmarks(
     nuts_steps_per_sample: int = 64,
     trajectory_tuner: str = "grid",
     nuts_proposal: str = "endpoint",
+    gamma_tuner: str = "grid",
     tempering: int = 0,
     tempering_beta_min: float = 0.05,
     tempering_swap_interval: int = 1,
@@ -1554,7 +1569,8 @@ def run_all_benchmarks(
                                 track_convergence, convergence_base,
                                 mesh_devices=mesh_devices,
                                 warmup_cache_dir=warmup_cache_dir,
-                                trajectory_tuner="chees")
+                                trajectory_tuner="chees",
+                                gamma_tuner=gamma_tuner)
                             if result.get("chees_cap_hit"):
                                 print("  [chees] trajectory cap hit "
                                       "(criterion runaway on this target) "

@@ -62,6 +62,59 @@ CHEES_ADAM_LR = 0.025          # paper's Adam learning rate on log T
 CHEES_ADAM_EPS = 1e-8
 DEFAULT_MAX_STEPS = 256        # hard cap on leapfrogs per jittered trajectory
 
+# Joint GRAHMC friction adaptation (round 4, VERDICT r3 #8): two-sided
+# SPSA on log gamma, interleaved with the ChEES/DA/Welford updates, so ONE
+# warmup produces (eps, M, T, gamma) — replacing the separate coarse
+# ESJD grid phase the reference itself deprecates (reference
+# tuning/dual_averaging.py:683-708). Steps alternate gamma*e^{+delta} /
+# gamma*e^{-delta}; each DA batch turns the two acceptance-weighted
+# sphered-ESJD means into d log ESJD / d log gamma and takes one clipped
+# Robbins-Monro step. Bounds are the reference joint-DA clip [0.01, 20].
+GAMMA_SPSA_DELTA = 0.3         # log-space probe half-width (+-35%)
+GAMMA_SPSA_LR = 0.4            # RM gain per DA batch on log gamma
+GAMMA_MIN, GAMMA_MAX = 0.01, 20.0
+
+
+class GammaSPSAState(NamedTuple):
+    """Per-batch accumulator for the two-sided friction probe.
+
+    log_gamma: current RM iterate (replicated under a mesh).
+    sum_p/sum_m: acceptance-weighted sphered-ESJD sums at the +/- probes.
+    n_p/n_m: live step counts behind each sum (dead batch-padding steps
+    advance neither, so the +- alternation stays exact across batches)."""
+    log_gamma: Array
+    sum_p: Array
+    sum_m: Array
+    n_p: Array
+    n_m: Array
+
+
+def gamma_spsa_init(gamma: float, dtype=jnp.float32) -> GammaSPSAState:
+    g0 = float(np.clip(gamma if gamma and gamma > 0 else 1.0,
+                       GAMMA_MIN, GAMMA_MAX))
+    z = jnp.asarray(0.0, dtype)
+    return GammaSPSAState(jnp.asarray(np.log(g0), dtype), z, z, z, z)
+
+
+def gamma_spsa_batch_update(gs: GammaSPSAState,
+                            lr: float = GAMMA_SPSA_LR,
+                            delta: float = GAMMA_SPSA_DELTA
+                            ) -> GammaSPSAState:
+    """One RM step on log gamma from a finished batch's probe sums.
+
+    The gradient estimate is (log E+ - log E-) / (2 delta) — the log makes
+    it scale-free, so one gain works across targets. Skipped (iterate
+    kept) when either side saw no live steps or a degenerate sum."""
+    e_p = gs.sum_p / jnp.maximum(gs.n_p, 1.0)
+    e_m = gs.sum_m / jnp.maximum(gs.n_m, 1.0)
+    ok = (gs.n_p > 0) & (gs.n_m > 0) & (e_p > 0) & (e_m > 0)
+    g_hat = (jnp.log(jnp.maximum(e_p, 1e-30))
+             - jnp.log(jnp.maximum(e_m, 1e-30))) / (2.0 * delta)
+    new_lg = jnp.clip(gs.log_gamma + lr * jnp.clip(g_hat, -2.0, 2.0),
+                      np.log(GAMMA_MIN), np.log(GAMMA_MAX))
+    z = jnp.zeros_like(gs.sum_p)
+    return GammaSPSAState(jnp.where(ok, new_lg, gs.log_gamma), z, z, z, z)
+
 
 def halton_sequence(n: int, offset: int = 0) -> np.ndarray:
     """First `n` points of the base-2 radical-inverse (van der Corput)
@@ -472,6 +525,7 @@ def run_chees_warmup(
     gamma: float = 1.0,
     steepness: Optional[float] = None,
     mesh=None,
+    gamma_tuner: str = "grid",
     **kwargs,
 ) -> Tuple[float, Optional[Array], Array, Dict]:
     """ChEES warmup: jointly adapt step size (dual averaging), diagonal mass
@@ -483,12 +537,27 @@ def run_chees_warmup(
     equivalent fixed leapfrog count round(T / step_size), what the sampling
     phase should use as L — with jittered sampling, as the MAX length).
 
-    sampler: 'hmc', or 'grahmc'/'rahmc' (friction fixed at `gamma` during
-    adaptation; tune gamma afterwards exactly as the windowed pipeline
-    does). target_accept defaults to the jittered-HMC optimum 0.651.
+    sampler: 'hmc', or 'grahmc'/'rahmc'. target_accept defaults to the
+    jittered-HMC optimum 0.651.
+
+    gamma_tuner (GRAHMC only): 'grid' holds friction at `gamma` during
+    adaptation and runs the separate sequential ESJD grid afterwards
+    (reference-contract two-phase pipeline); 'joint' adapts log gamma by
+    two-sided SPSA on the acceptance-weighted sphered ESJD INSIDE the same
+    warmup (one phase produces eps, M, T, gamma — round 4, VERDICT r3 #8),
+    falling back to the grid only if the iterate ends pinned at a clip
+    bound (degenerate signal). 'joint' requires a diagonal metric (the
+    sphered ESJD divides by inv_mass per coordinate).
     """
     if sampler not in ("hmc", "grahmc", "rahmc"):
         raise ValueError(f"ChEES adaptation supports hmc/grahmc, got {sampler}")
+    if gamma_tuner not in ("grid", "joint"):
+        raise ValueError(f"unknown gamma_tuner {gamma_tuner!r}")
+    joint_gamma = gamma_tuner == "joint" and sampler in ("grahmc", "rahmc")
+    if joint_gamma and learn_mass_matrix == "dense":
+        raise ValueError("gamma_tuner='joint' needs a diagonal metric "
+                         "(sphered ESJD); use gamma_tuner='grid' with "
+                         "learn_mass_matrix='dense'")
     # 'dense' learns a full covariance metric: pooled second moments
     # (replicated under a mesh via per-step psums, exactly like
     # run_adaptive_warmup), dense momentum draws/kinetic in the probes,
@@ -523,7 +592,7 @@ def run_chees_warmup(
         initial_trajectory_length = initial_step
 
     def step_body(carry, xs):
-        key, cs, da, ch, wf, accumulate = carry
+        key, cs, da, ch, wf, gs, accumulate = carry
         h, live = xs
         eps = da_step_size(da).astype(pos_dtype)
         e_dtype = cs.log_prob.dtype
@@ -533,14 +602,38 @@ def run_chees_warmup(
 
         inv_mass = wf.inv_mass
         q0 = cs.position
+        if joint_gamma:
+            # two-sided probe: live steps alternate +-delta around the
+            # current iterate (parity of the LIVE step count, so padding
+            # steps never break the alternation)
+            probe_plus = ((gs.n_p + gs.n_m) % 2.0) < 0.5
+            sign = jnp.where(probe_plus, 1.0, -1.0)
+            gamma_t = jnp.exp(gs.log_gamma
+                              + sign * GAMMA_SPSA_DELTA).astype(pos_dtype)
+        else:
+            gamma_t = gamma
         # shared transition (samplers/trajectory.py): same RNG order
         # (k_mom, k_acc), same guard/divergence/accept contract as the
         # ChEES sampler and the ChEES-tuned SMC moves
         key, cs, _accept, q1, p1, log_alpha, _div = mh_transition_dynamic(
             key, cs, vag, eps, n, inv_mass,
-            friction_schedule=friction_schedule, gamma_max=gamma,
+            friction_schedule=friction_schedule, gamma_max=gamma_t,
             steepness=steepness)
         alpha = jnp.exp(log_alpha)
+        if joint_gamma:
+            # acceptance-weighted SPHERED expected squared jump distance:
+            # the per-coordinate variance estimate (inv_mass) spheres the
+            # displacement so the signal is preconditioning-invariant
+            d = (q1 - q0).astype(jnp.float32)
+            esjd = _pmean(jnp.mean(
+                alpha.astype(jnp.float32)
+                * jnp.sum(d * d / wf.inv_mass.astype(jnp.float32), axis=-1)))
+            live_f = live.astype(jnp.float32)
+            gs = gs._replace(
+                sum_p=gs.sum_p + jnp.where(probe_plus, esjd, 0.0) * live_f,
+                n_p=gs.n_p + jnp.where(probe_plus, live_f, 0.0),
+                sum_m=gs.sum_m + jnp.where(probe_plus, 0.0, esjd) * live_f,
+                n_m=gs.n_m + jnp.where(probe_plus, 0.0, live_f))
 
         g = chees_log_t_grad(q0, q1, p1, h.astype(pos_dtype), T,
                              alpha.astype(pos_dtype), inv_mass,
@@ -566,30 +659,36 @@ def run_chees_warmup(
                 lambda s: welford_update(s, cs.position),
                 lambda s: s, wf.state))
         accept_stat = _pmean(jnp.mean(alpha))
-        return (key, cs, da, ch, wf, accumulate), (accept_stat, n, ch.log_t)
+        return ((key, cs, da, ch, wf, gs, accumulate),
+                (accept_stat, n, ch.log_t))
 
     class _WF(NamedTuple):
         # mass matrix + Welford bundled so the scan carry stays one pytree
         inv_mass: Array
         state: object
 
-    def _batch_core(key, cs, da, ch, wf, accumulate, jitter, mask):
+    def _batch_core(key, cs, da, ch, wf, gs, accumulate, jitter, mask):
         """One DA batch at the UNIFORM shape (update_freq,): every window
         is stepped in fixed-width batches (short windows / remainders are
         padded with masked steps), so the whole warmup compiles exactly ONE
         program per process instead of one per distinct window geometry —
         through the remote-TPU tunnel each extra shape costs ~40-100s of
         XLA compilation, which dominated the measured warmup wall-clock."""
-        (key, cs, da, ch, wf, _), (alphas, ns, log_ts) = lax.scan(
-            step_body, (key, cs, da, ch, wf, accumulate), (jitter, mask))
+        (key, cs, da, ch, wf, gs, _), (alphas, ns, log_ts) = lax.scan(
+            step_body, (key, cs, da, ch, wf, gs, accumulate), (jitter, mask))
         w = mask.astype(alphas.dtype)
         wsum = jnp.maximum(jnp.sum(w), 1.0)
         acc_mean = jnp.sum(alphas * w) / wsum
         da = da_update(da, acc_mean, target_accept)
+        if joint_gamma:
+            # one RM step on log gamma per batch (probe sums are pmean'd
+            # per step, so the iterate is identical on every device)
+            gs = gamma_spsa_batch_update(gs)
         trace = (acc_mean,
                  jnp.sum(log_ts * w.astype(log_ts.dtype)) / wsum,
-                 jnp.sum(ns.astype(pos_dtype) * w.astype(pos_dtype)) / wsum)
-        return key, cs, da, ch, wf, trace
+                 jnp.sum(ns.astype(pos_dtype) * w.astype(pos_dtype)) / wsum,
+                 gs.log_gamma)
+        return key, cs, da, ch, wf, gs, trace
 
     def _wf_specs(wf):
         """_WF partition specs: inv_mass is the metric and REPLICATED (not
@@ -615,7 +714,7 @@ def run_chees_warmup(
         from mcmc_tpu.parallel import CHAIN_AXIS, shard_map_fn
 
         @jax.jit
-        def run_batch(keys, cs, da, ch, wf, accumulate, jitter, mask):
+        def run_batch(keys, cs, da, ch, wf, gs, accumulate, jitter, mask):
             def lead(leaf):
                 nd = jnp.ndim(leaf)
                 return (P() if nd == 0
@@ -623,21 +722,22 @@ def run_chees_warmup(
             kspec = P(CHAIN_AXIS, None)
             cs_specs = jax.tree.map(lead, cs)
             rep = lambda tree: jax.tree.map(lambda _: P(), tree)
-            common = (kspec, cs_specs, rep(da), rep(ch), _wf_specs(wf))
+            common = (kspec, cs_specs, rep(da), rep(ch), _wf_specs(wf),
+                      rep(gs))
             in_specs = common + (P(), P(), P())
             # trace stats are psum/pmean'd globally inside step_body, and
-            # the DA/ChEES states see only those global statistics — both
-            # stay bit-identical (replicated) on every device
-            out_specs = common + (rep((0.0, 0.0, 0.0)),)
+            # the DA/ChEES/gamma states see only those global statistics —
+            # all stay bit-identical (replicated) on every device
+            out_specs = common + (rep((0.0, 0.0, 0.0, 0.0)),)
 
-            def inner(keys, cs, da, ch, wf, accumulate, jitter, mask):
-                key, cs, da, ch, wf, trace = _batch_core(
-                    keys[0], cs, da, ch, wf, accumulate, jitter, mask)
-                return keys.at[0].set(key), cs, da, ch, wf, trace
+            def inner(keys, cs, da, ch, wf, gs, accumulate, jitter, mask):
+                key, cs, da, ch, wf, gs, trace = _batch_core(
+                    keys[0], cs, da, ch, wf, gs, accumulate, jitter, mask)
+                return keys.at[0].set(key), cs, da, ch, wf, gs, trace
 
             return shard_map_fn(inner, mesh, in_specs=in_specs,
                                 out_specs=out_specs)(
-                keys, cs, da, ch, wf, accumulate, jitter, mask)
+                keys, cs, da, ch, wf, gs, accumulate, jitter, mask)
 
     # --- initial state ----------------------------------------------------
     da = da_init(initial_step)
@@ -645,6 +745,10 @@ def run_chees_warmup(
                     dtype=jnp.asarray(initial_step).dtype)
     cs = init_chain_state(initial_position, target_log_prob,
                           value_and_grad_fn, needs_grad=True)
+    # friction SPSA state (constant placeholder when not joint-tuning, so
+    # the carry structure — and the single compiled batch program — is the
+    # same in both modes)
+    gs = gamma_spsa_init(gamma if joint_gamma else 1.0, dtype=jnp.float32)
     if dense_mass:
         # identity as a dense matrix + a pooled accumulator from the start
         # so the carry shapes stay uniform for the whole warmup (same
@@ -689,7 +793,9 @@ def run_chees_warmup(
 
     halton_offset = 0
     accept_trace, log_t_trace, mean_n_trace = [], [], []
+    log_gamma_trace = []
     final_phase_log_ts, final_phase_weights = [], []
+    final_phase_log_gammas = []
     B = max(1, int(update_freq))
     for start_idx, end_idx, phase in schedule:
         window_len = end_idx - start_idx
@@ -714,17 +820,19 @@ def run_chees_warmup(
             row = np.zeros(B, dtype=np.float64)
             row[:n_real] = halton_sequence(n_real, halton_offset)
             halton_offset += n_real
-            key, cs, da, ch, wf, (acc, log_t, mean_n) = run_batch(
-                key, cs, da, ch, wf, jnp.asarray(accumulate),
+            key, cs, da, ch, wf, gs, (acc, log_t, mean_n, log_g) = run_batch(
+                key, cs, da, ch, wf, gs, jnp.asarray(accumulate),
                 jnp.asarray(row, pos_dtype), live)
             # device scalars, converted after the loop (a float() here
             # would block on a device->host round trip per batch)
             accept_trace.append(acc)
             log_t_trace.append(log_t)
             mean_n_trace.append(mean_n)
+            log_gamma_trace.append(log_g)
             if phase == "cooldown":
                 final_phase_log_ts.append(log_t)
                 final_phase_weights.append(n_real)
+                final_phase_log_gammas.append(log_g)
 
         if accumulate:
             if dense_mass:
@@ -770,11 +878,29 @@ def run_chees_warmup(
     inv_mass = wf.inv_mass if learn_mass_matrix else None
     position = cs.position
 
-    # GRAHMC phase 3 (parity with run_adaptive_warmup): tune the friction
-    # on the sphered geometry at the ChEES-selected L, then re-derive L
-    # from the re-tuned step so T stays the tuned quantity.
+    # GRAHMC friction product. Joint mode: the SPSA iterate was adapted
+    # inside the warmup — Polyak-average log gamma over the cooldown
+    # batches (same convention as log T) and skip the separate grid phase
+    # entirely, UNLESS the iterate ended pinned at a clip bound (the ESJD
+    # signal was degenerate — e.g. acceptance collapsed): then fall back
+    # to the sequential grid exactly as the grid mode would run.
+    gamma_fallback_to_grid = False
+    run_grid_phase = (friction_schedule is not None
+                      and kwargs.get("tune_gamma", True))
     tuned_gamma = gamma if friction_schedule is not None else None
-    if friction_schedule is not None and kwargs.get("tune_gamma", True):
+    if joint_gamma and kwargs.get("tune_gamma", True):
+        lg_final = (float(np.average(
+            [float(g) for g in final_phase_log_gammas],
+            weights=final_phase_weights))
+            if final_phase_log_gammas else float(gs.log_gamma))
+        at_bound = (lg_final <= np.log(GAMMA_MIN) * 0.99 + 0.01
+                    or lg_final >= np.log(GAMMA_MAX) * 0.99)
+        if at_bound:
+            gamma_fallback_to_grid = True
+        else:
+            tuned_gamma = float(np.exp(lg_final))
+            run_grid_phase = False
+    if run_grid_phase:
         from mcmc_tpu.tuning.sequential import sequential_tune_grahmc
         # same backend resolution as run_adaptive_warmup: fused Pallas
         # probes on TPU when the target has a kernel specialization
@@ -826,6 +952,12 @@ def run_chees_warmup(
     if friction_schedule is not None:
         info["gamma"] = float(tuned_gamma)
         info["steepness"] = float(steepness)
+        info["gamma_tuner"] = (
+            "joint" if joint_gamma and not gamma_fallback_to_grid
+            else "grid")
+        if joint_gamma:
+            info["log_gamma_history"] = [float(g) for g in log_gamma_trace]
+            info["gamma_fallback_to_grid"] = gamma_fallback_to_grid
     if verbose:
         print(f"ChEES complete: T={trajectory_length:.4f} "
               f"step={step_size:.5f} -> L={num_steps}")

@@ -134,6 +134,9 @@ def save_warmup(cache_dir: str, signature: str, step_size: float, inv_mass,
                           if "halton_offset" in warmup_info else None),
         "max_steps_cap_hit": (bool(warmup_info["max_steps_cap_hit"])
                               if "max_steps_cap_hit" in warmup_info else None),
+        # which friction tuner produced gamma (round 4: 'joint' SPSA vs
+        # 'grid'; restored rows must still record it)
+        "gamma_tuner": warmup_info.get("gamma_tuner"),
     }
     save_state_tree(os.path.join(cache_dir, signature), tree, meta)
 
@@ -155,7 +158,8 @@ def load_warmup(cache_dir: str, signature: str):
                     if meta["has_inv_mass"] else None)
         info = {k: meta[k]
                 for k in ("gamma", "steepness", "scale", "trajectory_length",
-                          "num_steps", "halton_offset", "max_steps_cap_hit")
+                          "num_steps", "halton_offset", "max_steps_cap_hit",
+                          "gamma_tuner")
                 if meta.get(k) is not None}
         return meta["step_size"], inv_mass, jnp.asarray(arrays["position"]), info
     except Exception:

@@ -104,6 +104,17 @@ def main():
                         "mass, then jittered-trajectory sampling; "
                         "automatically falls back to the grid when the "
                         "criterion runs away on flat-tailed targets)")
+    parser.add_argument("--gamma-tuner", type=str, default="grid",
+                        choices=["grid", "joint"],
+                        help="GRAHMC friction selection under "
+                        "--trajectory-tuner chees: 'grid' (ChEES warmup "
+                        "then the separate sequential ESJD grid phase — "
+                        "reference contract) or 'joint' (SPSA on log gamma "
+                        "against the acceptance-weighted sphered ESJD "
+                        "INSIDE the same warmup: one phase produces step, "
+                        "mass, T and gamma; falls back to the grid when "
+                        "the iterate pins at a clip bound). Ignored for "
+                        "other samplers/tuners")
     parser.add_argument("--tempering", type=int, default=0,
                         help="Parallel tempering for HMC/GRAHMC: run K > 1 "
                         "replica-exchange rungs (geometric inverse-"
@@ -207,6 +218,7 @@ def main():
         nuts_backend=args.nuts_backend,
         nuts_proposal=args.nuts_proposal,
         trajectory_tuner=args.trajectory_tuner,
+        gamma_tuner=args.gamma_tuner,
         tempering=args.tempering,
         tempering_beta_min=args.tempering_beta_min,
         tempering_swap_interval=args.tempering_swap_interval,

@@ -511,3 +511,96 @@ def test_chees_run_caches_across_offsets(caplog):
                   for r in caplog.records)
     assert n_first == 1, "first call must compile the core"
     assert n_total == n_first, "second call (new offset) must hit the cache"
+
+
+def test_joint_gamma_tuner_validation():
+    """gamma_tuner surface contract: bad value and joint+dense both raise."""
+    from mcmc_tpu.tuning.chees import run_chees_warmup
+    t = get_target("standard_normal", dim=3)
+    init = random.normal(random.PRNGKey(0), (8, 3))
+    kw = dict(num_warmup=40, value_and_grad_fn=t.value_and_grad_fn,
+              schedule_type="tanh")
+    with pytest.raises(ValueError, match="gamma_tuner"):
+        run_chees_warmup("grahmc", t.log_prob_fn, None, init,
+                         random.PRNGKey(1), gamma_tuner="spsa", **kw)
+    with pytest.raises(ValueError, match="diagonal"):
+        run_chees_warmup("grahmc", t.log_prob_fn, None, init,
+                         random.PRNGKey(1), gamma_tuner="joint",
+                         learn_mass_matrix="dense", **kw)
+
+
+def test_joint_gamma_tuner_single_phase():
+    """gamma_tuner='joint' produces (eps, M, T, gamma) in ONE warmup: the
+    SPSA iterate moves off its init, lands strictly inside the clip
+    bounds, the separate grid phase is skipped (info says so), and the
+    default-path ('grid') results are untouched by the new carry."""
+    from mcmc_tpu.tuning.chees import (GAMMA_MAX, GAMMA_MIN,
+                                       run_chees_warmup)
+    t = get_target("neals_funnel", dim=6)
+    init = t.init_sampler(random.PRNGKey(0), 64).astype(jnp.float32)
+    step, mass, pos, info = run_chees_warmup(
+        "grahmc", t.log_prob_fn, None, init, random.PRNGKey(1),
+        num_warmup=400, schedule_type="tanh",
+        value_and_grad_fn=t.value_and_grad_fn, gamma_tuner="joint")
+    assert info["gamma_tuner"] == "joint"
+    assert info["gamma_fallback_to_grid"] is False
+    assert GAMMA_MIN < info["gamma"] < GAMMA_MAX
+    lg = info["log_gamma_history"]
+    assert len(lg) >= 3 and all(np.isfinite(lg))
+    # the iterate actually adapted (funnel ESJD is gamma-sensitive)
+    assert abs(lg[-1] - lg[0]) > 1e-4
+    assert step > 0 and np.all(np.isfinite(np.asarray(mass)))
+    assert np.all(np.isfinite(np.asarray(pos)))
+
+
+def test_joint_gamma_tuner_under_mesh():
+    """Joint friction SPSA under the 8-device mesh: probe sums are pmean'd
+    per step, so the replicated iterate stays finite/interior and the
+    warmup completes through the shard_mapped batch program."""
+    from mcmc_tpu.parallel import make_mesh, shard_chains
+    from mcmc_tpu.tuning.chees import (GAMMA_MAX, GAMMA_MIN,
+                                       run_chees_warmup)
+    mesh = make_mesh(8)
+    t = get_target("standard_normal", dim=4)
+    init = shard_chains(
+        random.normal(random.PRNGKey(3), (32, 4)) * 0.5, mesh)
+    step, mass, pos, info = run_chees_warmup(
+        "grahmc", t.log_prob_fn, None, init, random.PRNGKey(4),
+        num_warmup=200, schedule_type="constant",
+        value_and_grad_fn=t.value_and_grad_fn, gamma_tuner="joint",
+        mesh=mesh)
+    assert info["gamma_tuner"] in ("joint", "grid")   # fallback allowed
+    assert GAMMA_MIN <= info["gamma"] <= GAMMA_MAX
+    assert np.all(np.isfinite(info["log_gamma_history"]))
+    assert pos.shape == (32, 4)
+
+
+def test_gamma_spsa_update_math():
+    """Unit contract of the RM step: ascends when E+ > E-, descends when
+    E+ < E-, freezes on a degenerate batch, clips at the bounds."""
+    from mcmc_tpu.tuning.chees import (GAMMA_MAX, GAMMA_SPSA_DELTA,
+                                       GAMMA_SPSA_LR, GammaSPSAState,
+                                       gamma_spsa_batch_update,
+                                       gamma_spsa_init)
+    gs = gamma_spsa_init(1.0)
+    up = gamma_spsa_batch_update(gs._replace(
+        sum_p=jnp.asarray(4.0), n_p=jnp.asarray(2.0),
+        sum_m=jnp.asarray(2.0), n_m=jnp.asarray(2.0)))
+    expect = GAMMA_SPSA_LR * np.log(2.0) / (2 * GAMMA_SPSA_DELTA)
+    assert float(up.log_gamma) == pytest.approx(expect, rel=1e-5)
+    down = gamma_spsa_batch_update(gs._replace(
+        sum_p=jnp.asarray(1.0), n_p=jnp.asarray(2.0),
+        sum_m=jnp.asarray(2.0), n_m=jnp.asarray(2.0)))
+    assert float(down.log_gamma) < 0
+    # degenerate: one side empty -> iterate unchanged, sums reset
+    frozen = gamma_spsa_batch_update(gs._replace(
+        sum_p=jnp.asarray(4.0), n_p=jnp.asarray(2.0)))
+    assert float(frozen.log_gamma) == float(gs.log_gamma)
+    assert float(frozen.sum_p) == 0.0
+    # clip: a huge repeated ascent cannot exceed log(GAMMA_MAX)
+    g = gamma_spsa_init(15.0)
+    for _ in range(20):
+        g = gamma_spsa_batch_update(g._replace(
+            sum_p=jnp.asarray(1e6), n_p=jnp.asarray(2.0),
+            sum_m=jnp.asarray(1.0), n_m=jnp.asarray(2.0)))
+    assert float(jnp.exp(g.log_gamma)) == pytest.approx(GAMMA_MAX, rel=1e-5)

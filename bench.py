@@ -450,6 +450,48 @@ def measure_tpu():
     except Exception as e:
         print(f"[bench] NUTS row skipped: {e}", file=sys.stderr)
 
+    # ---- NUTS multinomial proposal at bench scale (VERDICT r3 #4) --------
+    # Same config/keys as the endpoint row: measures what the Stan-exact
+    # multinomial scheme costs at 65,536 chains so the TPU 'auto' default
+    # is chosen from data, not guessed. (The endpoint scheme carries the
+    # reference's ~3-4% marginal underdispersion — BASELINE.md bias audit.)
+    try:
+        mkw = dict(step_size=n_step, num_samples=NUTS_TIMED_SAMPLES,
+                   steps_per_sample=NUTS_STEPS_PER_SAMPLE, burn_in_steps=0,
+                   value_and_grad_fn=target.value_and_grad_fn,
+                   proposal_scheme="multinomial")
+        m_init = (random.normal(random.PRNGKey(3),
+                                (NUTS_TPU_CHAINS, DIM)) * 0.5
+                  ).astype(jnp.float32)
+        mres = nuts_run_persistent(random.PRNGKey(4), target.log_prob_fn,
+                                   m_init, **mkw)
+        jax.block_until_ready(mres.samples)
+        mreps = []
+        for rep in range(4):
+            t0 = time.time()
+            mres = nuts_run_persistent(random.PRNGKey(5 + rep),
+                                       target.log_prob_fn, m_init, **mkw)
+            float(jnp.sum(mres.final_state.position))
+            dt_rep = time.time() - t0
+            mreps.append((int(mres.info["n_leapfrogs"]), dt_rep))
+        mrates = sorted(g / d for g, d in mreps[1:])
+        m_rate = mrates[len(mrates) // 2]
+        mdt_last = mreps[-1][1]
+        extras["nuts_multinomial_useful_grads_per_sec"] = round(m_rate, 1)
+        extras["nuts_multinomial_ess_per_sec"] = round(
+            _measured_ess_per_sec(mres.samples, mdt_last, jnp,
+                                  "NUTS-multinomial"), 1)
+        if extras.get("nuts_ess_per_sec"):
+            extras["nuts_multinomial_vs_endpoint_ess"] = round(
+                extras["nuts_multinomial_ess_per_sec"]
+                / extras["nuts_ess_per_sec"], 3)
+        print(f"[bench] NUTS multinomial: {m_rate / 1e6:,.1f}M useful "
+              f"grads/s, ESS/s ratio vs endpoint = "
+              f"{extras.get('nuts_multinomial_vs_endpoint_ess', 'n/a')}",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] NUTS multinomial row skipped: {e}", file=sys.stderr)
+
     # ---- RWMH: fused multi-transition kernel, timed ----------------------
     try:
         from mcmc_tpu.targets import standard_normal
@@ -600,7 +642,7 @@ def measure_tpu():
     # counts are key-dependent under the adaptive schedule).
     try:
         import numpy as np
-        from mcmc_tpu.samplers.smc import smc_run
+        from mcmc_tpu.samplers.smc import resolve_move_backend, smc_run
         from mcmc_tpu.targets import get_target as _get_target_smc
         smt = _get_target_smc("gaussian_mixture", dim=10)
         s_P, s_L, s_moves = 32768, 8, 2
@@ -608,6 +650,9 @@ def measure_tpu():
                    move_steps=s_moves, base_scale=6.0,
                    value_and_grad_fn=smt.value_and_grad_fn,
                    final_resample=True)
+        # round 4: auto resolves to the fused bridge kernel on TPU
+        extras["smc_move_backend"] = resolve_move_backend(
+            "auto", smt.value_and_grad_fn, False, None)
         sres = smc_run(random.PRNGKey(60), smt.log_prob_fn, **skw)  # warm
         jax.block_until_ready(sres.particles)
         s_rates, s_last = [], sres
@@ -686,6 +731,12 @@ def main():
                 "scale": RWMH_SCALE}, "RWMH")
         _save_cache(cache)
 
+    # The CPU arm runs on THIS host — record its core count next to every
+    # ratio (VERDICT r3 weak #4): chains are embarrassingly parallel, so an
+    # N-core server CPU could close up to ~N x of the headline margin; the
+    # per-core-equivalent ratio below is the conservative bound.
+    extras["cpu_baseline_host_vcpus"] = os.cpu_count()
+
     base = cache["grahmc_cpu"]
     print(f"[bench] reference CPU GRAHMC baseline: "
           f"{base['chain_steps_per_sec']:.1f} chain-steps/s, "
@@ -697,9 +748,14 @@ def main():
     if "grahmc_ess_per_sec" in extras and base.get("ess_per_sec"):
         extras["grahmc_ess_per_sec_vs_baseline"] = round(
             extras["grahmc_ess_per_sec"] / base["ess_per_sec"], 2)
+        extras["grahmc_ess_ratio_per_cpu_core"] = round(
+            extras["grahmc_ess_per_sec_vs_baseline"]
+            / extras["cpu_baseline_host_vcpus"], 2)
         print(f"[bench] GRAHMC measured min-bulk-ESS/sec ratio (TPU/CPU): "
-              f"{extras['grahmc_ess_per_sec_vs_baseline']:.1f}x",
-              file=sys.stderr)
+              f"{extras['grahmc_ess_per_sec_vs_baseline']:.1f}x vs this "
+              f"{extras['cpu_baseline_host_vcpus']}-vCPU host "
+              f"({extras['grahmc_ess_ratio_per_cpu_core']:.1f}x "
+              f"per-CPU-core equivalent)", file=sys.stderr)
     nbase = cache["nuts_cpu"]
     print(f"[bench] reference CPU NUTS baseline: "
           f"{nbase['useful_grads_per_sec']:,.0f} useful grads/s, "

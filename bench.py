@@ -676,6 +676,44 @@ def measure_tpu():
               f"{extras['smc_stages']} stages); log_Z="
               f"{extras['smc_log_z']:+.4f} (true 0), mode fraction "
               f"{extras['smc_mode_fraction']}", file=sys.stderr)
+
+        # Move-phase decomposition (round 4): the evidence row's total
+        # rate is dominated by per-stage population machinery (reweight/
+        # resample/refresh + dispatch), NOT the moves — measure a
+        # move-dominated config plus the MARGINAL move rate from a
+        # matched-ladder pair differing only in move_steps. A fixed
+        # ladder pins the stage structure so the subtraction is exact.
+        s_betas = np.linspace(0.08, 1.0, 13)
+        mv_P, mv_L = 65536, 16
+        times = {}
+        for mv_m in (2, 8):
+            mkw = dict(n_particles=mv_P, dim=10, step_size=0.4,
+                       num_steps=mv_L, move_steps=mv_m, base_scale=6.0,
+                       betas=s_betas,
+                       value_and_grad_fn=smt.value_and_grad_fn)
+            rr = smc_run(random.PRNGKey(70), smt.log_prob_fn, **mkw)
+            float(jnp.sum(rr.particles))            # warm + force
+            dts = []
+            for rep in range(3):
+                t0 = time.time()
+                rr = smc_run(random.PRNGKey(71 + rep), smt.log_prob_fn,
+                             **mkw)
+                float(jnp.sum(rr.particles))
+                dts.append(time.time() - t0)
+            times[mv_m] = min(dts)
+        lf8 = mv_P * 13 * 8 * mv_L
+        extras["smc_move_dominated_leapfrogs_per_sec"] = round(
+            lf8 / times[8], 1)
+        d_lf = mv_P * 13 * (8 - 2) * mv_L
+        d_t = max(times[8] - times[2], 1e-9)
+        extras["smc_move_marginal_leapfrogs_per_sec"] = round(d_lf / d_t, 1)
+        print(f"[bench] SMC move decomposition (P={mv_P}, L={mv_L}, fixed "
+              f"13-rung ladder): total@8moves "
+              f"{extras['smc_move_dominated_leapfrogs_per_sec'] / 1e6:,.0f}M"
+              f" lf/s, MARGINAL move rate "
+              f"{extras['smc_move_marginal_leapfrogs_per_sec'] / 1e6:,.0f}M"
+              f" lf/s (stage overhead {times[2] * 1e3:.0f}ms/run at 2 "
+              f"moves)", file=sys.stderr)
     except Exception as e:
         print(f"[bench] SMC row skipped: {e}", file=sys.stderr)
 

@@ -443,20 +443,30 @@ def _smc_run_jit(
         # systematic resample when degenerate (global decision — identical
         # on every device; the resample itself is island-local: each
         # island's post-resample particles share its pre-resample total
-        # weight, so no particle ever crosses a device boundary)
+        # weight, so no particle ever crosses a device boundary). The
+        # whole resample lives under lax.cond: most stages keep their
+        # population, and the skipped branch saves the cumsum/searchsorted
+        # plus five (P, D)-class gathers per stage — measurably the SMC
+        # per-stage floor, not the moves (round 4 probe: marginal move
+        # rate ~1.4B leapfrogs/s on BOTH backends; wall time was fixed
+        # population overhead). Taken-branch results are bit-identical to
+        # the old unconditional-where formulation (same kr stream).
         do_res = rel < resample_threshold
-        idx = systematic_resample(kr, logw)
-        if axis_name is None:
-            logw_reset = jnp.full_like(logw, -jnp.log(float(P)))
-        else:
-            island = jax.scipy.special.logsumexp(logw)   # local shard sum
-            logw_reset = jnp.full_like(logw, island - jnp.log(float(P)))
-        q = jnp.where(do_res, c.q[idx], c.q)
-        lp_t = jnp.where(do_res, c.lp_t[idx], c.lp_t)
-        g_t = jnp.where(do_res, c.g_t[idx], c.g_t)
-        lp_b = jnp.where(do_res, lp_b[idx], lp_b)
-        g_b = jnp.where(do_res, g_b[idx], g_b)
-        logw = jnp.where(do_res, logw_reset, logw)
+
+        def _resample(args):
+            q0, lpt0, gt0, lpb0, gb0, lw0 = args
+            idx = systematic_resample(kr, lw0)
+            if axis_name is None:
+                lw_reset = jnp.full_like(lw0, -jnp.log(float(P)))
+            else:
+                island = jax.scipy.special.logsumexp(lw0)  # local shard sum
+                lw_reset = jnp.full_like(lw0, island - jnp.log(float(P)))
+            return (q0[idx], lpt0[idx], gt0[idx], lpb0[idx], gb0[idx],
+                    lw_reset)
+
+        q, lp_t, g_t, lp_b, g_b, logw = lax.cond(
+            do_res, _resample, lambda args: args,
+            (c.q, c.lp_t, c.g_t, lp_b, g_b, logw))
 
         # MCMC moves targeting pi_{b_new} (mixture built from cached
         # target/base pieces -- no extra evals to form the state)

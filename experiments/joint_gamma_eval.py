@@ -100,7 +100,7 @@ def main():
             ess = ess_bulk_chunked(res.samples, chain_chunk=1024,
                                    dim_chunk=4)
             ess_min = float(jnp.min(ess))
-            n_grads = int(res.info["n_leapfrogs"])
+            n_grads = int(res.info["total_leapfrogs"])
             row = {
                 "target": tname, "tuner": info.get("gamma_tuner", tuner),
                 "requested": tuner,

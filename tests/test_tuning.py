@@ -129,12 +129,38 @@ def test_tune_hmc_reaches_target_accept():
 
 
 def test_tune_nuts_runs():
-    t = standard_normal(4)
-    init = random.normal(random.PRNGKey(4), (4, 4))
-    step, hist = dual_averaging_tune_nuts(
-        random.PRNGKey(5), t.log_prob_fn, init, max_iter=60, min_iter=20,
-        n_samples_per_tune=20, value_and_grad_fn=t.value_and_grad_fn)
-    assert 0.01 < step < 3.0
+    """Runs in a FRESH subprocess, deliberately: the classic-NUTS tuner's
+    vmapped tree-doubling program is the largest compile in the tier, and
+    compiling it ~350 compiles into the suite process SIGSEGVs jaxlib's
+    CPU compiler deterministically (2/2 full-tier runs died exactly here,
+    2026-08-20) while the identical test passes solo. Process isolation
+    keeps the coverage and removes the crash; the underlying instability
+    is documented in tests/conftest.py."""
+    import subprocess
+    import sys
+    from pathlib import Path
+    code = r'''
+import sys
+sys.path.insert(0, sys.argv[1])
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.random as random
+from mcmc_tpu.targets import standard_normal
+from mcmc_tpu.tuning import dual_averaging_tune_nuts
+t = standard_normal(4)
+init = random.normal(random.PRNGKey(4), (4, 4))
+step, hist = dual_averaging_tune_nuts(
+    random.PRNGKey(5), t.log_prob_fn, init, max_iter=60, min_iter=20,
+    n_samples_per_tune=20, value_and_grad_fn=t.value_and_grad_fn)
+assert 0.01 < step < 3.0, step
+print("TUNE_NUTS_OK", step)
+'''
+    repo = str(Path(__file__).resolve().parent.parent)
+    r = subprocess.run([sys.executable, "-c", code, repo],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "TUNE_NUTS_OK" in r.stdout
 
 
 # ----------------------------------------------------------------------------

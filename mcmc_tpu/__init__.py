@@ -23,7 +23,9 @@ Design principles (TPU-first):
 """
 
 from mcmc_tpu import precision
-from mcmc_tpu.targets import TargetDistribution, get_target, get_reference_sampler, has_reference_sampler
+from mcmc_tpu.targets import (TargetDistribution, get_target,
+                              get_reference_sampler, has_reference_sampler,
+                              unconstrain_target)
 
 __version__ = "0.1.0"
 

@@ -474,7 +474,11 @@ def run_single_benchmark_with_L(
                 backend=((nuts_backend if nuts_proposal == "endpoint"
                           else f"{nuts_backend}-{nuts_proposal}")
                          if sampler == "nuts" else
-                         ("chees" if gamma_tuner == "grid"
+                         # the joint gamma tuner only activates for
+                         # grahmc/rahmc — HMC ChEES warmups are identical
+                         # either way, so keep them under one cache key
+                         ("chees" if (gamma_tuner == "grid"
+                                      or sampler == "hmc")
                           else f"chees-{gamma_tuner}")
                          if use_chees else ""))
             cached = load_warmup(warmup_cache_dir, warmup_sig)
@@ -614,6 +618,8 @@ def run_single_benchmark_with_L(
         tempered_run_stats = None   # whole-run ladder stats (checkpointed path)
         chees_leapfrogs = 0
         halton_cursor = warmup_info.get("halton_offset", 0) if use_chees else 0
+        run_betas = None            # realized ladder (tempered metadata)
+        sampling_ckpt = None
         sample_start = time.time()
         if track_convergence and sampler in ("hmc", "grahmc", "rahmc"):
             # Fixed-width chunking: snap checkpoints to a quantum grid and
@@ -627,7 +633,9 @@ def run_single_benchmark_with_L(
             print(f"[Phase 2] Sampling with {len(checkpoints)} convergence "
                   f"checkpoints (chunk width {quantum})...")
             convergence_trace = []
-            pieces, prev = [], 0
+            piece_samples = []      # one (chunk, C, D) array per chunk
+            piece_stats = []        # per-chunk JSON-safe stats
+            prev = 0
             res = None
             replica_pos = ladder_replica_pos
             # one reference draw + direction set for the whole trace: each
@@ -635,10 +643,50 @@ def run_single_benchmark_with_L(
             # reference-side sort (see ConvergenceW2Tracker); the headline
             # sliced_w2 below still uses the fresh-draw parity path
             key, w2_key = random.split(key)
+
+            # Mid-sampling checkpoint/resume (round 5, VERDICT r4 #4):
+            # chain state + partial history + RNG keys persist at every
+            # convergence checkpoint, so a preemption resumes from the
+            # last checkpoint instead of repaying the whole sampling
+            # phase. Draw-exact: the resumed key sequence is identical.
+            if warmup_sig is not None:
+                from mcmc_tpu.utils.checkpoint import SamplingCheckpoint
+                sampling_ckpt = SamplingCheckpoint(
+                    warmup_cache_dir, warmup_sig, config={
+                        "num_samples": int(num_samples),
+                        "quantum": int(quantum),
+                        "convergence_base": float(convergence_base),
+                        "tempering": int(tempering or 0),
+                        "chees": bool(use_chees),
+                        "step_size": float(step_size),
+                    })
+                restored = sampling_ckpt.load()
+                if restored is not None and restored["prev"] > 0:
+                    prev = restored["prev"]
+                    key = restored["key"]
+                    w2_key = restored["w2_key"]
+                    position = restored["position"]
+                    halton_cursor = restored["halton_cursor"]
+                    chees_leapfrogs = restored["chees_leapfrogs"]
+                    convergence_trace = restored["convergence_trace"]
+                    piece_samples = restored["piece_samples"]
+                    piece_stats = restored["piece_stats"]
+                    if mesh is not None:
+                        from mcmc_tpu.parallel import shard_chains
+                        position = shard_chains(position, mesh)
+                    if restored["replica_pos"] is not None:
+                        replica_pos = restored["replica_pos"]
+                        if mesh is not None:
+                            replica_pos = shard_chains(replica_pos, mesh)
+                    print(f"  [resume] mid-sampling checkpoint restored "
+                          f"at draw {prev}/{num_samples}")
+
             w2_tracker = ConvergenceW2Tracker(target_name, target.dim,
                                               n_reference=50000,
                                               n_projections=500, key=w2_key)
             for cp in checkpoints:
+                if cp <= prev:
+                    continue    # completed before the restored checkpoint
                 batch = cp - prev
                 prev = cp
                 for chunk in _checkpoint_chunks(batch, quantum):
@@ -666,8 +714,24 @@ def run_single_benchmark_with_L(
                         # just the cold rows — hot rungs stay equilibrated
                         replica_pos = res.info.get("replica_final_positions")
                     position = res.final_state.position
-                    pieces.append(res)
-                cumulative = jnp.concatenate([p.samples for p in pieces], axis=0)
+                    piece_samples.append(res.samples)
+                    st = {"draws": int(res.samples.shape[0]),
+                          "accept_mean": float(res.accept_rate.mean()),
+                          "total_divergences": int(
+                              res.info["total_divergences"])}
+                    if use_tempering:
+                        st["swap_attempts"] = np.asarray(
+                            res.info["swap_attempts"], np.float64).tolist()
+                        st["swap_accept_rate"] = np.asarray(
+                            res.info["swap_accept_rate"],
+                            np.float64).tolist()
+                        st["replica_accept_rate"] = np.asarray(
+                            res.info["replica_accept_rate"],
+                            np.float64).tolist()
+                        st["betas"] = np.asarray(res.info["betas"],
+                                                 np.float64).tolist()
+                    piece_stats.append(st)
+                cumulative = jnp.concatenate(piece_samples, axis=0)
                 w2 = w2_tracker.w2(cumulative) if w2_tracker.ok else None
                 cp_diag = compute_diagnostics(cumulative)
                 n_grad_cp = (chees_leapfrogs if use_chees
@@ -684,33 +748,37 @@ def run_single_benchmark_with_L(
                     "ess_tail_min": float(cp_diag["ess_tail_min"]),
                     "rhat_max": float(cp_diag["rhat_max"]),
                 })
-            samples = jnp.concatenate([p.samples for p in pieces], axis=0)
-            piece_draws = np.array([p.samples.shape[0] for p in pieces],
+                if sampling_ckpt is not None:
+                    sampling_ckpt.save(
+                        prev, key, w2_key, position,
+                        replica_pos if use_tempering else None,
+                        halton_cursor, chees_leapfrogs, convergence_trace,
+                        piece_samples, piece_stats)
+            samples = jnp.concatenate(piece_samples, axis=0)
+            piece_draws = np.array([s["draws"] for s in piece_stats],
                                    np.float64)
             accept_rate = float(np.sum(
-                [float(p.accept_rate.mean()) * d
-                 for p, d in zip(pieces, piece_draws)]) / piece_draws.sum())
-            total_div = int(sum(int(p.info["total_divergences"]) for p in pieces))
+                [s["accept_mean"] * d
+                 for s, d in zip(piece_stats, piece_draws)])
+                / piece_draws.sum())
+            total_div = int(sum(s["total_divergences"] for s in piece_stats))
             divergence_rate = total_div / (num_samples * n_chains)
             tree_depths = None
             if use_tempering:
                 # whole-run ladder health, not the last checkpoint batch's:
                 # swap rates aggregate exactly via their attempt counts
                 # (sum acc / sum att), replica acceptance via piece draws
-                att = np.stack([np.asarray(p.info["swap_attempts"],
-                                           np.float64) for p in pieces])
-                acc = np.stack([np.asarray(p.info["swap_accept_rate"],
-                                           np.float64) for p in pieces])
-                draws = np.array([p.samples.shape[0] for p in pieces],
-                                 np.float64)
-                rep = np.stack([np.asarray(p.info["replica_accept_rate"],
-                                           np.float64) for p in pieces])
+                att = np.array([s["swap_attempts"] for s in piece_stats])
+                acc = np.array([s["swap_accept_rate"] for s in piece_stats])
+                rep = np.array([s["replica_accept_rate"]
+                                for s in piece_stats])
                 tempered_run_stats = {
                     "swap_accept_rate": (acc * att).sum(0)
                     / np.maximum(att.sum(0), 1.0),
-                    "replica_accept_rate": (rep * draws[:, None]).sum(0)
-                    / draws.sum(),
+                    "replica_accept_rate":
+                    (rep * piece_draws[:, None]).sum(0) / piece_draws.sum(),
                 }
+                run_betas = piece_stats[-1]["betas"]
         else:
             print(f"[Phase 2] Sampling {num_samples} draws...")
             key, s_key = random.split(key)
@@ -789,11 +857,15 @@ def run_single_benchmark_with_L(
                 # ESJD phase, incl. the joint mode's degenerate-signal
                 # fallback — tuning/chees.py)
                 sampler_metadata["gamma_tuner"] = warmup_info["gamma_tuner"]
-        if use_tempering and res is not None:
+        if use_tempering and (res is not None or run_betas is not None):
             # checkpointed runs report WHOLE-run ladder health (counters
             # reset per _sample call, so res.info alone covers only the
-            # final batch); single-shot runs use res.info directly
+            # final batch); single-shot runs use res.info directly. A run
+            # fully restored from a mid-sampling checkpoint has res=None
+            # and reads the ladder from the persisted piece stats.
             swap_stats = tempered_run_stats or res.info
+            if run_betas is None:
+                run_betas = res.info["betas"]
             sampler_metadata.update(
                 tempering=int(tempering),
                 tempering_beta_min=float(tempering_beta_min),
@@ -805,7 +877,7 @@ def run_single_benchmark_with_L(
                                      for x in np.asarray(
                                          swap_stats["replica_accept_rate"])],
                 tempering_betas=[round(float(x), 4)
-                                 for x in np.asarray(res.info["betas"])],
+                                 for x in np.asarray(run_betas)],
                 **ladder_meta)
         if use_chees:
             sampler_metadata.update(
@@ -824,6 +896,25 @@ def run_single_benchmark_with_L(
                                                 significance=0.05)
         stats_pass = stats_result["pass"]
         has_true_mean = target.true_mean is not None and target.true_cov is not None
+
+        # Reparameterized targets (unconstrain_target): z-test the
+        # CONSTRAINED coordinates too — transformed draws vs the original
+        # target's analytic moments — and gate quality_pass on it. R-hat/ESS
+        # stay in the sampled coordinates (Stan practice: diagnose the
+        # parameterization you sample); this check proves the transform
+        # recovers the right posterior, not just a well-mixed wrong one.
+        stats_result_t = None
+        if (target.transform is not None
+                and target.transform_true_mean is not None
+                and target.transform_true_cov is not None):
+            from types import SimpleNamespace
+            diag_t = compute_diagnostics(np.asarray(target.transform(samples)))
+            stats_result_t = check_summary_statistics(
+                diag_t, SimpleNamespace(true_mean=target.transform_true_mean,
+                                        true_cov=target.transform_true_cov),
+                significance=0.05)
+            stats_pass = stats_pass and stats_result_t["pass"]
+            has_true_mean = True
 
         gates = evaluate_gates(
             diagnostics["rhat_max"], diagnostics["ess_bulk_min"],
@@ -895,6 +986,15 @@ def run_single_benchmark_with_L(
             "sliced_w2": sliced_w2,
             "sliced_w2_transformed": sliced_w2_transformed,
             "convergence_trace": convergence_trace if track_convergence else None,
+            # schema additions: which unconstraining reparameterization (if
+            # any) produced the sampled coordinates, and the constrained-
+            # coordinate z-test that gates reparam rows
+            "reparam": ("log" if target.family.endswith("_unconstrained")
+                        else None),
+            "stats_pass_transformed": (stats_result_t["pass"]
+                                       if stats_result_t else None),
+            "z_score_max_transformed": (stats_result_t.get("max_z")
+                                        if stats_result_t else None),
         }
         results.update(sampler_metadata)
         results["warmup_restored"] = warmup_restored
@@ -915,6 +1015,10 @@ def run_single_benchmark_with_L(
               f"div={divergence_rate:.1%} "
               f"W2={sliced_w2 if sliced_w2 is None else round(sliced_w2, 4)} "
               f"({total_time:.1f}s)")
+        if sampling_ckpt is not None:
+            # the row is complete: the (large) partial-history checkpoint
+            # is superseded by the benchmark's own resume-by-signature
+            sampling_ckpt.clear()
         return results
 
     except Exception as e:
@@ -977,6 +1081,15 @@ def run_single_smc_benchmark(
     print(f"\n{'=' * 70}\nSMC | {target_name} | dim={target.dim} | "
           f"P={n_particles} | moves={move_steps}x{num_steps} leapfrogs"
           f"\n{'=' * 70}")
+    if target.support == "positive":
+        # The geometric bridge anneals from N(0, base_scale^2 I) over R^D;
+        # at small beta the mixture puts mass outside x > 0 where the
+        # target is -inf, so reweighting silently discards it and the
+        # log-Z estimate biases low. The log-transformed reparameterization
+        # (--reparam auto / unconstrain_target) removes the constraint.
+        print("  [WARN] positive-support target under a full-support "
+              "Gaussian base: mass leaks outside the support at small "
+              "beta. Run with --reparam auto for the unconstrained bridge.")
 
     mesh = _resolve_mesh(n_particles, mesh_devices)
     common = dict(
@@ -1033,6 +1146,26 @@ def run_single_smc_benchmark(
         stats_pass = stats_result["pass"]
         has_true_mean = (target.true_mean is not None
                          and target.true_cov is not None)
+        # Reparameterized targets: z-test the constrained coordinates too
+        # (weighted moments of the transformed population vs the original
+        # target's ground truth) — same gating as the MCMC rows.
+        stats_result_t = None
+        if (target.transform is not None
+                and target.transform_true_mean is not None
+                and target.transform_true_cov is not None):
+            from types import SimpleNamespace
+            wmean_t, wcov_t = weighted_moments(
+                target.transform(res.particles), res.log_weights)
+            mcse_t = np.sqrt(np.maximum(np.asarray(jnp.diag(wcov_t)), 0.0)
+                             / max(ess, 1.0))
+            stats_result_t = check_summary_statistics(
+                {"summary": {"mean": np.asarray(wmean_t),
+                             "mcse_mean": mcse_t}},
+                SimpleNamespace(true_mean=target.transform_true_mean,
+                                true_cov=target.transform_true_cov),
+                significance=0.05)
+            stats_pass = stats_pass and stats_result_t["pass"]
+            has_true_mean = True
         gates = evaluate_smc_gates(ess, divergence_rate, log_z, n_particles,
                                    stats_pass, has_true_mean)
 
@@ -1100,6 +1233,12 @@ def run_single_smc_benchmark(
             "sliced_w2": sliced_w2,
             "sliced_w2_transformed": sliced_w2_transformed,
             "convergence_trace": None,
+            "reparam": ("log" if target.family.endswith("_unconstrained")
+                        else None),
+            "stats_pass_transformed": (stats_result_t["pass"]
+                                       if stats_result_t else None),
+            "z_score_max_transformed": (stats_result_t.get("max_z")
+                                        if stats_result_t else None),
             # SMC-specific extras
             "log_z": log_z,
             "smc_particles": n_particles,
@@ -1233,7 +1372,9 @@ def run_trajectory_length_grid_search(
                       "replica_accept_rate", "tempering_betas",
                       "tempering_ladder", "ladder_tune_time",
                       "ladder_rounds", "ladder_initial_deviation",
-                      "ladder_final_deviation", "tempering_step_sizes"]:
+                      "ladder_final_deviation", "tempering_step_sizes",
+                      "reparam", "stats_pass_transformed",
+                      "z_score_max_transformed", "sliced_w2_transformed"]:
             failure[field] = least_bad.get(field)
         failure["ess_bulk_min"] = least_bad.get("ess_bulk_min", 0)
         failure["grid_search_info"] = {
@@ -1441,6 +1582,7 @@ def run_all_benchmarks(
     smc_rel_ess: float = 0.5,
     smc_max_stages: int = 200,
     smc_tune_trajectory: bool = False,
+    reparam: str = "off",
 ):
     """Iterate target x sampler x mass-mode (x schedule for GRAHMC) with
     resume-by-signature and incremental saving. Returns a DataFrame.
@@ -1452,9 +1594,18 @@ def run_all_benchmarks(
     trajectory_tuner: 'grid' (reference parity: one full pipeline per L in
     num_steps_grid) or 'chees' (ONE warmup adapts the trajectory length
     cross-chain, then jittered sampling; falls back to the grid when the
-    tuner reports a trajectory-cap runaway — flat-tailed targets)."""
+    tuner reports a trajectory-cap runaway — flat-tailed targets).
+
+    reparam: 'off' (reference parity — sample every target in its natural
+    coordinates) or 'auto' (constrained-support targets are swapped for
+    their log-transformed reparameterization via unconstrain_target; rows
+    are saved under the transformed target name with reparam='log' and
+    additionally gate on the constrained-coordinate z-test)."""
     import jax
     import pandas as pd
+
+    if reparam not in ("off", "auto"):
+        raise ValueError(f"reparam must be 'off' or 'auto', got {reparam!r}")
 
     if tempering and tempering > 1 and trajectory_tuner == "chees":
         raise ValueError(
@@ -1501,6 +1652,17 @@ def run_all_benchmarks(
     for target_name in targets:
         print(f"\n{'#' * 80}\n# TARGET: {target_name} (dim={dim})\n{'#' * 80}")
         target = get_target(target_name, dim=dim)
+        if reparam == "auto" and target.support != "real":
+            # sample the unconstrained reparameterization instead; the row
+            # is keyed/saved under the transformed name (resume signatures
+            # of the natural-coordinate rows stay untouched) and the
+            # transformed-coordinate W2/z-test report against the ORIGINAL
+            # target's ground truth
+            from mcmc_tpu.targets import unconstrain_target
+            target = unconstrain_target(target, registry_name=target_name)
+            target_name = f"{target_name}_unconstrained"
+            print(f"  [reparam] sampling {target.name} "
+                  f"(log-transformed, support now R^D)")
 
         for sampler in samplers:
             if sampler == "smc":

@@ -195,6 +195,26 @@ def _log_gamma(dim, d_pad, params, ax):
     return vag
 
 
+def _log_gamma_unconstrained(dim, d_pad, params, ax):
+    """expGamma: the log-transformed reparameterization of log_gamma
+    (targets/__init__.py unconstrain_target). lp = sum(shape*y - rate*e^y)
+    - dim*logZ, grad = shape - rate*e^y — smooth on all of R^D, so the
+    divergence gate that fails the constrained family at its support
+    boundary never fires. Padded entries sit at y=0 where the per-coordinate
+    term and gradient are nonzero (-rate, shape-rate), hence the mask."""
+    shape, rate = params["shape"], params["rate"]
+    const = dim * (float(gammaln(shape)) + shape * math.log(rate))
+
+    def vag(q):
+        mask = _mask_row(dim, d_pad, ax)
+        ey = jnp.exp(q)
+        lp = jnp.sum((shape * q - rate * ey) * mask,
+                     axis=ax, keepdims=True) - const
+        grad = (shape - rate * ey) * mask
+        return lp, grad
+    return vag
+
+
 def _rosenbrock(dim, d_pad, params, ax):
     a = 1.0 / (params["scale"] ** 2)
 
@@ -421,6 +441,7 @@ _BUILDERS = {
     "neals_funnel_noncentered": _neals_funnel_noncentered,
     "student_t": _student_t,
     "log_gamma": _log_gamma,
+    "log_gamma_unconstrained": _log_gamma_unconstrained,
     "rosenbrock": _rosenbrock,
     "gaussian_mixture": _gaussian_mixture,
     "multimodal_funnel_2d": _multimodal_funnel_2d,

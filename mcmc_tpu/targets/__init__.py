@@ -50,6 +50,19 @@ class TargetDistribution(NamedTuple):
     # then also reports `sliced_w2_transformed` against it.
     transform: Optional[Callable] = None
     transform_target: Optional[str] = None
+    # Support of the density over the SAMPLED coordinates: 'real' (R^D) or
+    # 'positive' (x > 0 coordinate-wise). Gradient samplers on constrained
+    # supports diverge at every boundary crossing (the reference's log_gamma
+    # clamp+(-inf) guard, reference targets.py:216-270, makes |dH| > 1000
+    # there); `unconstrain_target` uses this tag to build the standard
+    # log-transformed reparameterization.
+    support: str = "real"
+    # Analytic moments of `transform(samples)` — set by reparameterized
+    # targets so the benchmark runner can ALSO z-test the constrained
+    # coordinates against the original target's ground truth (gating
+    # quality_pass for reparam rows).
+    transform_true_mean: Optional[jnp.ndarray] = None
+    transform_true_cov: Optional[jnp.ndarray] = None
 
 
 def _batched(x):
@@ -320,6 +333,114 @@ def log_gamma(dim: int = 10, shape: float = 2.0, rate: float = 1.0) -> TargetDis
         value_and_grad_fn=value_and_grad_fn,
         family="log_gamma",
         params={"shape": shape, "rate": rate},
+        support="positive",
+    )
+
+
+# ============================================================================
+# Unconstraining reparameterization (Stan's transform layer, TPU-native)
+# ============================================================================
+
+def exp_transform(y):
+    """Map unconstrained draws y back to the positive orthant, x = e^y."""
+    return jnp.exp(y)
+
+
+def unconstrain_target(target: TargetDistribution,
+                       registry_name: Optional[str] = None) -> TargetDistribution:
+    """Return the log-transformed reparameterization of a constrained target.
+
+    The standard remedy (Stan reference manual ch. 10) for gradient samplers
+    on constrained supports: sample y = log x over all of R^D with
+    log p_y(y) = log p_x(e^y) + sum(y) (the log-Jacobian), and map draws
+    back via `transform` = exp. The reference has no counterpart — its
+    log_gamma rows only survive because its divergence rate is hard-coded
+    0.0 (reference run_benchmarks.py:706-710); with real |dH|>1000 detection
+    every support-boundary crossing diverges (12/16 canonical-matrix cells).
+    The transformed density is smooth on R^D, so divergences vanish.
+
+    Targets with support='real' are returned unchanged. For log_gamma the
+    unconstrained density is analytic (expGamma): lp = sum(shape*y - rate*e^y)
+    - D*log Z with moments E[y] = psi(shape) - log(rate), Var[y] =
+    psi'(shape), and it carries a fused-kernel (Pallas) specialization
+    (ops/padded_targets.py family 'log_gamma_unconstrained'). Other
+    positive-support targets get a generic chain-rule wrapper
+    (grad_y = grad_x(e^y) * e^y + 1) that runs on the XLA path.
+
+    Diagnostics/gates run in the SAMPLED coordinates (Stan practice); the
+    benchmark runner additionally z-tests and W2-tests the transformed
+    draws against the ORIGINAL target's ground truth via
+    `transform_true_mean`/`transform_true_cov`/`transform_target`.
+
+    registry_name: the registry key of `target` (e.g. 'log_gamma') so the
+    transformed-coordinate W2 can look up the original exact sampler.
+    """
+    if target.support == "real":
+        return target
+    if target.support != "positive":
+        raise ValueError(f"No unconstraining transform for support="
+                         f"{target.support!r} (target {target.name})")
+
+    dim = target.dim
+
+    if target.family == "log_gamma":
+        from scipy.special import digamma as _sp_digamma, polygamma as _sp_polygamma
+        shape, rate = target.params["shape"], target.params["rate"]
+        # expGamma(shape, rate): lp(y) = sum(shape*y - rate*e^y) - D*logZ,
+        # reusing the reference's normalizer convention
+        # (gammaln(shape) + shape*log(rate), reference targets.py:232).
+        log_normalizer = gammaln(shape) + shape * jnp.log(rate)
+
+        def value_and_grad_fn(y):
+            ey = jnp.exp(y)
+            lp = jnp.sum(shape * y - rate * ey, axis=-1) - dim * log_normalizer
+            return lp, shape - rate * ey
+
+        _tag(value_and_grad_fn, "log_gamma_unconstrained", dim,
+             shape=shape, rate=rate)
+        true_mean = jnp.full(dim, float(_sp_digamma(shape)) - jnp.log(rate))
+        true_cov = jnp.eye(dim) * float(_sp_polygamma(1, shape))
+        family = "log_gamma_unconstrained"
+    else:
+        base_vag = target.value_and_grad_fn
+
+        def value_and_grad_fn(y):
+            x = jnp.exp(y)
+            lp_x, g_x = base_vag(x)
+            return lp_x + jnp.sum(y, axis=-1), g_x * x + 1.0
+
+        # no pallas_info tag: unknown-family reparams run on the XLA path
+        true_mean = None
+        true_cov = None
+        family = f"{target.family}_unconstrained"
+
+    def log_prob_fn(y):
+        return value_and_grad_fn(y)[0]
+
+    base_init = target.init_sampler
+    if base_init is not None:
+        def init_sampler(key, n_chains):
+            return jnp.log(jnp.maximum(base_init(key, n_chains), 1e-12))
+    else:
+        init_sampler = None
+
+    return TargetDistribution(
+        log_prob_fn=log_prob_fn,
+        dim=dim,
+        true_mean=true_mean,
+        true_cov=true_cov,
+        name=f"{target.name}_log",
+        description=(f"log-transformed (unconstrained) reparameterization "
+                     f"of {target.name}; draws map back via exp"),
+        init_sampler=init_sampler,
+        value_and_grad_fn=value_and_grad_fn,
+        family=family,
+        params=dict(target.params),
+        transform=exp_transform,
+        transform_target=registry_name,
+        support="real",
+        transform_true_mean=target.true_mean,
+        transform_true_cov=target.true_cov,
     )
 
 
@@ -474,7 +595,16 @@ def get_target(name: str, dim: int = 10, **kwargs) -> TargetDistribution:
     Includes the RAHMC-paper targets the reference registers at targets.py:520-524
     (implemented in mcmc_tpu.targets.rahmc_paper since the reference module that
     defined them is missing from its snapshot).
+
+    Any constrained-support target is additionally available under
+    '<name>_unconstrained' — its log-transformed reparameterization built by
+    `unconstrain_target` (beyond-reference; the runner's --reparam auto uses
+    this path for every positive-support target).
     """
+    if name.endswith('_unconstrained'):
+        base = name[:-len('_unconstrained')]
+        return unconstrain_target(get_target(base, dim=dim, **kwargs),
+                                  registry_name=base)
     from mcmc_tpu.targets.rahmc_paper import (
         multimodal_funnel_2d, concentric_l1_balls, nested_l1_balls,
     )
@@ -527,7 +657,17 @@ def get_reference_sampler(target_name: str, dim: int = 10, **kwargs):
 
     Each returned function has signature (key, n) -> (n, dim) and runs as a single
     fused on-device kernel.
+
+    '<name>_unconstrained' targets sample y = log x, so their exact sampler
+    is the log of the base target's exact draws (exact by change of
+    variables — e.g. log of Gamma draws is exactly expGamma-distributed).
     """
+    if target_name.endswith('_unconstrained'):
+        base = target_name[:-len('_unconstrained')]
+        inner = get_reference_sampler(base, dim, **kwargs)
+        if inner is None:
+            return None
+        return lambda key, n: jnp.log(jnp.maximum(inner(key, n), 1e-300))
     if target_name == 'standard_normal':
         return lambda key, n: random.normal(key, (n, dim))
 
@@ -611,6 +751,8 @@ def get_reference_sampler(target_name: str, dim: int = 10, **kwargs):
 def has_reference_sampler(target_name: str) -> bool:
     """Parity: reference targets.py:690-701 (+ multimodal_funnel_2d, which has an
     exact sampler here)."""
+    if target_name.endswith('_unconstrained'):
+        return has_reference_sampler(target_name[:-len('_unconstrained')])
     return target_name in [
         'standard_normal',
         'correlated_gaussian',

@@ -69,7 +69,10 @@ DEFAULT_MAX_STEPS = 256        # hard cap on leapfrogs per jittered trajectory
 # tuning/dual_averaging.py:683-708). Steps alternate gamma*e^{+delta} /
 # gamma*e^{-delta}; each DA batch turns the two acceptance-weighted
 # sphered-ESJD means into d log ESJD / d log gamma and takes one clipped
-# Robbins-Monro step. Bounds are the reference joint-DA clip [0.01, 20].
+# Robbins-Monro step. Bounds: the reference joint-DA path clips gamma to
+# [0.01, 50] (reference tuning/dual_averaging.py:509); we deliberately use
+# the tighter [0.01, 20] — friction above ~20 is outside every schedule's
+# useful range and a looser cap only slows the pin-at-bound fallback test.
 GAMMA_SPSA_DELTA = 0.3         # log-space probe half-width (+-35%)
 GAMMA_SPSA_LR = 0.4            # RM gain per DA batch on log gamma
 GAMMA_MIN, GAMMA_MAX = 0.01, 20.0

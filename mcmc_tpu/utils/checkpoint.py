@@ -141,6 +141,111 @@ def save_warmup(cache_dir: str, signature: str, step_size: float, inv_mass,
     save_state_tree(os.path.join(cache_dir, signature), tree, meta)
 
 
+# ---------------------------------------------------------------------------
+# Mid-sampling checkpoints (benchmark runner Phase-2 integration)
+# ---------------------------------------------------------------------------
+
+class SamplingCheckpoint:
+    """Persist chain state + partial sample history + RNG keys at the
+    benchmark runner's log-spaced convergence checkpoints, so a preemption
+    mid-sampling resumes from the last checkpoint instead of rewinding the
+    configuration's whole sampling phase (closing the reference gap SURVEY
+    §5 flags: "Chain state itself is NOT checkpointed mid-run").
+
+    Layout under ``<dir>/``: ``state.npz`` (position, the loop RNG key, the
+    W2 tracker key, optional tempered-replica positions), ``meta.json``
+    (completed-draw cursor, per-piece stats, the convergence trace so far,
+    and a config stamp that must match on restore), and one
+    ``piece_<i>.npz`` per completed checkpoint batch (append-style: each
+    save writes only the NEW draws, so checkpoint IO is O(batch), not
+    O(history)).
+
+    Resume is draw-exact: the loop key is saved AFTER the completed
+    chunk's split, so the resumed run consumes the identical key sequence
+    and (on a deterministic backend) reproduces the uninterrupted run
+    bitwise — asserted by tests/test_checkpoint.py.
+    """
+
+    def __init__(self, cache_dir: str, signature: str, config: Dict):
+        self.dir = os.path.join(cache_dir, signature + "_sampling")
+        self.config = {k: (v if isinstance(v, (str, bool, type(None)))
+                           else float(v) if isinstance(v, float) else int(v))
+                       for k, v in config.items()}
+        self._n_pieces = 0
+
+    def load(self):
+        """Return the restored loop state dict, or None (fresh start /
+        config mismatch / unreadable). Keys: prev, key, w2_key, position,
+        replica_pos, halton_cursor, chees_leapfrogs, convergence_trace,
+        piece_samples, piece_stats."""
+        meta_path = os.path.join(self.dir, "meta.json")
+        if not os.path.exists(meta_path):
+            return None
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if meta["config"] != self.config:
+                return None
+            arrays, _ = load_state_tree(os.path.join(self.dir, "state"))
+            piece_samples = []
+            for i in range(meta["n_pieces"]):
+                with np.load(os.path.join(self.dir, f"piece_{i}.npz")) as z:
+                    piece_samples.append(jnp.asarray(z["samples"]))
+            self._n_pieces = meta["n_pieces"]
+            return {
+                "prev": meta["prev"],
+                "key": jnp.asarray(arrays["key"]),
+                "w2_key": jnp.asarray(arrays["w2_key"]),
+                "position": jnp.asarray(arrays["position"]),
+                "replica_pos": (jnp.asarray(arrays["replica_pos"])
+                                if "replica_pos" in arrays else None),
+                "halton_cursor": meta["halton_cursor"],
+                "chees_leapfrogs": meta["chees_leapfrogs"],
+                "convergence_trace": meta["convergence_trace"],
+                "piece_samples": piece_samples,
+                "piece_stats": meta["piece_stats"],
+            }
+        except Exception:
+            return None
+
+    def save(self, prev, key, w2_key, position, replica_pos, halton_cursor,
+             chees_leapfrogs, convergence_trace, piece_samples, piece_stats):
+        """Persist loop state after a completed checkpoint. Only pieces not
+        yet on disk are written; meta.json is replaced atomically LAST, so
+        a crash mid-save leaves the previous checkpoint intact."""
+        os.makedirs(self.dir, exist_ok=True)
+        for i in range(self._n_pieces, len(piece_samples)):
+            tmp = os.path.join(self.dir, f"piece_{i}.tmp.npz")
+            with open(tmp, "wb") as f:
+                np.savez(f, samples=np.asarray(piece_samples[i]))
+            os.replace(tmp, os.path.join(self.dir, f"piece_{i}.npz"))
+        self._n_pieces = len(piece_samples)
+        tree = {"position": position, "key": key, "w2_key": w2_key}
+        if replica_pos is not None:
+            tree["replica_pos"] = replica_pos
+        save_state_tree(os.path.join(self.dir, "state"), tree)
+        meta = {
+            "config": self.config,
+            "prev": int(prev),
+            "n_pieces": len(piece_samples),
+            "halton_cursor": int(halton_cursor),
+            "chees_leapfrogs": int(chees_leapfrogs),
+            "convergence_trace": convergence_trace,
+            "piece_stats": piece_stats,
+        }
+        tmp = os.path.join(self.dir, "meta.tmp.json")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.dir, "meta.json"))
+
+    def clear(self):
+        """Delete the checkpoint after the row is saved — the sample
+        history is large and the benchmark's own resume-by-signature takes
+        over once the result row exists."""
+        import shutil
+        shutil.rmtree(self.dir, ignore_errors=True)
+
+
 def load_warmup(cache_dir: str, signature: str):
     """Load a warmup checkpoint: (step_size, inv_mass, position, info) or
     None when absent/corrupt (callers fall back to re-running warmup)."""

@@ -165,6 +165,19 @@ def main():
                         help="Adaptive-schedule target: each temperature "
                         "step is chosen so the reweight's conditional "
                         "relative ESS equals this (default 0.5)")
+    parser.add_argument("--reparam", type=str, default="off",
+                        choices=["auto", "off"],
+                        help="Unconstraining reparameterization: 'auto' "
+                        "samples constrained-support targets (log_gamma) "
+                        "in log-transformed coordinates with the Jacobian "
+                        "term (Stan's transform layer; targets/"
+                        "unconstrain_target) — divergences at the support "
+                        "boundary vanish and rows additionally gate on a "
+                        "z-test of the back-transformed draws against the "
+                        "original moments. Default 'off' = reference "
+                        "parity (natural coordinates). Rows are saved "
+                        "under '<target>_log' names with reparam='log', "
+                        "so both arms can live in one results dir")
     parser.add_argument("--no-warmup-cache", action="store_true",
                         help="Disable per-configuration warmup checkpoints "
                         "(<output-dir>/.warmup_cache_seed<seed>/); with the "
@@ -229,6 +242,7 @@ def main():
         smc_base_scale=args.smc_base_scale,
         smc_rel_ess=args.smc_rel_ess,
         smc_tune_trajectory=args.smc_tune_trajectory,
+        reparam=args.reparam,
     )
     print_summary(df)
 

@@ -410,3 +410,70 @@ def test_smc_pallas_sharded_on_mesh():
                       atol=1e-4)
     mean, cov = weighted_moments(r.particles, r.log_weights)
     np.testing.assert_allclose(np.asarray(mean), np.zeros(3), atol=0.25)
+
+
+def test_smc_log_gamma_evidence_via_reparam():
+    """Round-5 composition (VERDICT r4 #8): the unconstraining transform
+    layer feeds SMC a full-support density, so the Gaussian bridge is
+    valid for the positive-support gamma family. Dropping the
+    normalizer makes the evidence fully analytic:
+    Z = [Gamma(shape)/rate^shape]^D for lp(y) = sum(shape*y - rate*e^y)."""
+    from scipy.special import gammaln
+    D, shape, rate = 4, 2.5, 1.0
+    t = get_target("log_gamma_unconstrained", dim=D, shape=shape, rate=rate)
+
+    # normalized target: log Z == 0 to MC error
+    r0 = smc_run(random.PRNGKey(6), t.log_prob_fn, n_particles=2048, dim=D,
+                 step_size=0.4, num_steps=8, base_scale=2.0,
+                 value_and_grad_fn=t.value_and_grad_fn)
+    assert abs(float(r0.log_Z)) < 0.06
+
+    # unnormalized (normalizer added back): under the SAME key the weights
+    # are identical, so the analytic constant Z = [Gamma(shape)/rate^shape]^D
+    # must pass through the evidence estimate EXACTLY, and the absolute
+    # error vs the analytic log Z is bounded by r0's MC error above
+    const = D * (float(gammaln(shape)) + shape * np.log(rate))
+    lp = lambda y: t.log_prob_fn(y) + const
+    vag = lambda y: (t.value_and_grad_fn(y)[0] + const,
+                     t.value_and_grad_fn(y)[1])
+    r = smc_run(random.PRNGKey(6), lp, n_particles=2048, dim=D,
+                step_size=0.4, num_steps=8, base_scale=2.0,
+                value_and_grad_fn=vag)
+    assert abs(float(r.log_Z) - float(r0.log_Z) - const) < 1e-6
+    assert abs(float(r.log_Z) - const) < 0.06
+
+    # transported population sits on the expGamma law: mean psi(shape)
+    from scipy.special import digamma
+    mean, _ = weighted_moments(r.particles, r.log_weights)
+    np.testing.assert_allclose(np.asarray(mean),
+                               np.full(D, digamma(shape) - np.log(rate)),
+                               atol=0.2)
+
+
+def test_smc_pallas_moves_cross_mesh_data_target():
+    """Regression guard (round-4 advisor): the memoized fused-move factory
+    caches padded vags (with data_arrays for data-carrying targets) across
+    calls; constants created inside one shard_map trace must not leak a
+    Manual-mesh aval into a DIFFERENT mesh's trace. Exercise the exact
+    sequence: mesh-8 trace first (populates the cache), then unsharded,
+    then mesh-1."""
+    from mcmc_tpu.parallel import make_mesh
+    from mcmc_tpu.parallel.fused_sharded import smc_run_sharded
+
+    t = get_target("hierarchical_logistic", dim=9, n_data=64)
+    kw = dict(dim=9, step_size=0.3, num_steps=4, move_steps=2,
+              base_scale=1.5, betas=jnp.linspace(0.25, 1.0, 4),
+              value_and_grad_fn=t.value_and_grad_fn,
+              move_backend="pallas")
+
+    r8 = smc_run_sharded(random.PRNGKey(8), t.log_prob_fn, make_mesh(8),
+                         n_particles=1024, **kw)
+    assert np.isfinite(float(r8.log_Z))
+    ru = smc_run(random.PRNGKey(8), t.log_prob_fn, n_particles=1024, **kw)
+    assert np.isfinite(float(ru.log_Z))
+    r1 = smc_run_sharded(random.PRNGKey(8), t.log_prob_fn, make_mesh(1),
+                         n_particles=1024, **kw)
+    assert np.isfinite(float(r1.log_Z))
+    # same fixed ladder everywhere: evidence estimates agree to MC error
+    assert abs(float(r8.log_Z) - float(ru.log_Z)) < 1.5
+    assert abs(float(r1.log_Z) - float(ru.log_Z)) < 1.5

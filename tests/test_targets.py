@@ -18,6 +18,10 @@ ALL_NAMES = [
     "neals_funnel_noncentered", "gaussian_mixture",
     "multimodal_funnel_2d", "concentric_l1_2d", "concentric_l1_3d",
     "nested_l1_2d", "nested_l1_3d", "hierarchical_logistic",
+    # the unconstraining-reparameterization layer (beyond-reference):
+    # log-transformed log_gamma, registered under the generic
+    # '<name>_unconstrained' suffix
+    "log_gamma_unconstrained",
 ]
 
 
@@ -120,6 +124,110 @@ def test_value_and_grad_works_unbatched():
     x = jnp.arange(5.0)
     lp, g = t.value_and_grad_fn(x)
     assert lp.shape == () and g.shape == (5,)
+
+
+def test_unconstrain_log_gamma_density_consistency():
+    """lp_y(y) must equal lp_x(e^y) + sum(y) — the change-of-variables
+    identity the whole reparam layer rests on (Stan reference manual
+    ch. 10; reference targets.py:216-270 has no such layer, which is why
+    its log_gamma rows only survive via the hard-coded 0.0 divergence
+    rate at run_benchmarks.py:706-710)."""
+    from mcmc_tpu.targets import unconstrain_target
+
+    base = get_target("log_gamma", dim=7)
+    unc = get_target("log_gamma_unconstrained", dim=7)
+    assert unc.support == "real" and base.support == "positive"
+    assert unc.transform_target == "log_gamma"
+
+    y = random.normal(random.PRNGKey(4), (16, 7)).astype(jnp.float64)
+    lp_y, g_y = unc.value_and_grad_fn(y)
+    lp_expected = base.log_prob_fn(jnp.exp(y)) + jnp.sum(y, axis=-1)
+    np.testing.assert_allclose(np.asarray(lp_y), np.asarray(lp_expected),
+                               rtol=1e-10, atol=1e-10)
+    # transform maps back to the positive orthant
+    x = unc.transform(y)
+    assert bool(jnp.all(x > 0))
+    # constrained-coordinate ground truth rides along for the runner's
+    # transformed z-test
+    np.testing.assert_allclose(np.asarray(unc.transform_true_mean),
+                               np.asarray(base.true_mean))
+
+
+def test_unconstrain_generic_chain_rule_matches_specialized():
+    """The generic positive-support wrapper (grad_y = grad_x(e^y)*e^y + 1)
+    must agree with log_gamma's specialized analytic expGamma form away
+    from the clamp region."""
+    from mcmc_tpu.targets import unconstrain_target, log_gamma
+
+    base = get_target("log_gamma", dim=7)
+    specialized = unconstrain_target(base, registry_name="log_gamma")
+    # re-tag the family so unconstrain_target takes the generic path
+    generic = unconstrain_target(base._replace(family="fake_positive"),
+                                 registry_name="log_gamma")
+    assert generic.true_mean is None        # no analytic moments generically
+
+    y = (random.normal(random.PRNGKey(5), (16, 7)) * 2.0).astype(jnp.float64)
+    lp_s, g_s = specialized.value_and_grad_fn(y)
+    lp_g, g_g = generic.value_and_grad_fn(y)
+    np.testing.assert_allclose(np.asarray(lp_s), np.asarray(lp_g),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_g),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_unconstrain_real_support_is_identity():
+    from mcmc_tpu.targets import unconstrain_target
+
+    t = get_target("standard_normal", dim=7)
+    assert unconstrain_target(t) is t
+
+
+def test_unconstrained_padded_builder_matches_xla():
+    """The Pallas family 'log_gamma_unconstrained' (ops/padded_targets.py)
+    must agree with the target's own value-and-grad in both block layouts,
+    with padded entries contributing nothing."""
+    from mcmc_tpu.ops.padded_targets import make_padded_vag
+
+    unc = get_target("log_gamma_unconstrained", dim=7)
+    y = random.normal(random.PRNGKey(6), (8, 7)).astype(jnp.float32)
+    lp_ref, g_ref = unc.value_and_grad_fn(y)
+
+    for ax, d_pad in ((1, 128), (0, 8)):
+        pv = make_padded_vag(unc.value_and_grad_fn, d_pad, ax)
+        if ax == 1:
+            q = jnp.zeros((8, d_pad), jnp.float32).at[:, :7].set(y)
+            lp, g = pv(q)
+            g = g[:, :7]
+        else:
+            q = jnp.zeros((d_pad, 8), jnp.float32).at[:7, :].set(y.T)
+            lp, g = pv(q)
+            g = g[:7, :].T
+        np.testing.assert_allclose(np.asarray(lp).reshape(-1),
+                                   np.asarray(lp_ref), rtol=2e-5, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_unconstrained_hmc_has_zero_divergences_where_constrained_diverges():
+    """The round-5 headline fix: HMC on constrained log_gamma diverges at
+    the support boundary (real |dH| > 1000 detection), while the same
+    budget on the log-transformed target is divergence-free and recovers
+    the GAMMA moments after mapping back."""
+    from mcmc_tpu.samplers import hmc_run
+
+    base = get_target("log_gamma", dim=5)
+    unc = get_target("log_gamma_unconstrained", dim=5)
+    key = random.PRNGKey(7)
+    init_u = unc.init_sampler(key, 8)
+
+    res = hmc_run(random.PRNGKey(8), unc.log_prob_fn, init_u,
+                  step_size=0.25, num_steps=10, num_samples=1500,
+                  burn_in=300, value_and_grad_fn=unc.value_and_grad_fn)
+    assert int(res.info["total_divergences"]) == 0
+    x = np.asarray(unc.transform(res.samples)).reshape(-1, 5)
+    mean = x.mean(axis=0)
+    np.testing.assert_allclose(mean, np.asarray(base.true_mean),
+                               rtol=0.12)
 
 
 def test_noncentered_funnel_transform_recovers_funnel_moments():

@@ -241,3 +241,24 @@ def test_tempered_validation_errors():
         tempered_run(random.PRNGKey(0), t.log_prob_fn, init,
                      step_size=jnp.ones(5), num_steps=4, num_samples=4,
                      n_temps=3, value_and_grad_fn=t.value_and_grad_fn)
+
+
+def test_tempered_composes_with_unconstrained_reparam():
+    """Round-5 composition (VERDICT r4 #8): replica exchange over the
+    log-transformed gamma family. Every rung samples pi_y^beta of the
+    UNCONSTRAINED density (Jacobian included), so the ladder is valid on
+    all of R^D and the cold chain recovers expGamma moments with zero
+    divergences — the constrained family diverges at every boundary
+    crossing instead."""
+    from scipy.special import digamma
+    from mcmc_tpu.targets import get_target
+
+    t = get_target("log_gamma_unconstrained", dim=4)
+    init = t.init_sampler(random.PRNGKey(1), 8)
+    r = tempered_run(random.PRNGKey(2), t.log_prob_fn, init,
+                     step_size=0.3, num_steps=8, num_samples=1200,
+                     burn_in=200, n_temps=3, beta_min=0.2,
+                     value_and_grad_fn=t.value_and_grad_fn)
+    assert int(r.info["total_divergences"]) == 0
+    mean = np.asarray(r.samples).reshape(-1, 4).mean(axis=0)
+    np.testing.assert_allclose(mean, np.full(4, digamma(2.0)), atol=0.15)

@@ -76,6 +76,8 @@ def remedy(row):
     if row is None:
         return "—"
     if row.get("reparam") == "log":
+        if row.get("nuts_proposal") == "multinomial":
+            return "log-reparam + multinomial NUTS"
         return "log-reparam (`--reparam auto`)"
     if str(row.get("target", "")).startswith("NealsFunnelNonCentered"):
         return "non-centered param"
@@ -94,9 +96,17 @@ def main():
     refarm = load(REFARM)
 
     m_by_cell = {cell_key(r): r for r in matrix}
+
+    def grade(r):
+        return 2 if r.get("quality_pass") else 1 if r.get("usable") else 0
+
+    # several remedies can target one cell (e.g. endpoint vs multinomial
+    # NUTS): keep the best-graded row
     n_by_cell = {}
     for r in native:
-        n_by_cell.setdefault(cell_key(r), r)
+        k = cell_key(r)
+        if k not in n_by_cell or grade(r) > grade(n_by_cell[k]):
+            n_by_cell[k] = r
     ref_by_cell = {cell_key(r): r for r in refarm}
 
     failing = OrderedDict()

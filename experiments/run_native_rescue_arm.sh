@@ -35,6 +35,16 @@ set -x
 python run_benchmarks.py --targets log_gamma --samplers rwmh hmc nuts grahmc \
     --mass-matrix-mode both --reparam auto $COMMON
 
+# 1b) log_gamma NUTS with the MULTINOMIAL proposal scheme: the endpoint
+#     scheme's documented ~3-4% underdispersion (PARITY.md, BASELINE.md
+#     bias audit) becomes a MEAN bias in the asymmetric expGamma/gamma
+#     coordinates, and the 1024-chain z-test has the power to reject it
+#     (measured z=31-35 at ~10M ESS on the endpoint rows). Stan's
+#     per-leaf multinomial scheme removes the bias in-framework.
+python run_benchmarks.py --targets log_gamma --samplers nuts \
+    --mass-matrix-mode both --reparam auto --nuts-proposal multinomial \
+    $COMMON
+
 # 2) SMC evidence row on the reparameterized target (log Z of the
 #    normalized density == 0; composition test of transform + bridge)
 python run_benchmarks.py --targets log_gamma --samplers smc --reparam auto \

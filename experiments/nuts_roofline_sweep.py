@@ -19,7 +19,11 @@ Run on an otherwise-idle TPU: concurrent device work corrupts the timings.
 """
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -40,20 +44,26 @@ def main(n_chains=65536, dim=50, step_size=0.268, w_values=(1, 2, 4, 6, 8),
 
     rows = []
     for w in w_values:
-        # warm the compile, then time a steady-state run
+        # warm the compile, then take the median of 3 timed reps — each
+        # forcing completion via a SCALAR HOST TRANSFER (block_until_ready
+        # alone returns before remote execution finishes on this tunnel
+        # rig; same convention as bench.py::_timed_reps)
         def run(k):
-            return nuts_run_persistent(
+            r = nuts_run_persistent(
                 k, target.log_prob_fn, init, step_size=step_size,
                 num_samples=num_samples, steps_per_sample=steps_per_sample,
                 burn_in_steps=0, max_tree_depth=10,
                 value_and_grad_fn=target.value_and_grad_fn,
                 collect_chains=64, steps_per_iter=w)
-        r = run(random.PRNGKey(1))
-        jax.block_until_ready(r.samples)
-        t0 = time.time()
-        r = run(random.PRNGKey(2))
-        jax.block_until_ready(r.samples)
-        dt = time.time() - t0
+            float(jnp.sum(r.samples))
+            return r
+        run(random.PRNGKey(1))
+        dts = []
+        for rep in range(4):
+            t0 = time.time()
+            r = run(random.fold_in(random.PRNGKey(2), rep))
+            dts.append(time.time() - t0)
+        dt = sorted(dts[1:])[1]
         useful = int(r.info["n_leapfrogs"])
         slots = int(r.info["n_leapfrog_slots"])
         chip_iters = num_samples * steps_per_sample / w
@@ -89,11 +99,14 @@ def main(n_chains=65536, dim=50, step_size=0.268, w_values=(1, 2, 4, 6, 8),
                           value_and_grad_fn=target.value_and_grad_fn,
                           backend="pallas", collect_chains=64)
     g = g_run(random.PRNGKey(3))
-    jax.block_until_ready(g.samples)
-    t0 = time.time()
-    g = g_run(random.PRNGKey(4))
-    jax.block_until_ready(g.samples)
-    dt = time.time() - t0
+    float(jnp.sum(g.samples))
+    gts = []
+    for rep in range(4):
+        t0 = time.time()
+        g = g_run(random.fold_in(random.PRNGKey(4), rep))
+        float(jnp.sum(g.samples))
+        gts.append(time.time() - t0)
+    dt = sorted(gts[1:])[1]
     g_leap = num_samples * 4 * 16 * n_chains / dt
     print(json.dumps({"grahmc_leapfrogs_per_s_M": round(g_leap / 1e6, 1),
                       "grahmc_ns_per_leapfrog_chip": round(1e9 / g_leap

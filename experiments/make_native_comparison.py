@@ -180,6 +180,14 @@ def main():
         "gradient samplers, and the reference protocol fails there "
         "identically.",
         "",
+        "Superseded attempts stay archived in benchmark_results.json "
+        "(the table shows each cell's best-graded remedy): ChEES + "
+        "joint-γ on the rosenbrock GRAHMC cells ran away (R̂ 1.60-1.70 "
+        "— the flat-valley criterion failure ChEES's grid fallback "
+        "exists for) before the dense metric rescued those cells to "
+        "quality, and the endpoint-NUTS reparam rows (z=31-35) precede "
+        "the multinomial ones (z=7-10).",
+        "",
     ]
     with open(OUT, "w") as f:
         f.write("\n".join(lines))

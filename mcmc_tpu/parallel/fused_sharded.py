@@ -342,6 +342,7 @@ def nuts_persistent_run_sharded(
             "mean_accept_probs": sharded,
             "mean_tree_depth": sharded,
             "n_leapfrogs": P(),
+            "n_leapfrogs_per_chain": sharded,
             "n_leapfrog_slots": P(),
             "final_positions": P(CHAIN_AXIS, None),
             "n_devices": P(),

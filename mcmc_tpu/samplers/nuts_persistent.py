@@ -468,14 +468,20 @@ def _resolve_backend(backend: str, value_and_grad_fn) -> str:
     return "xla"
 
 
-def _count_dtype():
-    """Dtype for global leapfrog/slot counters: int64 under x64, else uint32.
+def _count_dtype(total=0):
+    """Dtype for global leapfrog/slot counters: int64 under x64, else
+    uint32, else f32 once the STATIC slot total exceeds uint32's range.
 
     int32 overflows at 2^31 slots — reached at the advertised operating
-    point (65,536 chains x 512 snapshots x 64 steps = 2^31); uint32 extends
-    the exact range to 4.29e9 without requiring x64.
+    point (65,536 chains x 512 snapshots x 64 steps = 2^31); uint32
+    extends the exact range to 4.29e9 without requiring x64. Beyond that
+    (e.g. 1024 chains x 10k snapshots x 512 steps/snapshot, the round-5
+    window-bias probe) the counters go f32: relative error < 1e-7 on the
+    rate accounting, with exact per-chain counts still reported.
     """
-    return jnp.int64 if jax.config.jax_enable_x64 else jnp.uint32
+    if jax.config.jax_enable_x64:
+        return jnp.int64
+    return jnp.uint32 if total < 2**32 else jnp.float32
 
 
 @partial(jax.jit, static_argnames=(
@@ -632,13 +638,20 @@ def nuts_run_persistent(
         "transitions": ps.transitions,
         "mean_accept_probs": mean_accept,
         "mean_tree_depth": ps.depth_acc.astype(jnp.float32) / trans,
+        # trace-time dtype choice: exact uint32 until 4.29e9 slots, then
+        # f32 (see _count_dtype / the fused path's counters)
         "n_leapfrogs": jnp.asarray(
             (burn_in_steps + num_samples * steps_per_sample) * C,
-            _count_dtype()),
+            _count_dtype((burn_in_steps + num_samples * steps_per_sample)
+                         * C)),
+        "n_leapfrogs_per_chain": jnp.full(
+            (C,), burn_in_steps + num_samples * steps_per_sample,
+            jnp.uint32),
         # the XLA machine executes every slot (one leapfrog per iteration)
         "n_leapfrog_slots": jnp.asarray(
             (burn_in_steps + num_samples * steps_per_sample) * C,
-            _count_dtype()),
+            _count_dtype((burn_in_steps + num_samples * steps_per_sample)
+                         * C)),
         "final_positions": ps.q,
     }
     final_state = ChainState(
@@ -757,16 +770,24 @@ def _run_persistent_pallas(key, log_prob_fn, init_position, step_size,
         "mean_tree_depth": rows[fused_nuts.R_DEPTH_ACC]
         / trans.astype(jnp.float32),
         # leapfrogs actually executed (== the slot count for
-        # steps_per_iter=1; < slots when later unroll slots are masked)
+        # steps_per_iter=1; < slots when later unroll slots are masked).
         # per-chain R_EXEC is exact in f32 (each <= slots/chain ~ 1e5);
         # cast per-chain BEFORE summing so the global total stays exact
         # past 2^24 (an f32 sum would round) and past 2^31 (int32 would
-        # overflow)
-        "n_leapfrogs": jnp.sum(
-            rows[fused_nuts.R_EXEC].astype(_count_dtype())),
+        # overflow). The global dtype is chosen at TRACE time from the
+        # static slot total: uint32 (exact) until it saturates at 4.29e9
+        # slots — which 1024 chains x 10k snapshots x 512 steps/snapshot
+        # already exceeds (round-5 bias probe) — then f32 (relative
+        # error < 1e-7, irrelevant for rate/ess-per-gradient accounting;
+        # exact per-chain counts remain in n_leapfrogs_per_chain).
+        "n_leapfrogs": jnp.sum(rows[fused_nuts.R_EXEC].astype(
+            _count_dtype((burn_in_steps + num_samples * steps_per_sample)
+                         * C))),
+        "n_leapfrogs_per_chain": rows[fused_nuts.R_EXEC],
         "n_leapfrog_slots": jnp.asarray(
             (burn_in_steps + num_samples * steps_per_sample) * C,
-            _count_dtype()),
+            _count_dtype((burn_in_steps + num_samples * steps_per_sample)
+                         * C)),
         "final_positions": final_q,
     }
     final_state = ChainState(

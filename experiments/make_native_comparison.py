@@ -186,7 +186,12 @@ def main():
         "— the flat-valley criterion failure ChEES's grid fallback "
         "exists for) before the dense metric rescued those cells to "
         "quality, and the endpoint-NUTS reparam rows (z=31-35) precede "
-        "the multinomial ones (z=7-10).",
+        "the multinomial ones (z=7-10). The multinomial NUTS residual "
+        "was subsequently PINNED as the snapshot machine's window-level "
+        "emission bias — it scales 1/steps-per-sample and vanishes below "
+        "the gate at `--nuts-steps-per-sample 512` (z_max 2.4 at full "
+        "10M-ESS power; `experiments/nuts_window_bias_probe.py`, "
+        "BASELINE.md bias audit #4).",
         "",
     ]
     with open(OUT, "w") as f:

@@ -279,3 +279,33 @@ def test_multinomial_scheme_with_dense_metric():
     m = np.asarray(r.samples).reshape(-1, 6)
     emp = np.cov(m.T)
     assert np.abs(emp - np.asarray(t.true_cov)).max() < 0.12, emp
+
+
+def test_leapfrog_counter_dtype_survives_huge_slot_totals():
+    """Regression pin (round 5): uint32 slot counters saturate at 4.29e9;
+    a 1024-chain x 10k-snapshot x 512-steps/snapshot run (the window-bias
+    probe) must trace without OverflowError, with the counter dtype
+    degrading to f32 only beyond the exact-uint32 range. Trace-only via
+    eval_shape — no sampling runs."""
+    t = standard_normal(4)
+    init_small = jax.ShapeDtypeStruct((64, 4), jnp.float32)
+
+    def shapes(num_samples, steps_per_sample, n_chains):
+        return jax.eval_shape(
+            lambda key, pos: nuts_run_persistent(
+                key, t.log_prob_fn, pos, step_size=0.5,
+                num_samples=num_samples, steps_per_sample=steps_per_sample,
+                value_and_grad_fn=t.value_and_grad_fn, backend="xla"),
+            jax.ShapeDtypeStruct((2,), jnp.uint32),
+            jax.ShapeDtypeStruct((n_chains, 4), jnp.float32))
+
+    # note: the suite runs under x64, where counters are int64 regardless
+    small = shapes(8, 16, 64)
+    big = shapes(10000, 512, 1024)       # 5.24e9 slots > uint32 range
+    if jax.config.jax_enable_x64:
+        assert small.info["n_leapfrog_slots"].dtype == jnp.int64
+        assert big.info["n_leapfrog_slots"].dtype == jnp.int64
+    else:
+        assert small.info["n_leapfrog_slots"].dtype == jnp.uint32
+        assert big.info["n_leapfrog_slots"].dtype == jnp.float32
+    assert big.info["n_leapfrogs_per_chain"].shape == (1024,)
